@@ -1,0 +1,533 @@
+"""Core relational surface.
+
+First block: the reference's entire query surface re-expressed Spark-first
+(hw4.cc O1-O11 per SURVEY.md §2.1). Second block: the standard relational
+categories the reference has no implementation of (SURVEY.md §2.2) —
+filters, joins, distinct, set ops, top-k, window functions, rollup,
+scalar functions — all built-in Catalyst territory.
+
+Scale notes are on each query: what shuffles, what broadcasts, what gets
+pushed down. At 100 TB the parquet scans prune columns + push predicates
+(visible as ``PushedFilters``/``ReadSchema`` in ``.explain``), small dims
+broadcast, and every aggregation is partial (map-side combine) before the
+single shuffle on the grouping key — the combiner the reference never
+implemented (SURVEY.md §2.1 O10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# The reference's own surface (hw4.cc O1..O11)
+# ---------------------------------------------------------------------------
+
+
+def wordcount(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The canonical pipeline O3→O4→O5/O6/O7 (shuffle)→O8→O9→O10: tokenize,
+    count per word (hw4.cc:457-474, 359-420).
+
+    Spark plan: explode is a generator inside whole-stage codegen; the
+    groupBy count is hash-agg with partial aggregation, so only (word,
+    partial_count) rows cross the shuffle — the combiner hw4.cc never had.
+    Empty tokens are filtered on BOTH engine and oracle side (Spark's
+    split and DuckDB's string_split both keep empties).
+    """
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "wordcount_e2e",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY word
+    """,
+)
+def wordcount_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's entire end-to-end query (SURVEY.md §2.1
+    canonical query) over ``documents.text``."""
+    return wordcount(table(spark, sf_dir, "documents")).orderBy("word")
+
+
+@query("scan_count", oracle="SELECT COUNT(*) AS n FROM lineitem")
+def scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 text-scan analogue: parquet scan + count. Catalyst answers this
+    from parquet row-group metadata — no row materialization at all."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "tokenize_wordcount",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(o_orderpriority, ' ')) AS w FROM orders) t
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY word
+    """,
+)
+def tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 split/tokenize as a lateral view (hw4.cc:457-466, minus quirk Q1 —
+    the trailing token is kept; faithful mode lives in ``mapreduce``)."""
+    return wordcount(table(spark, sf_dir, "orders"), "o_orderpriority").orderBy("word")
+
+
+@query(
+    "project_lit",
+    oracle="""
+    SELECT l_orderkey, 1 AS one FROM lineitem ORDER BY l_orderkey LIMIT 100
+    """,
+)
+def project_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 map/project: constant projection (word,1) of hw4.cc:468-474.
+    Column pruning reaches the scan: only l_orderkey is read."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.lit(1).alias("one"))
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "partition_expr",
+    oracle="""
+    SELECT w AS word, ascii(substr(w, 1, 1)) % 4 AS pid
+    FROM (SELECT DISTINCT UNNEST(string_split(o_orderpriority, ' ')) AS w FROM orders) t
+    WHERE w <> ''
+    ORDER BY word
+    """,
+)
+def partition_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 partition function: the reference's skew-prone first-char router
+    ``int(key[0]) % R`` (hw4.cc:479, quirk Q3) as a value-level expression.
+    Physical placement parity is exercised by the mapreduce file-contract
+    tests; this checks the expression's semantics."""
+    words = (
+        table(spark, sf_dir, "orders")
+        .select(F.explode(F.split("o_orderpriority", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    return words.select(
+        "word", (F.ascii(F.substring("word", 1, 1)) % 4).alias("pid")
+    ).orderBy("word")
+
+
+@query(
+    "sort_asc",
+    oracle="SELECT c_custkey, c_name FROM customer ORDER BY c_name ASC, c_custkey ASC",
+)
+def sort_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 ascending sort (hw4.cc:411-420, ascend=true call site :333).
+    Spark: range-partitioned exchange + per-partition sort — the same
+    sort-merge shape at any scale, spilling instead of OOMing."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy(F.col("c_name").asc(), F.col("c_custkey").asc())
+    )
+
+
+@query(
+    "sort_desc",
+    oracle="SELECT c_custkey, c_name FROM customer ORDER BY c_name DESC, c_custkey DESC",
+)
+def sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 with ascend=false (the ``greater<>`` branch, hw4.cc:414)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy(F.col("c_name").desc(), F.col("c_custkey").desc())
+    )
+
+
+@query(
+    "agg_count",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9+O10 group-and-reduce (hw4.cc:359-409) generalized beyond the
+    constant-1 quirk (Q5): COUNT plus a real SUM over the record's value.
+    Hash aggregation with partial agg — only |groups| rows shuffle."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standard categories absent from the reference (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 25 AND l_returnflag = 'R'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicates (absent in reference). Both conjuncts push down into the
+    parquet scan (``PushedFilters: [GreaterThan(l_quantity,25.0),
+    EqualTo(l_returnflag,R)]``) — row groups that can't match are skipped,
+    which is the difference between scanning 100 TB and scanning 2 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 25) & (F.col("l_returnflag") == "R")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "join_equi",
+    oracle="""
+    SELECT n_name, COUNT(*) AS c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join (absent in reference). nation is O(1) rows at any SF —
+    broadcast it explicitly so the fact side never shuffles for the join;
+    the only shuffle is the final groupBy on n_name (25 groups)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderstatus
+    ORDER BY r_name, o_orderstatus
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema 4-way join. Only orders⋈customer is a real (shuffle)
+    join; nation/region broadcast. SUM goes through DECIMAL so engine and
+    oracle agree bit-for-bit regardless of summation order — float sums
+    are order-dependent and a 1000-executor plan must not depend on
+    accumulation order for correctness checks."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS). At scale both sides are one
+    shuffle on the key with early exit per match — no row multiplication."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_with_orders")
+    )
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_without_orders")
+    )
+    return semi.crossJoin(anti)
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT n_name, COALESCE(c, 0) AS c
+    FROM nation LEFT JOIN (
+        SELECT c_nationkey, COUNT(*) AS c FROM customer GROUP BY c_nationkey
+    ) t ON n_nationkey = c_nationkey
+    ORDER BY n_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join, aggregate-before-join: pre-aggregating the fact
+    side first shrinks the join input from |customer| to |nations| rows —
+    at 100 TB this ordering is the plan."""
+    nation = table(spark, sf_dir, "nation")
+    counts = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        nation.join(counts, nation.n_nationkey == counts.c_nationkey, "left")
+        .select("n_name", F.coalesce("c", F.lit(0)).alias("c"))
+        .orderBy("n_name")
+    )
+
+
+@query("distinct_dedup", oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders")
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (absent in reference) — partial-agg'd like any groupBy."""
+    return table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n")
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — each partition keeps a
+    k-heap, the driver merges |partitions|·k rows. No global sort, no full
+    shuffle; the reference's only sort (O8) is always total."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer
+    ) t
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + hash-dedup on the fly."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.union(c).distinct().agg(F.count("*").alias("n"))
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) a) AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) b) AS n_except
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — planned as semi/anti joins after dedup."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    n_i = c.intersect(o).agg(F.count("*").alias("n_intersect"))
+    n_e = c.subtract(o).agg(F.count("*").alias("n_except"))
+    return n_i.crossJoin(n_e)
+
+
+@query(
+    "scalar_text",
+    oracle="""
+    SELECT lower(p_type) AS t, length(p_name) AS l, round(p_retailprice, 1) AS pr
+    FROM part ORDER BY p_partkey LIMIT 50
+    """,
+)
+def scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math functions (absent in reference) — all JVM-side
+    codegen'd expressions, never Python."""
+    return (
+        table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(50)
+        .select(
+            F.lower("p_type").alias("t"),
+            F.length("p_name").alias("l"),
+            F.round("p_retailprice", 1).alias("pr"),
+        )
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent in reference): top order per customer.
+    One shuffle on o_custkey; tie-broken on o_orderkey so the winner is
+    deterministic across engines and partitionings."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (frame clause). DECIMAL accumulator keeps
+    the prefix sums bitwise-identical between engines."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (stretch in SURVEY.md §2.2). Spark expands the
+    sets before the (single) shuffle — still partial-agg'd."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the classic scan-heavy aggregate the reference's
+    O9/O10 pipeline generalizes to. Predicate pushes to parquet; DECIMAL
+    sums keep engine/oracle bit-identical under any accumulation order."""
+    li = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

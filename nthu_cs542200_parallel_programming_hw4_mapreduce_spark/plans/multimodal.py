@@ -1,0 +1,86 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata (SURVEY.md §2.2 north star).
+
+The fixtures carry no real media, so the *payload* is the UTF-8 encoding
+of ``documents.text`` — the Spark-side plumbing (BinaryType columns,
+metadata extraction, Arrow-batched ``mapInPandas`` feature extraction,
+batch shapes) is real and tested; only the codec call itself is stubbed
+(the image/audio libs aren't in this container; see ``decode_image``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode (PIL/libvips) — NOT available in this container.
+
+    The deterministic fake used by ``multimodal_features`` stands in so
+    the distributed plumbing (binary column → Arrow batch → per-batch
+    Python → typed feature rows) is fully exercised.
+    """
+    raise NotImplementedError(
+        "image codecs not installed; multimodal_features uses a deterministic fake"
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary payload column: byte length + leading
+    'magic' bytes (how a real pipeline sniffs media containers). All
+    JVM-side expressions over BinaryType — no Python in the loop."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic"),
+    ).orderBy("doc_id")
+
+
+@query("multimodal_features")  # rows-only: mapInPandas plumbing, fake decoder
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``: Arrow
+    batches of (doc_id, payload) go to Python; a deterministic fake
+    decoder emits fixed-width features (byte_sum, fake width/height from
+    the byte stream). This is exactly the batch shape a real image
+    featurizer would use — swap ``_fake_features`` for a real codec and
+    nothing else changes. Partition-parallel, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": raw.map(len),
+                    "byte_sum": raw.map(lambda b: sum(b) % 2**31),
+                    # fake 'decoded' dims: deterministic function of content
+                    "width": raw.map(lambda b: 16 + (b[0] % 64) if len(b) else 0),
+                    "height": raw.map(lambda b: 16 + (b[-1] % 64) if len(b) else 0),
+                }
+            )
+
+    out = payloads.mapInPandas(
+        _fake_features,
+        schema="doc_id long, n_bytes int, byte_sum long, width int, height int",
+    )
+    return out.orderBy("doc_id")

@@ -1,0 +1,161 @@
+"""Text-analysis declared queries over ``documents``.
+
+These are the training-data-pipeline primitives (language-ID, quality
+scoring, token counting, fingerprinting) expressed as pure Column
+expressions (:mod:`..functions.text`) with DuckDB oracles that replicate
+the arithmetic operation-for-operation, so the driver's value-hash check
+verifies the math, not just the row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import text as X
+from ..registry import query
+
+# DuckDB fragments mirroring functions/text.py expression-for-expression.
+_DD_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_DD_NTOKS = f"len({_DD_TOKS})"
+_DD_PUNCT = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))"
+
+
+def _dd_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return f"len(list_filter({_DD_TOKS}, t -> lower(t) IN ({words})))"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           {_DD_NTOKS} AS n_tokens,
+           {_DD_PUNCT} AS n_punct,
+           round(
+             ( least(length(text) / 200.0, 1.0)
+             + greatest(0.0, 1.0 - ({_DD_PUNCT} / greatest(length(text), 1)) * 5)
+             + least(({_dd_stopword_hits('en')} / greatest({_DD_NTOKS}, 1)) * 4, 1.0)
+             ) / 3, 6) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation-density / stopword-ratio
+    composite. One parquet scan, one codegen'd projection — no shuffle at
+    all, which is exactly the shape you want for a 100 TB quality pass."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.token_count("text").alias("n_tokens"),
+        X.punct_count("text").alias("n_punct"),
+        X.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_DD_LANG_CASE = None
+
+
+def _dd_lang_case() -> str:
+    """DuckDB CASE replicating functions.text.lang_id's fold exactly:
+    languages iterated in sorted order, strictly-greater replaces, so the
+    earliest language wins ties; 'und' when the max score < 1."""
+    langs = sorted(X.STOPWORDS)
+    scores = {lang: _dd_stopword_hits(lang) for lang in langs}
+    branches = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1 :]
+        conds = [f"{scores[lang]} >= {scores[lt]}" for lt in later]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    all_scores = ", ".join(scores.values())
+    return (
+        f"CASE WHEN greatest({all_scores}) < 1 THEN 'und' "
+        + " ".join(branches[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, {_dd_lang_case()} AS lang_pred
+    FROM documents ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via per-language stopword-hit argmax (the classic
+    cheap n-gram-heuristic detector). Scan-only, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+@query(
+    "token_count_est",
+    oracle=rf"""
+    SELECT doc_id,
+           {_DD_NTOKS} AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex estimate
+    (letter runs / digit runs / punctuation marks as separate tokens)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("ws_tokens"),
+        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text. md5 agrees byte-for-byte across engines, so this doubles as the
+    exact-dedup key (see plans.dedup.dedup_exact)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "shingle_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                                          i -> array_to_string(l[i:i+2], ' '))) AS shingles
+      FROM toks
+    ), fps AS (
+      SELECT doc_id, UNNEST(list_transform(shingles, s -> md5(s))) AS fp FROM sh
+    )
+    SELECT doc_id, fp FROM fps
+    WHERE substr(fp, 1, 1) IN ('0', '4', '8', 'c')
+    ORDER BY doc_id, fp
+    """,
+)
+def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style selective shingle fingerprints (1-in-4 sample of
+    3-word-shingle md5s) — the containment-detection primitive. Exploded
+    to (doc_id, fp) rows so the oracle hash covers values exactly."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(X.shingle_fingerprints("text", 3, 4)).alias("fp")
+        )
+        .orderBy("doc_id", "fp")
+    )
