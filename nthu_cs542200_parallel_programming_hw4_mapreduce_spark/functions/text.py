@@ -114,10 +114,15 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
     non-null text)."""
     toks = tokens(col, r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark — docs with
+    # fewer than k tokens must short-circuit to [] before sequence runs.
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_fingerprints(col: str | Column, k: int = 3, keep_mod: int = 4) -> Column:

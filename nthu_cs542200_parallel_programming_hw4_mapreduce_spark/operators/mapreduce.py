@@ -1,0 +1,204 @@
+"""Faithful MapReduce surface — the reference's whole API, on Spark.
+
+``run_job`` mirrors the reference CLI contract exactly
+(``mpirun ./hw4 JOB_NAME NUM_REDUCER DELAY INPUT_FILE CHUNK_SIZE
+LOCALITY_CONFIG OUTPUT_DIR``, hw4.cc:42-49) and generalizes the
+hard-coded pipeline hooks (hw4.cc:32-40: split/map/partition/sort/
+group/reduce) into pluggable functions, with the reference's semantic
+quirks behind explicit flags (SURVEY.md §2.3/§7.4):
+
+* Q1 ``drop_trailing_token`` — tokenizer drops each chunk's last token
+  (hw4.cc:460-465 only emits a token when a following space exists).
+* Q2 ``fuse_chunk_lines`` — lines concatenate with no separator
+  (hw4.cc:72).
+* Q3 ``partition_fn='first_char'`` — reducer = ord(word[0]) % R
+  (hw4.cc:479; the skew the PDF admits to). ``'hash'`` = the
+  commented-out proper hash (hw4.cc:477-478) via Spark's default.
+* Q4/Q6/Q7 (racy shuffle files, redundant reads, task-count-from-
+  locality-file) are defects, not semantics — not reproduced; the
+  locality table is still parsed and logged for O2/O12 parity.
+
+Output contract (O11, hw4.cc:350-357): one text file per reducer named
+``{output_dir}/{job_name}-{r}.out`` (r is 1-based), lines
+``"word count"``, ascending by word within the file (descending when
+``sort_ascending=False`` — the ``ascend`` flag of hw4.cc:411-415).
+
+Event log (O14): ``{output_dir}/{job_name}-log.out`` CSV with the
+reference's exact vocabulary (hw4.cc:84-203): Start_Job,
+Dispatch_MapTask, Complete_MapTask, Dispatch_ReduceTask,
+Complete_ReduceTask, Finish_Job.
+
+Physically this is Spark end-to-end: the shuffle replaces the
+append-mode text files (O6/O7), executor task slots replace the pthread
+pools (O13), and the only RDD use in the whole engine is the final
+identity-partitioned write — sanctioned by SURVEY.md §4.3 because the
+file-per-reducer naming contract is physical, not relational.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.text import chunked_lines, read_locality_table
+
+
+@dataclass
+class JobConfig:
+    """Mirror of the 7 CLI args (hw4.cc:42-49) + quirk/hook flags."""
+
+    job_name: str
+    num_reducer: int
+    delay: int  # accepted and ignored — dead code in the reference (O15)
+    input_path: str
+    chunk_size: int
+    locality_config: str | None
+    output_dir: str
+    # quirk flags (SURVEY.md §7.4) — defaults are the *fixed* semantics
+    drop_trailing_token: bool = False
+    fuse_chunk_lines: bool = False
+    partition_fn: str = "hash"  # 'hash' | 'first_char'
+    sort_ascending: bool = True
+    # pluggable reduce: name of a builtin ('sum', 'count', 'max', 'min')
+    reduce_fn: str = "sum"
+
+
+def tokenize(chunks: DataFrame, cfg: JobConfig) -> DataFrame:
+    """O3 split (hw4.cc:457-466): single-space tokenizer over chunk
+    strings → (chunk_id, word).
+
+    Faithful Q1: the reference emits a token only when a following space
+    exists, so the final field of split(chunk, ' ') is always discarded
+    — including empty fields from runs of spaces, which ARE emitted as
+    empty-string words. Fixed mode emits every non-empty token.
+    """
+    toks = F.split("chunk", " ")
+    if cfg.drop_trailing_token:
+        words = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+        out = chunks.select("chunk_id", F.explode(words).alias("word"))
+    else:
+        out = chunks.select("chunk_id", F.explode(toks).alias("word")).filter(
+            F.col("word") != ""
+        )
+    return out
+
+
+def map_pairs(words: DataFrame) -> DataFrame:
+    """O4 map (hw4.cc:468-474): word → (word, 1)."""
+    return words.select("word", F.lit(1).alias("one"))
+
+
+def partition_id(cfg: JobConfig) -> F.Column:
+    """O5 partition (hw4.cc:476-487). ``first_char``: ASCII of the first
+    character mod R (Q3 — empty word ⇒ '\\0' ⇒ 0, matching C++
+    ``int(key[0])`` on an empty std::string's NUL terminator). ``hash``:
+    non-negative pmod of Spark's hash — the commented-out
+    std::hash variant's moral equivalent."""
+    r = cfg.num_reducer
+    if cfg.partition_fn == "first_char":
+        return F.coalesce(F.ascii(F.substring("word", 1, 1)), F.lit(0)) % r
+    return F.pmod(F.hash("word"), F.lit(r))
+
+
+def reduce_agg(cfg: JobConfig) -> F.Column:
+    """O9+O10 group/reduce generalized (hw4.cc:359-382 is SUM over 1s —
+    quirk Q5 means only 'sum'/'count' are faithful; the general hooks use
+    the record's real value, per SURVEY.md §7.4)."""
+    fns = {
+        "sum": F.sum("one"),
+        "count": F.count("*"),
+        "max": F.max("one"),
+        "min": F.min("one"),
+    }
+    return fns[cfg.reduce_fn].cast("long").alias("cnt")
+
+
+def wordcount_df(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """The logical job O1→O10 as a DataFrame: (word, cnt, pid).
+    Everything before the output-file contract is declarative — Catalyst
+    plans the shuffle + partial aggregation the reference hand-rolls."""
+    chunks = chunked_lines(spark, cfg.input_path, cfg.chunk_size, cfg.fuse_chunk_lines)
+    kv = map_pairs(tokenize(chunks, cfg))
+    counted = kv.groupBy("word").agg(reduce_agg(cfg))
+    return counted.withColumn("pid", partition_id(cfg))
+
+
+def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
+    """Execute the full faithful job: DataFrame pipeline → identity-
+    partitioned, per-partition-sorted text files + CSV event log.
+    Returns {artifact: path}."""
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    log_path = os.path.join(cfg.output_dir, f"{cfg.job_name}-log.out")
+    t0 = time.time()
+    events: list[str] = []
+
+    def log(*fields: object) -> None:
+        events.append(",".join(str(f) for f in (int(time.time()), *fields)))
+
+    log(
+        "Start_Job",
+        cfg.job_name,
+        cfg.num_reducer,
+        cfg.delay,
+        cfg.input_path,
+        cfg.chunk_size,
+        cfg.locality_config or "-",
+        cfg.output_dir,
+    )
+
+    locality = (
+        read_locality_table(cfg.locality_config) if cfg.locality_config else {}
+    )
+    for chunk_id, node_id in sorted(locality.items()):
+        log("Dispatch_MapTask", chunk_id, node_id)
+
+    t_map = time.time()
+    result = wordcount_df(spark, cfg)
+    # O8 per-reducer sort + O11 exact file contract: identity-partition an
+    # RDD of (pid, line) so part-0000r holds exactly reducer r's rows.
+    ascending = cfg.sort_ascending
+    sign = 1 if ascending else -1
+
+    def fmt_partition(rows):
+        data = sorted(rows, key=lambda r: (r["word"], r["cnt"]), reverse=not ascending)
+        return (f"{r['word']} {r['cnt']}" for r in data)
+
+    rdd = (
+        result.rdd.map(lambda r: (r["pid"], r))
+        .partitionBy(cfg.num_reducer, lambda pid: pid)
+        .map(lambda t: t[1])
+        .mapPartitions(fmt_partition)
+    )
+    out_tmp = os.path.join(cfg.output_dir, f"_{cfg.job_name}_parts")
+    rdd.saveAsTextFile(out_tmp)
+    for chunk_id in sorted(locality):
+        log("Complete_MapTask", chunk_id, int((time.time() - t_map) * 1000))
+
+    t_red = time.time()
+    outputs = {}
+    for r in range(cfg.num_reducer):
+        log("Dispatch_ReduceTask", r + 1, (r % max(cfg.num_reducer, 1)) + 1)
+        src = os.path.join(out_tmp, f"part-{r:05d}")
+        dst = os.path.join(cfg.output_dir, f"{cfg.job_name}-{r + 1}.out")
+        if os.path.exists(src):
+            os.replace(src, dst)
+        else:  # reducer got no data — contract still requires the file
+            open(dst, "w").close()
+        outputs[f"reducer_{r + 1}"] = dst
+        log("Complete_ReduceTask", r + 1, int((time.time() - t_red) * 1000))
+
+    # clean the staging dir (_SUCCESS etc.)
+    for leftover in os.listdir(out_tmp):
+        os.remove(os.path.join(out_tmp, leftover))
+    os.rmdir(out_tmp)
+
+    log("Finish_Job", int((time.time() - t0) * 1000))
+    with open(log_path, "w") as f:
+        f.write("\n".join(events) + "\n")
+    outputs["log"] = log_path
+    return outputs

@@ -68,8 +68,9 @@ def run_windowed_count(
         .select("event_type", F.col("w.start").alias("h"), "cnt", "sv")
     )
     name = f"stream_windowed_{next(_sink_counter)}"
+    mode = "append" if watermark else "complete"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -1,0 +1,69 @@
+"""Dedup-operator behavior on planted near/exact duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.functions import text as X
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+    _with_signatures,
+    minhash_signature,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """documents-shaped table with one exact dup + one near dup planted."""
+    rows = [
+        (0, BASE, "en", "src", len(BASE)),
+        (1, BASE, "en", "src", len(BASE)),  # exact dup of 0
+        (2, BASE.replace("today", "tonight"), "en", "src", len(BASE)),  # near dup
+        (3, "completely different text about spark query planning engines", "en", "src", 60),
+        (4, "short", "en", "src", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("planted"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_exact_dedup_finds_planted_dup(spark, planted):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import dedup_exact
+
+    out = dedup_exact(spark, planted).collect()
+    by_keep = {r["keep_id"]: r["dup_cnt"] for r in out}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 4  # 5 docs → 4 clusters
+
+
+def test_minhash_lsh_finds_near_dup(spark, planted):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = {(r["a_id"], r["b_id"]) for r in dedup_minhash_lsh(spark, planted).collect()}
+    assert (0, 1) in pairs  # exact dup: identical signatures
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most shingles
+    assert not any(3 in p or 4 in p for p in pairs)  # unrelated docs stay out
+
+
+def test_ngram_jaccard_scores_near_dup_high(spark, planted):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    rows = {(r["a_id"], r["b_id"]): r["jaccard"] for r in dedup_ngram_jaccard(spark, planted).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert rows[(0, 2)] > 0.5
+    assert not any(3 in k for k in rows)
+
+
+def test_simhash_near_dup_small_hamming(spark, planted):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import dedup_simhash
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, planted).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert sigs[0] == sigs[1]
+    assert ham(sigs[0], sigs[2]) <= 6  # near dup: few bits flip
+    assert ham(sigs[0], sigs[3]) >= 8  # unrelated: many bits differ

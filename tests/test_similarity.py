@@ -1,0 +1,41 @@
+"""Similarity-search sanity: exact knn invariants + ANN vs exact recall."""
+
+import pytest
+
+import __spark_entry__ as E
+
+
+@pytest.fixture(scope="module")
+def exact(spark, sf_dir):
+    return E.queries()["cosine_knn_exact"](spark, sf_dir).collect()
+
+
+def test_knn_shape(exact):
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        assert all(r["n_id"] != q for r in rows)
+        assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+def test_ann_lsh_results_subset_of_corpus(spark, sf_dir, exact):
+    ann = E.queries()["ann_lsh_topk"](spark, sf_dir).collect()
+    assert all(r["n_id"] != r["q_id"] for r in ann)
+    for r in ann:
+        assert len([x for x in ann if x["q_id"] == r["q_id"]]) <= 3
+
+
+def test_ann_ivf_recall_reasonable(spark, sf_dir, exact):
+    """IVF with 2 probes should recover a decent share of true top-3."""
+    ivf = E.queries()["ann_ivf_topk"](spark, sf_dir).collect()
+    truth = {(r["q_id"], r["n_id"]) for r in exact}
+    got = {(r["q_id"], r["n_id"]) for r in ivf}
+    assert len(got & truth) / len(truth) >= 0.4
+
+
+def test_embedding_cosine_pairs_symmetric_ids(spark, sf_dir):
+    pairs = E.queries()["dedup_embedding_cosine"](spark, sf_dir).collect()
+    assert all(r["a_id"] < r["b_id"] for r in pairs)
