@@ -1,0 +1,78 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes fully through the noop sink (no driver collect —
+measures the distributed plan, not Arrow transfer). One warmup of the
+lightest query absorbs JVM/codegen startup so per-query numbers reflect
+steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.session import get_spark
+
+HEADLINE = [
+    # the reference's whole surface
+    "wordcount_e2e",
+    # core relational
+    "agg_count",
+    "tpch_q1",
+    "join_equi",
+    "join_multiway",
+    "topk",
+    "window_rank",
+    "event_window",
+    # LLM-pipeline operators
+    "text_quality",
+    "lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "cosine_knn_exact",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # unrecognized dir naming; real read errors surface below
+    spark = get_spark("bench")
+    queries = registry.all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("scan_count")  # warmup: JVM + codegen + parquet footer caches
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

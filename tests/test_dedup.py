@@ -4,10 +4,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.functions import text as X
-from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
-    _with_signatures,
-    minhash_signature,
-)
 
 BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
 
