@@ -531,3 +531,103 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (absent in reference): order counts by priority × status.
+    Explicit pivot values keep the schema static (no extra pass to
+    discover columns — mandatory at scale); missing combos fill 0."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("f_cnt"),
+            F.col("O").alias("o_cnt"),
+            F.col("P").alias("p_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "quantile_price",
+    oracle="""
+    SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS q75
+    FROM orders
+    """,
+)
+def quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines; rounded
+    to 1e-4, far above interpolation-arithmetic noise). The scale path is
+    percentile_approx (see approx_agg) — exact percentile requires a
+    global sort of the column."""
+    pcts = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+    return table(spark, sf_dir, "orders").agg(
+        F.round(pcts[0], 4).alias("q25"),
+        F.round(pcts[1], 4).alias("q50"),
+        F.round(pcts[2], 4).alias("q75"),
+    )
+
+
+@query("approx_agg")  # rows-only: sketch values are engine-specific
+def approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    distinct/percentile: HyperLogLog++ count-distinct and GK-sketch
+    percentile. Values are sketch-dependent (no cross-engine oracle);
+    the test suite bounds their error against exact answers instead."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER w AS BIGINT) AS gap_us
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation windows: order succession per customer with
+    inter-order gaps in integral microseconds (exact in both engines)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate is TIMESTAMP_NTZ; cast to session-TZ (UTC) timestamp so
+    # unix_micros matches DuckDB's epoch_us on the naive value.
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            (us - F.lag(us).over(w)).cast("bigint").alias("gap_us"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

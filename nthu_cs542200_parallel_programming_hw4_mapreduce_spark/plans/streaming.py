@@ -117,3 +117,48 @@ def streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import run_windowed_count
 
     return run_windowed_count(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "asof_last_signup",
+    oracle="""
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+    FROM events ORDER BY event_id
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one — SURVEY.md guide 'common
+    OLAP patterns'): for every event, the most recent signup at-or-before
+    it by the same user, via last_value IGNORE NULLS over an ordered
+    window. One shuffle on user_id; no row multiplication — the shape
+    that replaces a range-join at scale when the 'right side' can ride
+    the same partition."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events")
+    marker = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return ev.select(
+        "event_id",
+        F.last(marker, ignorenulls=True).over(w).alias("last_signup"),
+    ).orderBy("event_id")
+
+
+@query("streaming_stateful")  # rows-only: arbitrary stateful op, no SQL twin
+def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a running per-event-type counter (the minimal arbitrary-state
+    topology — swap the update function for sessionization, CEP, etc.).
+    State is a single long per key; update mode emits the running value
+    each micro-batch. Driven to completion on the fixture batch; on a
+    cluster this runs unbounded with the same code."""
+    from ..streaming.stateful import running_counts
+
+    return running_counts(spark, f"{sf_dir}/events.parquet")

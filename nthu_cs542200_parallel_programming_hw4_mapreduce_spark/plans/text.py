@@ -202,3 +202,88 @@ def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "fp")
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t AS term,
+             round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n * 1.0 / df.df) DESC, tf.t) AS rn
+      FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+    )
+    SELECT doc_id, term, score FROM scored WHERE rn <= 3 ORDER BY doc_id, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document by tf·ln(N/df).
+
+    All counts are integers; the only float op is the final ln and
+    multiply, identical expression order in both engines (rounded 1e-6,
+    tie-broken on term). Plan: one token explode feeding two partial-agg
+    shuffles (tf by (doc,term), df by term), then a broadcast of the df
+    table (|vocab| rows, tiny relative to the corpus) back onto tf —
+    no join of the corpus against itself."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    score = F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("t"))
+    return (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("t").alias("term"), F.round(score, 6).alias("score"))
+        .orderBy("doc_id", "term")
+    )
+
+
+@query(
+    "ngram_freq",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT UNNEST(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                                   i -> array_to_string(l[i:i+1], ' '))) AS g
+      FROM toks
+    )
+    SELECT g AS gram, COUNT(*) AS cnt FROM grams
+    GROUP BY g ORDER BY cnt DESC, gram LIMIT 20
+    """,
+)
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies, top-20 (n-gram text analysis).
+    Bigrams with multiplicity (no per-doc dedup) → explode → count.
+    TakeOrdered merges per-partition top-20 heaps — no global sort."""
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text", r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(20)
+    )

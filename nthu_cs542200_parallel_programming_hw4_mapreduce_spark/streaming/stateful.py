@@ -1,0 +1,60 @@
+"""Arbitrary stateful streaming via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY.md §2.2); this is the
+Spark-native pattern for custom stateful operators — per-key state that
+survives across micro-batches, with timeout hooks for eviction. The
+running counter here is the minimal instance; sessionization, CEP, and
+windowed dedup all reuse this exact topology with a richer state struct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import events_stream
+
+_sink_counter = __import__("itertools").count()
+
+
+def _update_count(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-key update function: fold the batch into the running count.
+    State layout: (count: long). Emits one row per key per micro-batch."""
+    (count,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        count += len(pdf)
+    state.update((count,))
+    yield pd.DataFrame({"event_type": [key[0]], "running_count": [count]})
+
+
+def running_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Running event count per event_type over the stream; returns the
+    final (update-mode) table after draining all available input."""
+    src = events_stream(spark, path)
+    counts = src.groupBy("event_type").applyInPandasWithState(
+        _update_count,
+        outputStructType="event_type string, running_count long",
+        stateStructType="count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_stateful_{next(_sink_counter)}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")

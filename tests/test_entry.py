@@ -21,8 +21,10 @@ def test_registry_alignment():
     assert rows_only == {
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "approx_agg",
         "dedup_simhash_pairs",
         "multimodal_features",
+        "streaming_stateful",
     }
 
 

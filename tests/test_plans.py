@@ -1,0 +1,75 @@
+"""Physical-plan quality gates — the properties that decide whether a
+query survives a 100× scale-up (SURVEY.md north star). These assert on
+``explain`` output, not timings, so they hold on any hardware:
+
+* predicate pushdown + column pruning reach the parquet scan,
+* O(1)-sized dims broadcast (no shuffle of the fact side for the join),
+* top-k plans as TakeOrderedAndProject (no global sort),
+* aggregations are partial (map-side combine) before the shuffle,
+* hot paths stay inside WholeStageCodegen (no Python row loop).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def plan_of(spark, sf_dir, name, mode="formatted"):
+    df = E.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_pred")
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "project_lit")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    # the other 10 lineitem columns must not be read
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_equi")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_multiway")
+    # nation and region must broadcast; orders⋈customer may be any strategy
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "wordcount_e2e")
+    # two HashAggregates (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2
+    # (WholeStageCodegen spans only appear in post-execution AQE plans;
+    # JVM-only evaluation is asserted by test_no_python_udfs_*)
+
+
+def test_no_python_udfs_on_relational_paths(spark, sf_dir):
+    """Every oracle-checked query must plan without Python evaluation
+    (BatchEvalPython/ArrowEvalPython) — UDFs are quarantined to the
+    explicitly rows-only multimodal/stateful operators."""
+    for name in sorted(E.oracle_sql()):
+        if name == "streaming_window":
+            continue  # streaming plans print differently; covered elsewhere
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "EvalPython" not in plan, name

@@ -1,0 +1,70 @@
+"""Source/sink format coverage beyond parquet (SURVEY.md §2.2 'file
+formats'): CSV and JSON round-trips with explicit schemas (never
+inferSchema on the read path — a schema inference pass over 100 TB is
+a full extra scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+
+def assert_same(a, b):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_csv_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_csv")
+    docs.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    back = spark.read.schema(docs.schema).option("header", True).csv(out)
+    assert_same(docs, back)
+
+
+def test_json_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    assert_same(docs, back)
+
+
+def test_partitioned_parquet_write_prunes(spark, docs, tmp_path):
+    """Hive-style partitioned write + partition pruning on read — the
+    layout primitive for time/tenant-partitioned 100 TB tables."""
+    out = str(tmp_path / "docs_part")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    one_lang = docs.select("lang").first()["lang"]
+    import io
+    from contextlib import redirect_stdout
+
+    filtered = back.filter(F.col("lang") == one_lang)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert filtered.count() == docs.filter(F.col("lang") == one_lang).count()
+
+
+def test_approx_agg_error_bounds(spark, sf_dir):
+    """approx_count_distinct within 5% of exact; approx median between
+    exact p40 and p60 (loose, deterministic bounds)."""
+    li = table(spark, sf_dir, "lineitem")
+    row = (
+        li.agg(
+            F.approx_count_distinct("l_partkey").alias("a"),
+            F.countDistinct("l_partkey").alias("e"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        )
+    ).first()
+    assert abs(row["a"] - row["e"]) / row["e"] < 0.05
+    assert row["p40"] <= row["am"] <= row["p60"]
