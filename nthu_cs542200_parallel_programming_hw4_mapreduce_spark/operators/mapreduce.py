@@ -202,3 +202,54 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
         f.write("\n".join(events) + "\n")
     outputs["log"] = log_path
     return outputs
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring the reference invocation (hw4.cc:42-49):
+
+        python -m ...operators.mapreduce JOB_NAME NUM_REDUCER DELAY \
+            INPUT_FILE CHUNK_SIZE LOCALITY_CONFIG OUTPUT_DIR [--faithful]
+
+    ``--faithful`` turns on every reference quirk at once (Q1 trailing-
+    token drop, Q2 delimiter-less fusion, Q3 first-char partitioner) —
+    the bit-compatible mode; default is the fixed semantics.
+    """
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(
+        prog="mapreduce",
+        description="Faithful MapReduce job runner (reference CLI contract)",
+    )
+    p.add_argument("job_name")
+    p.add_argument("num_reducer", type=int)
+    p.add_argument("delay", type=int)
+    p.add_argument("input_path")
+    p.add_argument("chunk_size", type=int)
+    p.add_argument("locality_config")
+    p.add_argument("output_dir")
+    p.add_argument("--faithful", action="store_true")
+    p.add_argument("--descending", action="store_true")
+    a = p.parse_args(argv)
+    cfg = JobConfig(
+        job_name=a.job_name,
+        num_reducer=a.num_reducer,
+        delay=a.delay,
+        input_path=a.input_path,
+        chunk_size=a.chunk_size,
+        locality_config=a.locality_config,
+        output_dir=a.output_dir,
+        drop_trailing_token=a.faithful,
+        fuse_chunk_lines=a.faithful,
+        partition_fn="first_char" if a.faithful else "hash",
+        sort_ascending=not a.descending,
+    )
+    outputs = run_job(get_spark(f"mr-{a.job_name}"), cfg)
+    for k, v in sorted(outputs.items()):
+        print(f"{k}\t{v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

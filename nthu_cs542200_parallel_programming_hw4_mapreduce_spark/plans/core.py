@@ -631,3 +631,32 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "sql_api_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def sql_api_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface (SURVEY.md §3.1: Catalyst makes spark.sql and
+    the DataFrame API produce the same plans): a correlated scalar
+    subquery — orders more than twice their customer's average. Catalyst
+    decorrelates it into an aggregate + join; nothing hand-written."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                                  WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )

@@ -187,3 +187,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", "cos")
         .orderBy("q_id", "n_id")
     )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, dim, round(avg(v), 6) AS c
+    FROM (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ) t
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block
+    for k-means/IVF training. posexplode → groupBy(label, dim) AVG:
+    map-side partial averages mean the shuffle carries |labels|·|dims|
+    partials per task, independent of corpus size. avg of float32 values
+    promoted to double; rounded(6) for cross-engine interpolation-free
+    comparison (sum order still matters for the last ulp)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .orderBy("label", "dim")
+    )

@@ -162,3 +162,56 @@ def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_counts
 
     return running_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "range_join_follow",
+    oracle="""
+    SELECT a.event_id AS signup_id, b.event_id AS follow_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup'
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+    ORDER BY signup_id, follow_id
+    """,
+)
+def range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (Spark has no native one — SURVEY.md guide 'as-of /
+    range join'): events within 10 minutes after each signup by the same
+    user.
+
+    The naive plan is an inequality join — at scale that degenerates to
+    per-user cross products. Bucketize instead: each side joins on
+    (user_id, 10-minute bucket), with each signup probing its own and the
+    next bucket; the exact time predicate filters after the equi-join.
+    Join fan-out is bounded by bucket occupancy, not by events-per-user²,
+    and the equi-join keys shuffle-partition uniformly. The oracle is the
+    naive inequality join — results are identical, only the plan differs.
+    """
+    bucket_us = 600_000_000  # == the range width → probe exactly 2 buckets
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("u"),
+        us.alias("a_us"),
+        (us / bucket_us).cast("long").alias("bkt"),
+    )
+    probes = signups.withColumn("probe_bkt", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)))
+    follows = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("u"),
+        us.alias("b_us"),
+        (us / bucket_us).cast("long").alias("probe_bkt"),
+    )
+    return (
+        probes.join(follows, ["u", "probe_bkt"])
+        .filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") - F.col("a_us") <= bucket_us)
+        )
+        .select("signup_id", "follow_id")
+        .distinct()
+        .orderBy("signup_id", "follow_id")
+    )
