@@ -40,8 +40,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "cosine_knn_exact",
     "ann_lsh_topk",
+    "tfidf_top_terms",
+    "range_join_follow",
+    "label_centroids",
 ]
 
 

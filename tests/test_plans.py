@@ -68,8 +68,13 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
     """Every oracle-checked query must plan without Python evaluation
     (BatchEvalPython/ArrowEvalPython) — UDFs are quarantined to the
     explicitly rows-only multimodal/stateful operators."""
+    deliberate_python = {
+        "streaming_window",  # streaming plans print differently; covered elsewhere
+        "dedup_embedding_cosine",  # vectorized numpy block-matmul kernel —
+        # the documented case where mapInPandas IS the fast path
+    }
     for name in sorted(E.oracle_sql()):
-        if name == "streaming_window":
-            continue  # streaming plans print differently; covered elsewhere
+        if name in deliberate_python:
+            continue
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "EvalPython" not in plan, name
