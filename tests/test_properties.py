@@ -1,0 +1,97 @@
+"""Property-based tests (Hypothesis): the engine's expression semantics
+vs pure-Python models on adversarial inputs — multiple spaces, repeated
+words, 1-char tokens, empty lines. This is the §5.2.3 reference-fidelity
+strategy generalized from hand-picked to generated inputs.
+"""
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.functions import text as X
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+    _mh_slice,
+    minhash_signatures,
+)
+
+WORD = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+TEXT = st.lists(WORD, min_size=0, max_size=10).map(" ".join)
+TEXTS = st.lists(TEXT, min_size=1, max_size=5)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = py_tokens(text)
+    return list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+
+
+def py_minhash(text: str, j: int) -> str:
+    seed, start = _mh_slice(j)
+    return min(
+        hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[start - 1 : start - 1 + 8]
+        for s in py_shingles(text)
+    )
+
+
+def docs_df(spark, texts):
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_shingles_match_python_model(spark, texts):
+    df = docs_df(spark, texts)
+    got = {
+        r["doc_id"]: list(r["sh"])
+        for r in df.select("doc_id", X.word_shingles("text", 3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_shingles(t), (t, got[i])
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_minhash_matches_python_model(spark, texts):
+    df = docs_df(spark, texts)
+    sigs = {r["doc_id"]: r for r in minhash_signatures(df).collect()}
+    for i, t in enumerate(texts):
+        if not py_shingles(t):
+            assert i not in sigs  # shingle-less docs drop out
+            continue
+        for j in range(8):
+            assert sigs[i][f"mh{j}"] == py_minhash(t, j), (t, j)
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_first_char_partition_matches_python(spark, texts):
+    df = docs_df(spark, texts)
+    words = df.select(F.explode(X.tokens("text", r"\s+")).alias("word"))
+    got = words.select(
+        "word", (F.ascii(F.substring("word", 1, 1)) % 4).alias("pid")
+    ).collect()
+    for r in got:
+        assert r["pid"] == ord(r["word"][0]) % 4  # hw4.cc:479 semantics
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_token_count_matches_python(spark, texts):
+    df = docs_df(spark, texts)
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", X.token_count("text").alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(py_tokens(t)), t
