@@ -68,10 +68,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, s): distinct k-shingles, exploded. The tokenize→shingle
-    pipeline runs exactly once per document here; everything downstream
-    reuses these rows."""
-    return docs.select("doc_id", F.explode(X.word_shingles("text", k)).alias("s"))
+    """(doc_id, s): distinct k-shingles, exploded.
+
+    Built as posexplode → window lead(t, i) → concat, NOT via the
+    word_shingles array expression: the array form pays interpreted
+    slice/concat per shingle plus array_distinct (3.7 s at sf0.1 — the
+    single hottest stage of every fuzzy-dedup query); lead() over
+    (doc_id, pos) is codegen'd and costs one per-doc sort. Same shingle
+    set, ~4× faster, and the per-doc sort shape scales (shuffle on
+    doc_id, no giant arrays in memory)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .dropDuplicates(["doc_id", "s"])
+        .select("doc_id", "s")
+    )
 
 
 def pairs_within_group(ids_col: str = "ids") -> Column:
@@ -488,3 +510,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.mapInPandas(kernel, schema="a_id long, b_id long")
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every vertex ends labeled
+    with the smallest doc_id in its connected component.
+
+    The iterative-algorithm pattern on Spark: a driver loop where every
+    step is a distributed join+aggregate, converging in O(diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds). Labels
+    cache between rounds and unpersist after; the convergence check is a
+    count of changed labels (one lightweight action per round).
+    ``vertices``: (doc_id,); ``edges``: (a_id, b_id) undirected.
+    """
+    sym = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD_SHINGLES}),
+    sig AS (
+      SELECT doc_id, {", ".join(f"{e} AS mh{j}" for j, e in enumerate(_dd_minhash_sig()))}
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
+        for b in range(_BANDS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster FROM reach
+    GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup clustering: MinHash-LSH candidate pairs →
+    connected components → per-doc cluster id (the component's min
+    doc_id — the canonical survivor a dedup pass would keep).
+
+    The oracle computes the same components via a recursive CTE; Spark
+    uses iterative min-label propagation — same fixpoint, scalable
+    plan (each round is one join + partial-agg min, AQE-optimized)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(docs.select("doc_id"), pairs)
+    return labels.orderBy("doc_id")
