@@ -660,3 +660,68 @@ def sql_api_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INT) AS y,
+           CAST(extract(month FROM o_orderdate) AS INT) AS m,
+           CAST(extract(day FROM o_orderdate) AS INT) AS d,
+           date_trunc('month', o_orderdate) AS month_start
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions over the NTZ timestamp column."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+        )
+    )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders UNION ALL SELECT c_custkey FROM customer) a) AS n_union_all,
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders INTERSECT ALL SELECT o_custkey FROM orders) b) AS n_intersect_all,
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders EXCEPT ALL SELECT c_custkey FROM customer) c) AS n_except_all
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (UNION/INTERSECT/EXCEPT ALL) — multiplicity
+    preserved, planned as counters not dedup."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ua = o.unionAll(c).agg(F.count("*").alias("n_union_all"))
+    ia = o.intersectAll(o).agg(F.count("*").alias("n_intersect_all"))
+    ea = o.exceptAll(c).agg(F.count("*").alias("n_except_all"))
+    return ua.crossJoin(ia).crossJoin(ea)
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 25 OFFSET 50
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a deterministic order."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(50)
+        .limit(25)
+    )

@@ -84,3 +84,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_bytes int, byte_sum long, width int, height int",
     )
     return out.orderBy("doc_id")
+
+
+@query("multimodal_framesample")  # rows-only: mapInPandas plumbing
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a 'video' payload (the byte stream chunked
+    into fixed 16-byte frames; every 4th frame sampled) — the exact
+    batch shape of a real video frame-sampler, with the codec swapped
+    for deterministic byte arithmetic. Emits one row per sampled frame:
+    (doc_id, frame_idx, frame_md5). Arrow-batched, partition-parallel,
+    no shuffle until the caller aggregates."""
+    import hashlib
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    frame_bytes, stride = 16, 4
+
+    def _sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(raw) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = bytes(raw[i * frame_bytes : (i + 1) * frame_bytes])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return payloads.mapInPandas(
+        _sample, schema="doc_id long, frame_idx int, frame_md5 string"
+    ).orderBy("doc_id", "frame_idx")

@@ -24,6 +24,7 @@ def test_registry_alignment():
         "approx_agg",
         "dedup_simhash_pairs",
         "multimodal_features",
+        "multimodal_framesample",
         "streaming_stateful",
     }
 
