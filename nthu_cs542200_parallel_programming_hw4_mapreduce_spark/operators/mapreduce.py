@@ -66,6 +66,13 @@ class JobConfig:
     sort_ascending: bool = True
     # pluggable reduce: name of a builtin ('sum', 'count', 'max', 'min')
     reduce_fn: str = "sum"
+    # fully-custom hooks, generalizing the hard-coded slots of hw4.cc:32-40
+    # (the reference's variants only exist as commented-out code,
+    # hw4.cc:385-397, 477-478). When set, the map/reduce stages run as
+    # Python closures on the RDD path — the sanctioned escape hatch for
+    # user code; the default (None) path stays fully JVM-side.
+    map_fn: Callable[[str], tuple[str, int]] | None = None
+    custom_reduce: Callable[[list[int]], int] | None = None
 
 
 def tokenize(chunks: DataFrame, cfg: JobConfig) -> DataFrame:
@@ -120,11 +127,28 @@ def reduce_agg(cfg: JobConfig) -> F.Column:
 
 def wordcount_df(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """The logical job O1→O10 as a DataFrame: (word, cnt, pid).
-    Everything before the output-file contract is declarative — Catalyst
-    plans the shuffle + partial aggregation the reference hand-rolls."""
+
+    Default path: everything declarative — Catalyst plans the shuffle +
+    partial aggregation the reference hand-rolls. With custom
+    ``map_fn``/``custom_reduce`` hooks the map/reduce stages run as
+    Python closures (RDD path); note ``groupByKey`` there reproduces the
+    reference's no-combiner dataflow exactly (every pair crosses the
+    shuffle, hw4.cc O10 note), whereas the default path gets map-side
+    combine for free."""
     chunks = chunked_lines(spark, cfg.input_path, cfg.chunk_size, cfg.fuse_chunk_lines)
-    kv = map_pairs(tokenize(chunks, cfg))
-    counted = kv.groupBy("word").agg(reduce_agg(cfg))
+    words = tokenize(chunks, cfg)
+    if cfg.map_fn is None and cfg.custom_reduce is None:
+        counted = map_pairs(words).groupBy("word").agg(reduce_agg(cfg))
+    else:
+        mf = cfg.map_fn or (lambda w: (w, 1))
+        rf = cfg.custom_reduce or (lambda vs: sum(vs))
+        counted = (
+            words.rdd.map(lambda r: mf(r["word"]))
+            .groupByKey()
+            .mapValues(lambda vs: rf(list(vs)))
+            .map(lambda t: (t[0], int(t[1])))
+            .toDF(["word", "cnt"])
+        )
     return counted.withColumn("pid", partition_id(cfg))
 
 

@@ -183,3 +183,24 @@ def test_hash_partitioner_covers_all_words(spark, tmp_path, input_file, locality
     for r in range(3):
         all_got += read_out(os.path.join(cfg.output_dir, f"wc-{r + 1}.out"))
     assert sum(c for _, c in all_got) == sum(len(l.split()) for l in LINES)
+
+
+def test_custom_map_and_reduce_hooks(spark, tmp_path, input_file, locality_file):
+    """Pluggable map/reduce closures (the generalization of hw4.cc:32-40):
+    map word → (first_letter, len(word)), reduce → max — per-initial
+    longest word length, validated against a pure-Python model."""
+    cfg = JobConfig(
+        "hooks", 2, 0, input_file, 2, locality_file, str(tmp_path / "oh"),
+        partition_fn="first_char",
+        map_fn=lambda w: (w[0], len(w)),
+        custom_reduce=max,
+    )
+    run_job(spark, cfg)
+    got = {}
+    for r in (1, 2):
+        got.update(dict(read_out(os.path.join(cfg.output_dir, f"hooks-{r}.out"))))
+    expected = {}
+    for line in LINES:
+        for w in line.split():
+            expected[w[0]] = max(expected.get(w[0], 0), len(w))
+    assert got == expected
