@@ -21,23 +21,27 @@ from .windows import events_stream
 _sink_counter = __import__("itertools").count()
 
 
-def _update_count(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    """Per-key update function: fold the batch into the running count.
-    State layout: (count: long). Emits one row per key per micro-batch."""
-    (count,) = state.get if state.exists else (0,)
-    for pdf in pdfs:
-        count += len(pdf)
-    state.update((count,))
-    yield pd.DataFrame({"event_type": [key[0]], "running_count": [count]})
-
-
 def running_counts(spark: SparkSession, path: str) -> DataFrame:
     """Running event count per event_type over the stream; returns the
     final (update-mode) table after draining all available input."""
+
+    # NB: defined inside the function so cloudpickle ships it BY VALUE.
+    # A module-level function pickles by reference and executor Python
+    # workers (which don't share the driver's sys.path additions) fail
+    # with ModuleNotFoundError when the driver runs outside the repo.
+    def _update_count(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        """Per-key update: fold the batch into the running count.
+        State layout: (count: long). Emits one row per key per batch."""
+        (count,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"event_type": [key[0]], "running_count": [count]})
+
     src = events_stream(spark, path)
     counts = src.groupBy("event_type").applyInPandasWithState(
         _update_count,
