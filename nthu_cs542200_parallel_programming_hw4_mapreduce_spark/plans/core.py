@@ -833,3 +833,72 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("embedding")[0].cast("double"), 6).alias("first_v"),
         )
     )
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube): marginal
+    counts by returnflag and by linestatus in one pass — Spark expands
+    the sets before a single partial-agg'd shuffle."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "histogram_value",
+    oracle="""
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bin, COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY bin
+    """,
+)
+def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over a double column — floor-division
+    binning, exact in both engines (value/25 is a double op on identical
+    inputs; floor of it is deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25).cast("bigint").alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+@query(
+    "agg_string_list",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def agg_string_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect → sort → join) — collect_list
+    order is nondeterministic under parallelism, so the sort inside the
+    aggregate is what makes the result stable at any partitioning."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+        .orderBy("r_name")
+    )
