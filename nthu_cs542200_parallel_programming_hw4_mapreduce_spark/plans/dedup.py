@@ -608,3 +608,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     labels = connected_components(docs.select("doc_id"), pairs)
     return labels.orderBy("doc_id")
+
+
+@query("dedup_minhash_mllib")  # rows-only: MLlib hash family is engine-specific
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH via Spark MLlib (HashingTF → MinHashLSH →
+    approxSimilarityJoin) — the off-the-shelf alternative to the
+    hand-rolled md5 family above. Fixed seed → deterministic; rows-only
+    because MLlib's hash family has no DuckDB twin (the md5 variant
+    dedup_minhash_lsh is the oracle-checked one). Jaccard distance
+    threshold 0.5 ≈ the banding s-curve midpoint of the custom variant."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents")
+    # 3-word shingles (same unit as the custom variant) — token-level
+    # sets are too coarse on a small vocabulary (every doc overlaps).
+    toks = docs.select("doc_id", X.word_shingles("text", 3).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(toks)
+    # MinHashLSH requires at least one non-zero entry; HashingTF of a
+    # non-empty token list always has one.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("a_id", "b_id")
+    )

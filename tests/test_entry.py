@@ -22,6 +22,7 @@ def test_registry_alignment():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "approx_agg",
+        "dedup_minhash_mllib",
         "dedup_simhash_pairs",
         "multimodal_features",
         "multimodal_framesample",
