@@ -36,6 +36,12 @@ def salted_join(
     side. Semantically identical to ``fact.join(dim, key)`` for every
     join type that doesn't need dim-side row identity (inner/left).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the dim "
+            "side is replicated per salt, so right/full-outer would emit each "
+            "unmatched dim row salt times"
+        )
     if fact_salt_col is None:
         fact_salt_col = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(salt))
     salted_fact = fact.withColumn("_salt", fact_salt_col)

@@ -38,6 +38,7 @@ file-per-reducer naming contract is physical, not relational.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -186,7 +187,6 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
     # O8 per-reducer sort + O11 exact file contract: identity-partition an
     # RDD of (pid, line) so part-0000r holds exactly reducer r's rows.
     ascending = cfg.sort_ascending
-    sign = 1 if ascending else -1
 
     def fmt_partition(rows):
         data = sorted(rows, key=lambda r: (r["word"], r["cnt"]), reverse=not ascending)
@@ -199,6 +199,8 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
         .mapPartitions(fmt_partition)
     )
     out_tmp = os.path.join(cfg.output_dir, f"_{cfg.job_name}_parts")
+    if os.path.exists(out_tmp):  # leftover from an interrupted run
+        shutil.rmtree(out_tmp)
     rdd.saveAsTextFile(out_tmp)
     for chunk_id in sorted(locality):
         log("Complete_MapTask", chunk_id, int((time.time() - t_map) * 1000))
@@ -216,10 +218,8 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
         outputs[f"reducer_{r + 1}"] = dst
         log("Complete_ReduceTask", r + 1, int((time.time() - t_red) * 1000))
 
-    # clean the staging dir (_SUCCESS etc.)
-    for leftover in os.listdir(out_tmp):
-        os.remove(os.path.join(out_tmp, leftover))
-    os.rmdir(out_tmp)
+    # clean the staging dir (_SUCCESS, any leftover _temporary/ subdir)
+    shutil.rmtree(out_tmp)
 
     log("Finish_Job", int((time.time() - t0) * 1000))
     with open(log_path, "w") as f:

@@ -518,7 +518,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Min-label propagation to a fixpoint: every vertex ends labeled
     with the smallest doc_id in its connected component.
@@ -560,7 +560,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    else:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component propagation distance exceeds max_iter) — raise max_iter; "
+            "returning partial labels would silently fracture clusters"
+        )
+    # materialize + truncate lineage, then release the loop cache —
+    # ContextCleaner reclaims localCheckpoint storage once the DataFrame
+    # is garbage collected, so repeated invocations don't accumulate
+    # cache-manager entries.
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final
 
 
 @query(
@@ -623,8 +636,12 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # 3-word shingles (same unit as the custom variant) — token-level
     # sets are too coarse on a small vocabulary (every doc overlaps).
-    toks = docs.select("doc_id", X.word_shingles("text", 3).alias("toks")).filter(
-        F.size("toks") > 0
+    # Shingles come from the fast window-lead pipeline (see module
+    # header), re-assembled per doc for HashingTF's array input.
+    toks = (
+        shingle_rows(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("toks"))
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(toks)

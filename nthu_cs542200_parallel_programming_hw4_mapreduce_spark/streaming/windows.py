@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _sink_counter = itertools.count()
+_stage_dirs: dict[str, str] = {}
 
 
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -31,9 +32,13 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        stream_path = stage
+        # one staging dir per source file, reused across calls (repeated
+        # streaming queries in a session must not accumulate /tmp dirs)
+        if path not in _stage_dirs:
+            stage = tempfile.mkdtemp(prefix="stream_src_")
+            os.symlink(path, os.path.join(stage, os.path.basename(path)))
+            _stage_dirs[path] = stage
+        stream_path = _stage_dirs[path]
     else:
         stream_path = path
     src = spark.readStream.schema(schema).parquet(stream_path)

@@ -53,4 +53,37 @@ def test_knn_single_query(spark, sf_dir):
 def test_mllib_lsh_runs(spark, sf_dir):
     pairs = E.queries()["dedup_minhash_mllib"](spark, sf_dir)
     rows = pairs.collect()
+    assert len(rows) > 0  # fixtures contain near-dups; empty = regression
     assert all(r["a_id"] < r["b_id"] for r in rows)
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.joins import (
+        salted_join,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(o, c, "o_custkey", "c_custkey", how="full")
+
+
+def test_mapreduce_recovers_from_stale_staging(spark, sf_dir, tmp_path):
+    """A leftover staging dir from an interrupted run must not break the
+    next run (saveAsTextFile refuses existing paths)."""
+    import os
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.mapreduce import (
+        JobConfig,
+        run_job,
+    )
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b c \nd e f \n")
+    out_dir = tmp_path / "out"
+    stale = out_dir / "_j_parts" / "_temporary"
+    stale.mkdir(parents=True)
+    cfg = JobConfig("j", 2, 0, str(inp), 1, None, str(out_dir))
+    run_job(spark, cfg)
+    assert os.path.exists(out_dir / "j-1.out")
+    assert not os.path.exists(out_dir / "_j_parts")
