@@ -9,6 +9,8 @@ verifies the math, not just the row counts.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so stringified UDF type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -286,4 +288,61 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram"))
         .limit(20)
+    )
+
+
+@query(
+    "udtf_tokenize",
+    oracle=r"""
+    SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id, token
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's split() (hw4.cc:457-466, a table-generating
+    function per SURVEY.md §2.1 O3) as a real Python UDTF — completing
+    the UDF/UDAF/UDTF pluggable surface. Row-at-a-time Python is the
+    SLOW path (explode+split stays JVM-side and is what every other
+    query uses); this exists to prove the extension point, scoped to a
+    50-doc slice so the bench doesn't pay for it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        # defined inline: ships by value (see streaming/stateful.py note)
+        def eval(self, text: str):
+            if text:
+                for tok in text.split():
+                    yield (tok,)
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT doc_id, t.token AS token
+        FROM _udtf_docs, LATERAL tokenize_udtf(text) t
+        ORDER BY doc_id, token
+        """
+    )
+
+
+@query("pandas_udaf_mean")  # rows-only: numpy reduction order ≠ SQL AVG bitwise
+def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via a GROUPED_AGG pandas UDF (Arrow-batched
+    series → scalar): per-event-type mean value. The UDAF extension
+    point; numeric result differs from SQL AVG only in summation order
+    (~1e-15), hence rows-only — the exact-arithmetic path is
+    event_window's DECIMAL mean."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(mean_udaf("value"), 4).alias("mean_value"))
+        .orderBy("event_type")
     )

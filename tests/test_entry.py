@@ -26,6 +26,7 @@ def test_registry_alignment():
         "dedup_simhash_pairs",
         "multimodal_features",
         "multimodal_framesample",
+        "pandas_udaf_mean",
         "streaming_stateful",
     }
 
