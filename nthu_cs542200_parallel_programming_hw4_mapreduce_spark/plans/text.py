@@ -346,3 +346,124 @@ def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(mean_udaf("value"), 4).alias("mean_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS norm
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the pre-tokenization cleaning pass. Pure
+    scan-side regex chain."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm")).orderBy("doc_id")
+
+
+@query(
+    "text_scrub_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           (length(text) <> length(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'))) AS had_pii
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers → placeholder tokens) — the
+    compliance pass every training-data pipeline runs. Regex kept to the
+    Java/RE2-compatible subset so engine and oracle agree."""
+    docs = table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") != F.length(scrubbed)).alias("had_pii"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_filter_quality",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             {_dd_lang_case()} AS lang_pred,
+             ( least(length(text) / 200.0, 1.0)
+             + greatest(0.0, 1.0 - ({_DD_PUNCT} / greatest(length(text), 1)) * 5)
+             + least(({_dd_stopword_hits('en')} / greatest({_DD_NTOKS}, 1)) * 4, 1.0)
+             ) / 3 AS quality
+      FROM documents
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+    )
+    SELECT COUNT(*) AS n_kept,
+           (SELECT COUNT(*) FROM documents) AS n_total,
+           CAST(MIN(doc_id) AS BIGINT) AS first_kept
+    FROM kept WHERE rn = 1
+    """,
+)
+def pipeline_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline in one plan:
+    language filter (predicted 'en') → quality threshold → exact dedup
+    keeping the lowest doc_id per fingerprint cluster → corpus stats.
+    Composes lang_id + text_quality + dedup_exact; one pass over the
+    corpus, two shuffles (doc-stats aggregation, fingerprint dedup) —
+    the shape of a real 100 TB cleaning job."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+    hit_aggs = [
+        F.sum(F.lower("t").isin(*X.STOPWORDS[lang]).cast("int")).alias(f"_h_{lang}")
+        for lang in sorted(X.STOPWORDS)
+    ]
+    stats = toks.groupBy("doc_id").agg(F.count("*").alias("_nt"), *hit_aggs)
+    scores = {
+        lang: F.coalesce(f"_h_{lang}", F.lit(0)) for lang in sorted(X.STOPWORDS)
+    }
+    n_chars = F.length("text")
+    n_toks = F.coalesce("_nt", F.lit(0))
+    hits_en = F.coalesce("_h_en", F.lit(0))
+    quality = (
+        F.least(n_chars / F.lit(200.0), F.lit(1.0))
+        + F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - (X.punct_count("text") / F.greatest(n_chars, F.lit(1))) * 5,
+        )
+        + F.least((hits_en / F.greatest(n_toks, F.lit(1))) * 4, F.lit(1.0))
+    ) / 3
+    scored = docs.join(stats, "doc_id", "left").select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        X.lang_id_from_scores(scores).alias("lang_pred"),
+        quality.alias("quality"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    total = docs.agg(F.count("*").alias("n_total"))
+    return deduped.agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("first_kept"),
+    ).crossJoin(F.broadcast(total)).select("n_kept", "n_total", "first_kept")
