@@ -35,3 +35,60 @@ def test_streaming_watermark_append_runs(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet", watermark="10 minutes"
     )
     assert df.count() >= 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Real late-data semantics: append-mode windowed agg with a 10-min
+    watermark over a file-source stream fed in two micro-batches. The
+    first batch emits the closed 10:00 window; a second batch contains a
+    late row for that window (far behind the watermark) which must be
+    DROPPED — the closed window is never re-emitted or updated."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    batch1 = spark.createDataFrame(
+        [(t(10, 1), "a", 1.0), (t(10, 7), "a", 1.0), (t(11, 0), "a", 1.0)],
+        "ts timestamp, k string, v double",
+    )
+    batch1.write.mode("overwrite").parquet(src)
+
+    agg = (
+        spark.readStream.schema(batch1.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "k")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "k", "cnt")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_data_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["ws"], r["k"]): r["cnt"]
+            for r in spark.table("late_data_test").collect()
+        }
+        # watermark = 11:00 - 10min = 10:50 → the 10:00-10:15 window closed
+        assert first[(t(10, 0), "a")] == 2
+
+        # batch 2: one LATE row for the closed window + one fresh row
+        spark.createDataFrame(
+            [(t(10, 3), "a", 1.0), (t(12, 0), "a", 1.0)], batch1.schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        final = [
+            r
+            for r in spark.table("late_data_test").collect()
+            if r["ws"] == t(10, 0)
+        ]
+        # the closed window appears exactly once, count unchanged (late row dropped)
+        assert len(final) == 1 and final[0]["cnt"] == 2
+    finally:
+        q.stop()
