@@ -260,3 +260,69 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query("asof_cogroup_pandas")  # rows-only: cogrouped-pandas plumbing
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join as asof_last_signup, via the OTHER mechanism:
+    cogrouped applyInPandas with pd.merge_asof per user — the pattern for
+    as-of semantics that a window can't express (different left/right
+    tables, nearest-key tolerance). Rows-only here, but the test suite
+    asserts it equals the window implementation row-for-row."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(["ts", "event_id"])
+        if r.empty:
+            out = l.assign(last_signup=pd.NaT)
+        else:
+            out = pd.merge_asof(
+                l,
+                r.sort_values("signup_ts"),
+                left_on="ts",
+                right_on="signup_ts",
+                by="user_id",
+                direction="backward",
+            ).rename(columns={"signup_ts": "last_signup"})
+        return out[["event_id", "last_signup"]]
+
+    out = (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(merge, schema="event_id long, last_signup timestamp")
+    )
+    return out.orderBy("event_id")
+
+
+@query("streaming_dedup")  # rows-only: stateful streaming dropDuplicates
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on a keyed stream with a
+    watermark bounding the dedup state — the streaming counterpart of
+    dedup_exact (new docs dedup against everything inside the watermark
+    horizon). Counts surviving events per type after keep-first dedup on
+    (user_id, event_type)."""
+    from ..streaming.windows import events_stream
+
+    src = events_stream(spark, f"{sf_dir}/events.parquet").withWatermark(
+        "ts", "1 hour"
+    )
+    deduped = src.dropDuplicates(["user_id", "event_type"])
+    counts = deduped.groupBy("event_type").count()
+    name = f"stream_dedup_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")

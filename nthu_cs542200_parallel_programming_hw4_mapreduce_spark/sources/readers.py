@@ -1,0 +1,65 @@
+"""Source connectors beyond the parquet fixtures.
+
+CSV/JSON are first-class (schema-explicit — a schema-inference pass over
+100 TB is a full extra scan). Lakehouse formats (Delta/Iceberg/Hudi) and
+JDBC need jars that are not in this container — they are stubbed behind
+import/availability probes with actionable errors, per the build-plan
+note in the PySpark guide ("stub connectors behind an import-try").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Header CSV with an explicit schema (never inferSchema in prod)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines with an explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def _require_format(spark: SparkSession, fmt: str, hint: str) -> None:
+    try:
+        spark.read.format(fmt)
+        # the format resolves lazily; probe with a load of a bogus path
+        spark.read.format(fmt).load("/nonexistent/_probe_")
+    except Exception as e:  # noqa: BLE001 - classify by message
+        msg = str(e)
+        if "Failed to find" in msg or "ClassNotFound" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise NotImplementedError(
+                f"{fmt} requires its connector jar on the Spark classpath "
+                f"(not present in this environment). {hint}"
+            ) from e
+        raise  # format exists; the bogus path failed → caller's path problem
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake table scan — needs delta-spark on the classpath."""
+    _require_format(
+        spark, "delta", "Add io.delta:delta-spark and retry: spark.read.format('delta').load(path)"
+    )
+    return spark.read.format("delta").load(path)
+
+
+def read_iceberg(spark: SparkSession, table_name: str) -> DataFrame:
+    """Iceberg table scan — needs iceberg-spark-runtime + catalog conf."""
+    _require_format(
+        spark, "iceberg", "Add org.apache.iceberg:iceberg-spark-runtime and a catalog config."
+    )
+    return spark.table(table_name)
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options: str) -> DataFrame:
+    """JDBC source. The format ships with Spark; the DB driver jar and a
+    reachable database do not — errors surface from the driver lookup.
+    For parallel reads pass partitionColumn/lowerBound/upperBound/
+    numPartitions so each executor fetches a slice."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -22,6 +22,8 @@ def test_registry_alignment():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "approx_agg",
+        "asof_cogroup_pandas",
+        "streaming_dedup",
         "dedup_minhash_mllib",
         "dedup_simhash_pairs",
         "multimodal_features",

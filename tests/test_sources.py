@@ -68,3 +68,28 @@ def test_approx_agg_error_bounds(spark, sf_dir):
     ).first()
     assert abs(row["a"] - row["e"]) / row["e"] < 0.05
     assert row["p40"] <= row["am"] <= row["p60"]
+
+
+def test_lakehouse_stubs_raise_actionable_errors(spark):
+    """Delta/Iceberg jars aren't in this environment: the connectors must
+    fail with a NotImplementedError naming the missing jar, not an
+    opaque ClassNotFound."""
+    import pytest as _pytest
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.readers import (
+        read_delta,
+    )
+
+    with _pytest.raises(NotImplementedError, match="delta"):
+        read_delta(spark, "/tmp/nonexistent_delta")
+
+
+def test_csv_reader_helper(spark, docs, tmp_path):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.readers import (
+        read_csv,
+    )
+
+    out = str(tmp_path / "docs_csv2")
+    docs.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    back = read_csv(spark, out, docs.schema)
+    assert back.count() == docs.count()

@@ -92,3 +92,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert len(final) == 1 and final[0]["cnt"] == 2
     finally:
         q.stop()
+
+
+def test_cogroup_asof_equals_window_asof(spark, sf_dir):
+    """Two independent implementations of the same as-of semantics must
+    agree row-for-row (cogrouped merge_asof vs last_value window)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    win = {r["event_id"]: r["last_signup"] for r in qs["asof_last_signup"](spark, sf_dir).collect()}
+    cog = {r["event_id"]: r["last_signup"] for r in qs["asof_cogroup_pandas"](spark, sf_dir).collect()}
+    assert win == cog
+
+
+def test_streaming_dedup_counts(spark, sf_dir):
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+
+    stream = {
+        r["event_type"]: r["count"]
+        for r in E.queries()["streaming_dedup"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert stream == batch
