@@ -46,6 +46,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "range_join_follow",
     "label_centroids",
+    # flagship LLM-pipeline compositions
+    "dedup_lsh_jaccard_verified",
+    "dedup_clusters",
+    "pipeline_filter_quality",
 ]
 
 
