@@ -118,3 +118,58 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _sample, schema="doc_id long, frame_idx int, frame_md5 string"
     ).orderBy("doc_id", "frame_idx")
+
+
+@query("multimodal_embed_ann")  # rows-only: composed media→embedding→ANN pipeline
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval pipeline composed end-to-end:
+    binary payload → Arrow-batched featurizer (deterministic 16-bin byte
+    histogram standing in for an image encoder — swap one function for a
+    real model and nothing else changes) → L2-normalized embedding
+    column → random-hyperplane LSH bucketing → per-bucket cosine top-3
+    for the first 5 docs as queries. Exercises every seam a production
+    media-retrieval pipeline has: binary columns, Python batch compute,
+    vector columns, expression-level LSH, broadcast probe join, window
+    top-k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..plans.similarity import lsh_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def featurize(batches):
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                n = np.linalg.norm(hist)
+                vecs.append((hist / n if n else hist).tolist())
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    emb = payloads.mapInPandas(featurize, schema="doc_id long, embedding array<double>")
+    emb = emb.withColumn("bucket", lsh_bucket("embedding", dim=16))
+    q = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = V.cosine(F.col("qe"), F.col("c.embedding"))
+    scored = (
+        emb.alias("c")
+        .join(F.broadcast(q), F.col("c.bucket") == F.col("qbucket"))
+        .filter(F.col("c.doc_id") != F.col("q_id"))
+        .select("q_id", F.col("c.doc_id").alias("n_id"), F.round(cos, 5).alias("cos"), cos.alias("_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_raw").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", "cos")
+        .orderBy("q_id", "n_id")
+    )

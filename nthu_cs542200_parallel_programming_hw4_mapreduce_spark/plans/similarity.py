@@ -91,12 +91,14 @@ def _planes(dim: int = _DIM, n_planes: int = _N_PLANES) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(emb_col: str | F.Column) -> F.Column:
+def lsh_bucket(emb_col: str | F.Column, dim: int = _DIM) -> F.Column:
     """Random-hyperplane signature: one sign bit per plane, concatenated
-    into the bucket key. Pure column expressions — evaluated scan-side."""
+    into the bucket key. Pure column expressions — evaluated scan-side.
+    ``dim`` must match the embedding width (planes are derived per-dim,
+    deterministically)."""
     c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
     bits = []
-    for row in _planes():
+    for row in _planes(dim=dim):
         plane = F.array(*[F.lit(w) for w in row])
         d = F.aggregate(
             F.zip_with(c, plane, lambda x, w: x.cast("double") * w),

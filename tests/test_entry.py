@@ -26,6 +26,7 @@ def test_registry_alignment():
         "streaming_dedup",
         "dedup_minhash_mllib",
         "dedup_simhash_pairs",
+        "multimodal_embed_ann",
         "multimodal_features",
         "multimodal_framesample",
         "pandas_udaf_mean",
