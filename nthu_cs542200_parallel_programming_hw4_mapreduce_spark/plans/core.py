@@ -379,7 +379,7 @@ def scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select(
             F.lower("p_type").alias("t"),
-            F.length("p_name").alias("l"),
+            F.length("p_name").cast("long").alias("l"),
             F.round("p_retailprice", 1).alias("pr"),
         )
     )
@@ -827,7 +827,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             "vec_id",
-            F.size("embedding").alias("dim"),
+            F.size("embedding").cast("long").alias("dim"),
             F.round(F.array_min("embedding").cast("double"), 6).alias("lo"),
             F.round(F.array_max("embedding").cast("double"), 6).alias("hi"),
             F.round(F.col("embedding")[0].cast("double"), 6).alias("first_v"),

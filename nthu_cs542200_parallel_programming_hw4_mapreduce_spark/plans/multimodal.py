@@ -49,7 +49,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic"),
     ).orderBy("doc_id")
 

@@ -214,7 +214,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
-    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
     return (
         ex.groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("c"))

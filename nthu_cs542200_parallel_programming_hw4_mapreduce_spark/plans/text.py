@@ -73,9 +73,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(tok_stats, "doc_id", "left")
         .select(
             "doc_id",
-            n_chars.alias("n_chars"),
-            n_toks.cast("int").alias("n_tokens"),
-            n_punct.alias("n_punct"),
+            n_chars.cast("long").alias("n_chars"),
+            n_toks.cast("long").alias("n_tokens"),
+            n_punct.cast("long").alias("n_punct"),
             F.round((len_score + punct_score + prose_score) / 3, 6).alias("quality"),
         )
         .orderBy("doc_id")
@@ -153,8 +153,8 @@ def token_count_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        X.token_count("text").alias("ws_tokens"),
-        X.bpe_ish_token_count("text").alias("bpe_tokens"),
+        X.token_count("text").cast("long").alias("ws_tokens"),
+        X.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
     ).orderBy("doc_id")
 
 
