@@ -177,6 +177,33 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return digests.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): explode the K-hash signature into
+    b bands of r hashes, band key = md5 of the concatenated slice."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{_ROWS_PER_BAND * b + i}")
+                                    for i in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 @query(
     "dedup_minhash_sig",
     oracle=f"""
@@ -221,25 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume scales with true near-dup density, not |docs|² — the property
     that makes this the 100 TB fuzzy-dedup plan of record."""
     sigs = minhash_signatures(table(spark, sf_dir, "documents"))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"mh{_ROWS_PER_BAND * b + i}") for i in range(_ROWS_PER_BAND)],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    bands = minhash_bands(sigs)
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))

@@ -326,3 +326,17 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("event_type")
+
+
+@query("streaming_incremental_dedup")  # rows-only: foreachBatch topology
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion fuzzy dedup: documents arrive in micro-
+    batches; each batch is MinHash-banded and joined against the
+    accumulated band index, then appended to it (foreachBatch with a
+    parquet-backed index — the Delta-upsert seat in production). The
+    test suite asserts the discovered pair set equals the one-shot batch
+    LSH exactly."""
+    from ..catalog import table
+    from ..streaming.incremental import incremental_minhash_dedup
+
+    return incremental_minhash_dedup(spark, table(spark, sf_dir, "documents"))

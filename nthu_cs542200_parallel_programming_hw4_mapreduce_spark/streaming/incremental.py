@@ -1,0 +1,96 @@
+"""Incremental fuzzy dedup over a document stream.
+
+The continuous-ingestion counterpart of ``plans.dedup.dedup_minhash_lsh``:
+every micro-batch of new documents is MinHash-signed, banded, and joined
+against the *accumulated band index* of everything seen so far; matches
+(new ⋈ corpus and new ⋈ new) are emitted, then the new bands are
+appended to the index. This is the foreachBatch pattern — the index and
+match log live in parquet dirs here, exactly where a Delta/Iceberg
+upsert would sit in production; the per-batch logic is the batch
+engine's own functions, which is the point of foreachBatch.
+
+Invariant (tested): the union of matches over all micro-batches equals
+the one-shot batch LSH pair set — each pair is discovered when its
+second member arrives.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.dedup import minhash_bands, minhash_signatures
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession, docs: DataFrame, n_slices: int = 3
+) -> DataFrame:
+    """Run the document set through a file-source stream in ``n_slices``
+    micro-batches (maxFilesPerTrigger=1) and return the discovered
+    near-dup pairs (a_id < b_id, distinct)."""
+    work = tempfile.mkdtemp(prefix="incr_dedup_")
+    src_dir = os.path.join(work, "src")
+    index_dir = os.path.join(work, "index")
+    matches_dir = os.path.join(work, "matches")
+
+    # stage deterministic slices as individual files (one per micro-batch)
+    n = docs.count()
+    per = (n + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        (
+            docs.filter(
+                (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src_dir, f"slice={i:03d}"))
+        )
+
+    schema = docs.schema
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_bands = minhash_bands(minhash_signatures(batch_df))
+        if os.path.exists(index_dir):
+            known = spark.read.parquet(index_dir)
+            all_bands = known.unionByName(new_bands)
+        else:
+            all_bands = new_bands
+        nb, ab = new_bands.alias("nb"), all_bands.alias("ab")
+        pairs = (
+            nb.join(
+                ab,
+                (F.col("nb.band_id") == F.col("ab.band_id"))
+                & (F.col("nb.band_key") == F.col("ab.band_key"))
+                & (F.col("nb.doc_id") != F.col("ab.doc_id")),
+            )
+            .select(
+                F.least("nb.doc_id", "ab.doc_id").alias("a_id"),
+                F.greatest("nb.doc_id", "ab.doc_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(matches_dir)
+        new_bands.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    if not os.path.exists(matches_dir):
+        return spark.createDataFrame([], "a_id long, b_id long")
+    return (
+        spark.read.parquet(matches_dir)
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )

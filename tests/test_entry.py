@@ -30,6 +30,7 @@ def test_registry_alignment():
         "multimodal_features",
         "multimodal_framesample",
         "pandas_udaf_mean",
+        "streaming_incremental_dedup",
         "streaming_stateful",
     }
 

@@ -124,3 +124,19 @@ def test_streaming_dedup_counts(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_incremental_dedup_equals_batch(spark, sf_dir):
+    """The streaming incremental LSH must discover exactly the batch
+    LSH's pair set (each pair found when its second member arrives)."""
+    import __spark_entry__ as E
+
+    inc = {
+        (r["a_id"], r["b_id"])
+        for r in E.queries()["streaming_incremental_dedup"](spark, sf_dir).collect()
+    }
+    batch = {
+        (r["a_id"], r["b_id"])
+        for r in E.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert inc == batch
