@@ -534,55 +534,77 @@ def connected_components(
 
     The iterative-algorithm pattern on Spark: a driver loop where every
     step is a distributed join+aggregate, converging in O(diameter)
-    rounds (near-dup clusters are shallow — a handful of rounds). Labels
-    cache between rounds and unpersist after; the convergence check is a
-    count of changed labels (one lightweight action per round).
+    rounds (near-dup clusters are shallow — a handful of rounds).
+
+    Physical shape, chosen for 100 TB:
+
+    * The edge list is localCheckpoint'd ONCE up front — edges usually
+      arrive as the tail of an expensive pipeline (LSH candidate
+      generation), and without materialization every round would
+      re-execute that whole pipeline.
+    * Propagation runs ONLY over vertices that appear in an edge. At
+      production dedup density the edge-touched set is a small fraction
+      of the corpus, so every round's join + agg is sized by near-dup
+      density, not |vertices|; the untouched majority (singleton
+      clusters) joins back in one final broadcast-able left join.
+    * The convergence signal (count of labels that dropped) rides the
+      same join that computes the new labels — one join + partial-agg
+      min + one count over cached rows per round, nothing else.
     ``vertices``: (doc_id,); ``edges``: (a_id, b_id) undirected.
     """
-    sym = edges.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster")).cache()
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    # sym is symmetric, so dst alone enumerates every edge-touched vertex.
+    # Per-round labels are localCheckpoint'd rather than cache()d: the
+    # checkpoint truncates lineage, so every round analyzes/plans the
+    # same constant-size tree instead of one that grows per iteration
+    # (driver-side planning is the loop's real cost once data rounds are
+    # density-sized). ContextCleaner reclaims each round's blocks when
+    # the DataFrame is garbage collected.
+    labels = (
+        sym.select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("cluster").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+        # Inner join: every edge-touched vertex occurs as a dst, so it
+        # always has a neighbor_min row. _changed flags labels strictly
+        # lowered this round — computed in the label-update join itself
+        # (no second old-vs-new join).
+        joined = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst)
             .select(
                 "doc_id",
-                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
-                    "cluster"
-                ),
+                F.least(F.col("cluster"), F.col("nmin")).alias("cluster"),
+                (F.col("nmin") < F.col("cluster")).alias("_changed"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = joined.filter("_changed").count()
+        labels = joined.drop("_changed")
         if changed == 0:
             break
     else:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component propagation distance exceeds max_iter) — raise max_iter; "
             "returning partial labels would silently fracture clusters"
         )
-    # materialize + truncate lineage, then release the loop cache —
-    # ContextCleaner reclaims localCheckpoint storage once the DataFrame
-    # is garbage collected, so repeated invocations don't accumulate
-    # cache-manager entries.
-    final = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return final
+    edge_labels = labels
+    # Singleton vertices (no edges) label themselves; edge_labels is
+    # near-dup-density-sized, so Catalyst broadcasts it.
+    return vertices.select("doc_id").join(edge_labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
 
 
 @query(
