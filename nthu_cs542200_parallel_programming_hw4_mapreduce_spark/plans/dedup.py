@@ -155,13 +155,17 @@ def _dd_minhash_sig() -> list[str]:
     return out
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh0..mh{K-1}): K min-hashes via explode → groupBy. Each
     shingle is hashed K times (inherent to MinHash) but the shingle
     pipeline runs once, and MIN combines map-side — the shuffle carries
     one partial row per (doc, partition). Docs with no shingles (< k
-    tokens) drop out, matching the oracle's ``len(shingles) > 0``."""
-    ex = shingle_rows(docs)
+    tokens) drop out, matching the oracle's ``len(shingles) > 0``.
+
+    ``shingles`` lets a caller that also consumes the shingle rows
+    elsewhere (e.g. Jaccard verification) pass a materialized (doc_id, s)
+    frame so the shingle pipeline runs once for the whole query."""
+    ex = shingles if shingles is not None else shingle_rows(docs)
     # 2 md5 digests per shingle; hashes j are 8-hex-char slices of them.
     digests = ex.select(
         "doc_id",
@@ -248,6 +252,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume scales with true near-dup density, not |docs|² — the property
     that makes this the 100 TB fuzzy-dedup plan of record."""
     sigs = minhash_signatures(table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs).orderBy("a_id", "b_id")
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """(a_id, b_id) distinct candidate pairs from a signature frame —
+    the band → bucket → expression-level pair expansion shared by every
+    LSH consumer (raw candidates, Jaccard verification, clustering)."""
     bands = minhash_bands(sigs)
     buckets = (
         bands.groupBy("band_id", "band_key")
@@ -258,7 +269,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(pairs_within_group("ids").alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -414,9 +424,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs a shingle self-join: one scan of the shingle rows instead of two,
     and the per-shingle doc lists make the df-cap guard (boilerplate
     shingles) a plain size filter. Per-doc counts broadcast-join onto
-    the (far smaller) pair aggregate."""
+    the (far smaller) pair aggregate. Shingle rows feed two consumers
+    (postings, counts) → materialized once via localCheckpoint."""
     docs = table(spark, sf_dir, "documents")
-    ex = shingle_rows(docs)
+    ex = shingle_rows(docs).localCheckpoint(eager=True)
     cnt = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     posting = (
         ex.groupBy("s")
@@ -736,10 +747,18 @@ def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up on large duplicate clusters — measured at 10× fixtures:
     all-pairs Jaccard 31.7 s vs LSH candidates ~4.6 s, because pair
     volume follows candidates, not posting-list squares. Verified pairs
-    at Jaccard ≥ 0.5 (the banding s-curve midpoint)."""
+    at Jaccard ≥ 0.5 (the banding s-curve midpoint).
+
+    The shingle rows feed FOUR consumers here (minhash signatures, both
+    sides of the verification join, per-doc counts), so they are
+    localCheckpoint'd once — without that the tokenize → lead → distinct
+    pipeline would re-execute per consumer (exchange reuse doesn't fire
+    across these differently-shaped subtrees)."""
     docs = table(spark, sf_dir, "documents")
-    cand = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    ex = shingle_rows(docs)
+    ex = shingle_rows(docs).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(minhash_signatures(docs, shingles=ex)).select(
+        "a_id", "b_id"
+    )
     cnt = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     ea, eb = ex.alias("ea"), ex.alias("eb")
     common = (
