@@ -255,16 +255,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).orderBy("a_id", "b_id")
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, edges_only: bool = False) -> DataFrame:
     """(a_id, b_id) distinct candidate pairs from a signature frame —
     the band → bucket → expression-level pair expansion shared by every
-    LSH consumer (raw candidates, Jaccard verification, clustering)."""
+    LSH consumer (raw candidates, Jaccard verification, clustering).
+
+    ``edges_only=True`` emits a STAR per bucket — every member linked to
+    the bucket's minimum id: m−1 edges instead of m(m−1)/2 pairs, and
+    intra-bucket diameter 2 (so label propagation still converges in a
+    handful of rounds, unlike a chain whose diameter is m−1). A star
+    connects exactly the same vertices as the clique, so any
+    connected-components consumer gets identical clusters while edge
+    volume drops from quadratic to linear in bucket size — on a
+    dup-heavy corpus (100-member buckets at the 100× probe) that is
+    ~50× fewer edge rows. Pairwise consumers (Jaccard verification)
+    need the full expansion and must keep the default."""
     bands = minhash_bands(sigs)
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
     )
+    if edges_only:
+        hub = F.col("ids")[0]
+        star = F.transform(
+            F.slice("ids", 2, F.size("ids") - 1),
+            lambda y: F.struct(hub.alias("a_id"), y.alias("b_id")),
+        )
+        return (
+            buckets.select(F.explode(star).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .distinct()
+        )
     return (
         buckets.select(pairs_within_group("ids").alias("p"))
         .select("p.a_id", "p.b_id")
@@ -418,33 +440,41 @@ _MAX_SHINGLE_DF = 10_000
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: group by shingle,
-    collect sorted doc lists, expand pairs expression-side, count common
-    shingles per pair, compute Jaccard from per-doc shingle counts.
+    collect sorted (doc, set-size) lists, expand pairs expression-side,
+    count common shingles per pair — Jaccard falls straight out of the
+    pair aggregate.
 
     vs a shingle self-join: one scan of the shingle rows instead of two,
     and the per-shingle doc lists make the df-cap guard (boilerplate
-    shingles) a plain size filter. Per-doc counts broadcast-join onto
-    the (far smaller) pair aggregate. Shingle rows feed two consumers
-    (postings, counts) → materialized once via localCheckpoint."""
+    shingles) a plain size filter. Per-doc set sizes ride the posting
+    structs via a doc_id window (no orderBy → one count per doc), so
+    there is NO corpus-sized join anywhere in the plan — the shape that
+    survives 100 TB (a count join-back is where the static planner
+    mis-broadcasts corpus-sized sides; see dedup_lsh_jaccard_verified)."""
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
-    ex = shingle_rows(docs).localCheckpoint(eager=True)
-    cnt = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    exn = shingle_rows(docs).withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     posting = (
-        ex.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        exn.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_SHINGLE_DF))
     )
     pairs = (
         posting.select(pairs_within_group("ids").alias("p"))
-        .groupBy("p.a_id", "p.b_id")
+        .groupBy(
+            F.col("p.a_id.doc_id").alias("a_id"),
+            F.col("p.a_id.n").alias("na"),
+            F.col("p.b_id.doc_id").alias("b_id"),
+            F.col("p.b_id.n").alias("nb"),
+        )
         .agg(F.count("*").alias("common"))
     )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("common"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        pairs.join(ca, F.col("ca.doc_id") == F.col("a_id"))
-        .join(cb, F.col("cb.doc_id") == F.col("b_id"))
-        .filter(jac >= 0.05)
+        pairs.filter(jac >= 0.05)
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
@@ -658,10 +688,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the same components via a recursive CTE; Spark
     uses iterative min-label propagation — same fixpoint, scalable
-    plan (each round is one join + partial-agg min, AQE-optimized)."""
+    plan (each round is one join + partial-agg min, AQE-optimized).
+    Edges are the chain variant (consecutive bucket members): linear in
+    bucket size, identical components — see lsh_candidate_pairs."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    labels = connected_components(docs.select("doc_id"), pairs)
+    sigs = minhash_signatures(docs)
+    edges = lsh_candidate_pairs(sigs, edges_only=True)
+    labels = connected_components(docs.select("doc_id"), edges)
     return labels.orderBy("doc_id")
 
 
@@ -754,25 +787,40 @@ def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint'd once — without that the tokenize → lead → distinct
     pipeline would re-execute per consumer (exchange reuse doesn't fire
     across these differently-shaped subtrees)."""
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
-    ex = shingle_rows(docs).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(minhash_signatures(docs, shingles=ex)).select(
-        "a_id", "b_id"
+    # Shingle rows carry the per-doc set size via a doc_id window (no
+    # orderBy → one count per doc, reusing the shingle pipeline's own
+    # doc_id partitioning) so Jaccard needs no count join-back later.
+    ex = (
+        shingle_rows(docs)
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .localCheckpoint(eager=True)
     )
-    cnt = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea, eb = ex.alias("ea"), ex.alias("eb")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, shingles=ex.select("doc_id", "s"))
+    ).select("a_id", "b_id")
+    # The shingle postings are CORPUS-sized, and the checkpointed
+    # frame's statistics mislead the static planner into broadcasting
+    # them (observed OOM at the 100× scale probe). merge hints pin the
+    # corpus-sized join sides to sort-merge — spillable and
+    # estimate-independent, the only strategy that survives 100 TB.
+    ea = ex.alias("ea").hint("merge")
+    eb = ex.alias("eb").hint("merge")
     common = (
         cand.join(ea, F.col("ea.doc_id") == F.col("a_id"))
         .join(eb, (F.col("eb.doc_id") == F.col("b_id")) & (F.col("eb.s") == F.col("ea.s")))
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("cm"))
+        .agg(
+            F.count("*").alias("cm"),
+            F.first("ea.n").alias("na"),
+            F.first("eb.n").alias("nb"),
+        )
     )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("cm") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("cm"))
+    jac = F.col("cm") * 1.0 / (F.col("na") + F.col("nb") - F.col("cm"))
     return (
-        common.join(ca, F.col("ca.doc_id") == F.col("a_id"))
-        .join(cb, F.col("cb.doc_id") == F.col("b_id"))
-        .filter(jac >= 0.5)
+        common.filter(jac >= 0.5)
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
