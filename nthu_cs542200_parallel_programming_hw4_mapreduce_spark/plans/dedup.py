@@ -96,20 +96,20 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def pairs_within_group(ids_col: str = "ids") -> Column:
-    """All ordered pairs (a<b) from a sorted id array — the candidate
-    generator applied after collect_list per bucket. Expression-level
-    (no Python): for element x at index i, pair with every later y."""
-    return F.explode(
-        F.flatten(
-            F.transform(
-                F.col(ids_col),
-                lambda x, i: F.transform(
-                    F.slice(F.col(ids_col), i + 2, F.greatest(F.size(F.col(ids_col)) - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-                ),
-            )
-        )
+def expand_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(a_id, b_id): all ordered pairs (a<b) from each row's id array —
+    the candidate generator applied after collect_list per bucket.
+
+    Two chained codegen'd explodes + filter, NOT a higher-order
+    array-transform expansion: the transform form is interpreted
+    (outside whole-stage codegen, ~40% slower at the 100× probe) and
+    materializes the whole m(m−1)/2 pair array per bucket row in memory
+    before exploding — an OOM bomb as buckets approach the df-cap.
+    Explodes stream: peak memory is one row, any bucket size."""
+    return (
+        buckets.select(F.explode(ids_col).alias("a_id"), F.col(ids_col).alias("_ids"))
+        .select("a_id", F.explode("_ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
     )
 
 
@@ -287,11 +287,7 @@ def lsh_candidate_pairs(sigs: DataFrame, edges_only: bool = False) -> DataFrame:
             .select("p.a_id", "p.b_id")
             .distinct()
         )
-    return (
-        buckets.select(pairs_within_group("ids").alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
-    )
+    return expand_pairs(buckets).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -384,11 +380,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("member")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
     )
-    pairs = buckets.select(pairs_within_group("ids").alias("p")).select(
-        F.col("p.a_id.doc_id").alias("a_id"),
-        F.col("p.b_id.doc_id").alias("b_id"),
-        F.col("p.a_id.simhash").alias("sa"),
-        F.col("p.b_id.simhash").alias("sb"),
+    pairs = expand_pairs(buckets).select(
+        F.col("a_id.doc_id").alias("a_id"),
+        F.col("b_id.doc_id").alias("b_id"),
+        F.col("a_id.simhash").alias("sa"),
+        F.col("b_id.simhash").alias("sb"),
     )
     hamming = F.aggregate(
         F.zip_with(
@@ -463,12 +459,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_SHINGLE_DF))
     )
     pairs = (
-        posting.select(pairs_within_group("ids").alias("p"))
+        expand_pairs(posting)
         .groupBy(
-            F.col("p.a_id.doc_id").alias("a_id"),
-            F.col("p.a_id.n").alias("na"),
-            F.col("p.b_id.doc_id").alias("b_id"),
-            F.col("p.b_id.n").alias("nb"),
+            F.col("a_id.doc_id").alias("a_id"),
+            F.col("a_id.n").alias("na"),
+            F.col("b_id.doc_id").alias("b_id"),
+            F.col("b_id.n").alias("nb"),
         )
         .agg(F.count("*").alias("common"))
     )
