@@ -63,3 +63,28 @@ def test_simhash_near_dup_small_hamming(spark, planted):
     assert sigs[0] == sigs[1]
     assert ham(sigs[0], sigs[2]) <= 6  # near dup: few bits flip
     assert ham(sigs[0], sigs[3]) >= 8  # unrelated: many bits differ
+
+
+def test_star_edges_equal_clique_components(spark, sf_dir):
+    """lsh_candidate_pairs(edges_only=True) emits a star per bucket —
+    m−1 edges instead of m(m−1)/2 — which must yield exactly the same
+    connected components as the full clique expansion."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
+    clique = lsh_candidate_pairs(sigs)
+    star = lsh_candidate_pairs(sigs, edges_only=True)
+    assert star.count() <= clique.count()
+    got_star = {
+        (r.doc_id, r.cluster) for r in connected_components(docs, star).collect()
+    }
+    got_clique = {
+        (r.doc_id, r.cluster) for r in connected_components(docs, clique).collect()
+    }
+    assert got_star == got_clique

@@ -80,3 +80,21 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
             continue
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "EvalPython" not in plan, name
+
+
+def test_verified_dedup_never_broadcasts_corpus_sides(spark, sf_dir):
+    """Scale regression guard for the 100× probe OOM: the Jaccard
+    verification joins must be sort-merge (spillable), never broadcast —
+    the shingle postings are corpus-sized and the static planner's
+    estimate of checkpointed frames is unreliable."""
+    plan = plan_of(spark, sf_dir, "dedup_lsh_jaccard_verified")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_ngram_jaccard_plan_has_no_joins(spark, sf_dir):
+    """The set-size join-back was removed (sizes ride the posting
+    structs via a doc_id window) — the plan must contain no join at
+    all, the shape that cannot mis-broadcast at any scale."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "Join" not in plan
