@@ -43,16 +43,17 @@ DEFAULT_QUERIES = [
 
 
 def build_corpus(spark, factor: int) -> str:
-    """Replicate documents factor×: doc_id offset per replica; odd
-    replicas get a perturbing suffix token (near-dups), even replicas
-    are exact dups. Deterministic, derived solely from the fixture."""
+    """Replicate documents and embeddings factor×: ids offset per
+    replica; odd replicas are perturbed (suffix token / nudged first
+    vector component → near-dups), even replicas are exact dups.
+    Deterministic, derived solely from the fixture."""
     out_dir = f"/tmp/spark_graft_scale_{factor}x"
-    marker = os.path.join(out_dir, "_SUCCESS")
+    marker = os.path.join(out_dir, "documents", "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
     docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
     n = docs.count()
-    reps = spark.range(factor).withColumnRenamed("id", "rep")
     (
         docs.crossJoin(reps)
         .select(
@@ -69,7 +70,28 @@ def build_corpus(spark, factor: int) -> str:
         )
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(out_dir)
+        .parquet(os.path.join(out_dir, "documents"))
+    )
+    emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+    m = emb.count()
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(m)).alias("vec_id"),
+            F.when(
+                F.col("rep") % 2 == 1,
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+                ),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings"))
     )
     return out_dir
 
@@ -81,18 +103,19 @@ def main() -> None:
     corpus = build_corpus(spark, factor)
 
     # catalog.table(sf_dir, name) resolves {sf_dir}/{name}.parquet; stage a
-    # directory view where documents points at the replicated corpus and
-    # every other table falls back to the base fixture.
+    # directory view where documents/embeddings point at the replicated
+    # corpus and every other table falls back to the base fixture.
     sf_view = f"{corpus}_view"
     os.makedirs(sf_view, exist_ok=True)
     for t in os.listdir(BASE_SF_DIR):
         link = os.path.join(sf_view, t)
         if not os.path.lexists(link):
             os.symlink(os.path.join(BASE_SF_DIR, t), link)
-    doc_link = os.path.join(sf_view, "documents.parquet")
-    if os.path.lexists(doc_link):
-        os.remove(doc_link)
-    os.symlink(corpus, doc_link)
+    for t in ("documents", "embeddings"):
+        link = os.path.join(sf_view, f"{t}.parquet")
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(os.path.join(corpus, t), link)
 
     queries = registry.all_queries()
     timings: dict[str, float] = {}
