@@ -98,3 +98,37 @@ def test_ngram_jaccard_plan_has_no_joins(spark, sf_dir):
     all, the shape that cannot mis-broadcast at any scale."""
     plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
     assert "Join" not in plan
+
+
+def test_q8_star_join_single_shuffle(spark, sf_dir):
+    """Q8's five dims must all broadcast: the fact table is repartitioned
+    exactly once (the final per-year aggregate), never for a join."""
+    plan = plan_of(spark, sf_dir, "tpch_q8")
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_grouped_topk_takes_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan  # never sort-everything-then-limit
+
+
+def test_q21_decorrelates_to_single_aggregate(spark, sf_dir):
+    """The EXISTS / NOT EXISTS pair must lower to ONE per-order aggregate
+    — no semi/anti self-joins against full lineitem (quadratic in
+    per-order fan-out, skew-fragile at scale)."""
+    plan = plan_of(spark, sf_dir, "tpch_q21")
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    # the countDistinct pair lowers to Catalyst's Expand+gid rewrite,
+    # keyed on the order — the single linear pass we want
+    assert "Expand" in plan
+    assert "o_orderkey" in plan
+
+
+def test_q13_left_join_survives_right_side_filter(spark, sf_dir):
+    """The o_orderpriority predicate lives in the join, not a post-join
+    WHERE: the plan must keep the LEFT OUTER (a WHERE would let Catalyst
+    rewrite it to inner and drop order-less customers)."""
+    plan = plan_of(spark, sf_dir, "tpch_q13")
+    assert "LeftOuter" in plan or "RightOuter" in plan
