@@ -143,26 +143,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")  # rows-only: centroid assignment is engine-specific
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: every 50th vector is a centroid (deterministic,
-    k-means-free for reproducibility); vectors are assigned to their
-    nearest centroid (broadcast argmin — one corpus scan); queries probe
-    their 2 nearest cells. The inverted-file structure is what bounds
-    compare volume at 100 TB: |cell| ≪ |corpus|."""
+    """IVF-flat ANN with the classic √n balance: ~√n cells (clamped to
+    [16, 4096]), so assignment is n·√n BLAS FLOPs and each probe scans
+    ~√n candidates — both sublinear in compare volume per vector. (The
+    first cut used every-50th-vector centroids: cell COUNT grew linearly
+    with the corpus, making assignment quadratic — cell count must be
+    sublinear in n or IVF degenerates below brute force.)
+
+    Centroids are a deterministic stride sample (k-means-free for
+    reproducibility); the centroid matrix is ≤4096×d floats — bounded by
+    construction, so collecting it into a broadcast variable is O(1) in
+    corpus size. Assignment runs as a narrow ``mapInPandas`` (one numpy
+    argmax per Arrow batch): no join, no window shuffle — the corpus
+    streams through once and leaves with a cell id appended. The only
+    corpus-sized shuffle left is the per-cell candidate join, volume
+    |probes|·√n."""
+    import math
+
+    import numpy as np
+
     emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+    n = emb.count()
+    k_cells = min(4096, max(16, math.isqrt(n)))
+    stride = max(1, n // k_cells)
+    cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    # assign: nearest centroid per vector (maximize cosine)
-    cos_vc = V.cosine(F.col("embedding"), F.col("ce"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("_d").desc(), F.col("cent_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", cos_vc.alias("_d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    cent_rows = cents.collect()  # bounded: ≤4096 × d floats
+    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in cent_rows])
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cent_ids, cmat))
+
+    def assign(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            best = np.argmax(x @ mat.T, axis=1)
+            pdf = pdf.assign(cell=ids[best])
+            yield pdf[["vec_id", "embedding", "cell"]]
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<double>, cell long"
     )
-    # queries probe their 2 best cells
+    # queries probe their 2 best cells (tiny: |q| × k_cells rows)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
