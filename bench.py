@@ -33,6 +33,9 @@ HEADLINE = [
     "topk",
     "window_rank",
     "event_window",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q21",
     # LLM-pipeline operators
     "text_quality",
     "lang_id",
