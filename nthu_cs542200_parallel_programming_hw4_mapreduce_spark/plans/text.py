@@ -467,3 +467,55 @@ def pipeline_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.min("doc_id").cast("bigint").alias("first_kept"),
     ).crossJoin(F.broadcast(total)).select("n_kept", "n_total", "first_kept")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      FROM toks, UNNEST(range(1, len(ws))) AS r(i)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           round(1.0 - COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_gram_frac
+    FROM grams GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of duplicate word bigrams per document — high values flag
+    boilerplate/spam that survives per-doc dedup because it repeats
+    WITHIN a page, not across pages.
+
+    Bigrams form via posexplode + a lead window keyed (doc_id, pos) —
+    the same windowed-shingle shape the MinHash path uses (explode runs
+    in codegen; a higher-order zip of the array with itself would be
+    interpreted and quadratic-ish in token count for long docs). The
+    per-doc count/countDistinct pair partial-aggregates map-side; docs
+    with <2 tokens have no bigram and drop out on both sides. The ratio
+    is integer/integer in both engines — no float accumulation to
+    wobble."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        docs.select("doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "t"))
+        .withColumn("nxt", F.lead("t").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t", "nxt").alias("g"))
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                1.0 - F.countDistinct("g") / F.count("*").cast("double"), 6
+            ).alias("dup_gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
