@@ -519,3 +519,135 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_DD_TOKS} AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, source, array_to_string(ws[i:i + 3], ' ') AS g
+      FROM toks, UNNEST(range(1, len(ws) - 2)) AS r(i)
+    )
+    SELECT DISTINCT doc_id, lang, source FROM grams
+    WHERE doc_id % 97 <> 0
+      AND g IN (SELECT g FROM grams WHERE doc_id % 97 = 0)
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word 4-gram with a held-out eval set (here ``doc_id % 97 = 0`` stands
+    in for the benchmark corpus). The standard pretraining hygiene step —
+    eval contamination inflates downstream scores, so contaminated pages
+    are dropped or quarantined before training.
+
+    Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    are MBs, the corpus is TBs), so its distinct 4-grams BROADCAST and the
+    train side is filtered by a broadcast semi-join with no shuffle of the
+    100 TB side at all; only matched gram hits cross the wire for the final
+    per-doc distinct. Grams build narrowly via transform+slice over the
+    token array (O(n·4) per doc, no window shuffle); docs shorter than 4
+    tokens contribute nothing on either engine."""
+    docs = table(spark, sf_dir, "documents")
+    t = X.tokens("text", r"\s+")
+    grams_arr = F.when(
+        F.size(t) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 3),
+            lambda i: F.array_join(F.slice(t, i, 4), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "lang", "source", F.explode(grams_arr).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id", "lang", "source")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_per_lang_topk",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 50
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: an exact, deterministic cap of K=50 documents per
+    language, ranked by md5(doc_id) — the per-domain / per-language cap a
+    balanced pretraining mix needs (no language may flood the corpus).
+    Hash-rank instead of "first K by id" so the sample is unbiased w.r.t.
+    ingestion order yet fully reproducible run-to-run.
+
+    Scale shape: one shuffle on lang, then a per-partition sort for
+    row_number. Few distinct languages means skew at 100 TB — the cure is
+    pre-filtering by a hash threshold chosen from a per-lang count sketch
+    (md5 rank ≈ uniform, so keep hash < (K+slack)/n_lang quantile narrowly,
+    THEN exact-rank the survivors; survivors are O(K) per lang). The exact
+    window over the thresholded remnant is what this query's plan shows."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "train_split_hash",
+    oracle="""
+    SELECT CASE WHEN h <= 'b' THEN 'train'
+                WHEN h <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h, n_chars
+          FROM documents) t
+    GROUP BY 1 ORDER BY split
+    """,
+)
+def train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash: first hex digit of md5(doc_id) → 12/2/2 sixteenths. The split
+    is stable under re-ingestion, shard order, and corpus growth — a doc
+    never migrates between splits, which leakage-free eval depends on.
+
+    Scale shape: entirely narrow (hash + CASE inside codegen at the scan)
+    until a 3-group partial-aggregated count/sum — the cheapest possible
+    plan at any corpus size; no join, no window, no wide shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
