@@ -1704,3 +1704,117 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted to the fixture schema: no
+    partsupp table, so supply cost is p_retailprice and the year comes
+    from l_shipdate rather than orders. The pattern under test is the
+    fact-to-fact star with a mid-size filtered dim: the p_name LIKE
+    filter prunes part BEFORE the join, and the pruned part + nation
+    broadcast so lineitem is never shuffled for the joins — only the
+    final (nation, year) aggregate exchanges, and that after map-side
+    partial aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nation = table(spark, sf_dir, "nation")
+    profit = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount").cast("decimal(18,2)"))
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("double")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(profit.alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+    SELECT n_name, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+           > (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier) * 0.04
+    ORDER BY value DESC, n_name
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: per-nation supplier balance
+    exceeding a fraction of the GLOBAL total — the HAVING-against-
+    uncorrelated-scalar-subquery pattern. The global total is a 1-row
+    aggregate crossJoin-broadcast into the per-group HAVING filter; both
+    aggregates partial-aggregate map-side, and at 100 TB the global pass
+    reads the same scan Catalyst already column-pruned to one column."""
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    total = supp.agg(F.sum(bal).alias("_grand"))
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(bal).alias("_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_grand") * 0.04)
+        .select("n_name", F.col("_value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier relationship), adapted: distinct-supplier
+    counts per part attribute with a NOT IN exclusion list (complaint
+    suppliers in real Q16; a name pattern here). NOT IN over a non-null
+    key decorrelates to a broadcast anti-join; COUNT(DISTINCT) expands
+    to a two-phase aggregate (partial distinct on (group, suppkey), then
+    count) so duplicates die map-side before the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    excl = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
