@@ -595,21 +595,30 @@ def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-rank instead of "first K by id" so the sample is unbiased w.r.t.
     ingestion order yet fully reproducible run-to-run.
 
-    Scale shape: one shuffle on lang, then a per-partition sort for
-    row_number. Few distinct languages means skew at 100 TB — the cure is
-    pre-filtering by a hash threshold chosen from a per-lang count sketch
-    (md5 rank ≈ uniform, so keep hash < (K+slack)/n_lang quantile narrowly,
-    THEN exact-rank the survivors; survivors are O(K) per lang). The exact
-    window over the thresholded remnant is what this query's plan shows."""
+    Scale shape: a single window on lang would serialize each language
+    through one task — few distinct languages means a handful of tasks
+    sort the whole corpus. Instead top-K runs in two exact phases: phase
+    1 ranks within (lang, salt) — 16-way salted, so 16 parallel bounded
+    sorts per language — and keeps K per salt; phase 2 re-ranks the
+    ≤ 16·K survivors per language (trivial). The global per-lang top-K
+    is always a subset of the union of per-salt top-Ks, so this is
+    exact, and the corpus-sized sort disappears."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    S, K = 16, 50
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(S)).alias("_salt"),
     )
+    w1 = Window.partitionBy("lang", "_salt").orderBy("_h", "doc_id")
+    w2 = Window.partitionBy("lang").orderBy("_h", "doc_id")
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 50)
+        docs.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= K)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= K)
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )

@@ -132,3 +132,31 @@ def test_q13_left_join_survives_right_side_filter(spark, sf_dir):
     rewrite it to inner and drop order-less customers)."""
     plan = plan_of(spark, sf_dir, "tpch_q13")
     assert "LeftOuter" in plan or "RightOuter" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval set is MBs against a TB-scale corpus: its distinct grams
+    must broadcast into a semi-join, and the corpus side must never be
+    shuffled for the join (no sort-merge anywhere)."""
+    plan = plan_of(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_topk_is_two_phase(spark, sf_dir):
+    """Per-language quota sampling must rank in two exact phases
+    ((lang, salt) then lang) so no single task ever sorts a whole
+    language's corpus — two Window nodes in the plan."""
+    plan = plan_of(spark, sf_dir, "sample_per_lang_topk")
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
+
+
+def test_train_split_is_narrow(spark, sf_dir):
+    """Hash split assignment must stay narrow: no join, no window; the
+    only wide ops are the 3-group partial-aggregated count/sum and the
+    3-row final sort."""
+    plan = plan_of(spark, sf_dir, "train_split_hash")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
