@@ -1818,3 +1818,33 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
     )
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qp,
+           round(stddev_pop(l_discount), 4) AS sd_disc,
+           round(var_samp(l_tax), 4) AS var_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, covariance, stddev, variance
+    per group — single-pass co-moment accumulators in both engines, so
+    one scan + one partial-aggregated shuffle regardless of scale.
+    Nonlinear results can differ in the last ulps between merge orders;
+    round(4) absorbs that (values are O(1)-O(1e4), error is O(1e-9))."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+            F.round(F.stddev_pop("l_discount"), 4).alias("sd_disc"),
+            F.round(F.var_samp("l_tax"), 4).alias("var_tax"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -340,3 +340,74 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import incremental_minhash_dedup
 
     return incremental_minhash_dedup(spark, table(spark, sf_dir, "documents"))
+
+
+@query(
+    "resample_ffill",
+    oracle="""
+    WITH hr AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hr GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    )
+    SELECT g.user_id, g.h,
+           last_value(hr.av IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.h) AS v,
+           CAST(CASE WHEN hr.av IS NULL THEN 1 ELSE 0 END AS INT) AS gap
+    FROM grid g LEFT JOIN hr ON g.user_id = hr.user_id AND g.h = hr.h
+    ORDER BY g.user_id, g.h
+    """,
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly grid from first to last
+    observed hour, mean value per occupied hour, forward-fill across
+    gaps (the standard densify-then-carry step before feature windows
+    or charting; `gap` marks synthesized rows).
+
+    Scale shape: the hourly pre-aggregate shrinks events to (user, hour)
+    cardinality BEFORE anything wide happens; the grid explodes narrowly
+    from each user's 2-row span; grid⋈hourly co-partitions on the same
+    (user, hour) key; forward-fill is a per-user ordered window whose
+    partition size is bounded by that user's span in hours — millions of
+    users parallelize, no global sort anywhere. The hourly mean uses an
+    exact decimal sum, so no float wobble crosses the oracle hash."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hr = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("av")
+    )
+    span = hr.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hr, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("av", ignorenulls=True).over(w).alias("v"),
+            F.when(F.col("av").isNull(), 1).otherwise(0).cast("int").alias("gap"),
+        )
+        .orderBy("user_id", "h")
+    )
