@@ -53,6 +53,13 @@ HEADLINE = [
     "dedup_lsh_jaccard_verified",
     "dedup_clusters",
     "pipeline_filter_quality",
+    # corpus hygiene + time-series + stats
+    "text_repetition",
+    "decontaminate_ngram",
+    "sample_per_lang_topk",
+    "train_split_hash",
+    "stats_agg",
+    "resample_ffill",
 ]
 
 
