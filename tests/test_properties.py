@@ -95,3 +95,43 @@ def test_token_count_matches_python(spark, texts):
     got = {r["doc_id"]: r["n"] for r in df.select("doc_id", X.token_count("text").alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(py_tokens(t)), t
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["en", "de", "zh"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(1, 5),
+)
+def test_salted_topk_equals_single_window(spark, rows, k):
+    """The two-phase salted quota sample (plans/text.sample_per_lang_topk's
+    shape) must select EXACTLY the rows a naive single window would: the
+    per-lang top-k by md5 is always a subset of the union of per-(lang,
+    salt) top-ks, for any ids, language skew, and k."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang"]).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy("_h", "doc_id")
+    w2 = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    salted = (
+        df.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .select("doc_id", "lang")
+    )
+    naive = (
+        df.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "lang")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, naive.collect()))
