@@ -863,3 +863,54 @@ def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "dedup_cross_snapshot",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               (list_filter(string_split_regex(text, '\s+'), t -> t <> ''))[1:8],
+               ' ')) AS fp
+      FROM documents
+    )
+    SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+    FROM fp n JOIN fp o ON n.fp = o.fp AND o.doc_id % 2 = 0
+    WHERE n.doc_id % 2 = 1
+    GROUP BY n.doc_id ORDER BY n.doc_id
+    """,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot (incremental batch) dedup: documents in the NEW
+    snapshot (odd ids here) whose leading content already appeared in
+    the PREVIOUS corpus (even ids), reporting the earliest prior
+    occurrence. The key is a leading-content fingerprint — md5 of the
+    first 8 tokens — which also catches re-crawls that differ only in
+    tail boilerplate; swap in the full normalized-text fingerprint
+    (``X.fingerprint``, as dedup_exact uses) for strict equality. This
+    is how a recurring crawl dedupes against history without
+    re-clustering the whole archive — only fingerprints of the old
+    corpus participate, never its text.
+
+    Scale shape: both sides reduce to (doc_id, fp) before the join — 16
+    bytes of key per historical document, not documents — and the join
+    keys on the fingerprint, so it sort-merges and spills; in production
+    the old side is a bucketed fingerprint index table written by the
+    previous run, which removes even that shuffle (bucket-local join).
+    The per-new-doc MIN aggregates map-side."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(X.tokens("text", r"\s+"), 1, 8), " ")).alias("fp"),
+    )
+    old = fp.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("old_id"), "fp"
+    )
+    new = fp.filter(F.col("doc_id") % 2 == 1)
+    return (
+        new.join(old, "fp")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("dup_of"))
+        .orderBy("doc_id")
+    )
