@@ -660,3 +660,113 @@ def train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "pack_context_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DD_TOKS}) AS n_tok FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1, 2 ORDER BY source, bin_id
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed 512-token training
+    bins by streaming cumulative offset within each source shard (a doc
+    starts in the bin its running offset falls in — the offset-packing
+    layout samplers use to pack short docs into full context windows
+    with minimal padding).
+
+    Scale shape: packing is per-source-shard by construction — the
+    cumulative sum windows over each source independently, which is the
+    unit a writer task owns at 100 TB, so no global order exists
+    anywhere. Token counts ride the same explode→count aggregate as the
+    other text queries; the window input is (doc, count) pairs, not
+    tokens."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(X.tokens("text", r"\s+")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.withColumn("cum", F.sum("n_tok").over(w))
+        .groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / 512)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
+    "chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+    ), n AS (
+      SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, i AS chunk_id,
+           least(64, n - i * 48) AS chunk_len,
+           ws[i * 48 + 1] AS head
+    FROM n, UNNEST(range(0,
+           CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS r(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG / long-doc ingestion): split each
+    document into 64-token windows with stride 48 (16-token overlap so
+    no boundary sentence is lost), emitting per chunk its length and
+    leading token. Every doc yields ceil(max(n-64,0)/48)+1 chunks; docs
+    under one window yield exactly one.
+
+    Scale shape: entirely narrow — the chunk index explodes from a
+    per-doc sequence (no join, no window, no shuffle before the final
+    presentation sort), so chunking 100 TB is one map pass whose output
+    feeds the embedding stage directly."""
+    docs = table(spark, sf_dir, "documents")
+    t = X.tokens("text", r"\s+")
+    base = docs.select("doc_id", t.alias("ws"), F.size(t).alias("n")).filter(
+        F.col("n") > 0
+    )
+    k = F.ceil(F.greatest(F.col("n") - 64, F.lit(0)) / 48.0).cast("long")
+    return (
+        base.select(
+            "doc_id",
+            "ws",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), k)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(F.lit(64), F.col("n") - F.col("chunk_id") * 48).alias(
+                "chunk_len"
+            ),
+            F.element_at("ws", (F.col("chunk_id") * 48 + 1).cast("int")).alias(
+                "head"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
