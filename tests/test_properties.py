@@ -135,3 +135,33 @@ def test_salted_topk_equals_single_window(spark, rows, k):
         .select("doc_id", "lang")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_chunk_overlap_matches_python_model(spark, texts):
+    """chunk_overlap's window/stride arithmetic (64/48) vs a literal
+    Python sliding window: same chunk count, lengths, and head token for
+    any token count, including docs shorter than one window."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        chunk_overlap,
+    )
+    import math
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs_df(spark, texts).write.parquet(os.path.join(d, "documents.parquet"))
+        got = sorted(
+            map(tuple, chunk_overlap(spark, d).collect())
+        )
+    want = []
+    for i, t in enumerate(texts):
+        toks = py_tokens(t)
+        if not toks:
+            continue
+        n = len(toks)
+        k = math.ceil(max(n - 64, 0) / 48)
+        for c in range(k + 1):
+            want.append((i, c, min(64, n - c * 48), toks[c * 48]))
+    assert got == sorted(want)
