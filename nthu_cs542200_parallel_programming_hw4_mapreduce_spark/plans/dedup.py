@@ -164,8 +164,38 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
 
     ``shingles`` lets a caller that also consumes the shingle rows
     elsewhere (e.g. Jaccard verification) pass a materialized (doc_id, s)
-    frame so the shingle pipeline runs once for the whole query."""
-    ex = shingles if shingles is not None else shingle_rows(docs)
+    frame so the shingle pipeline runs once for the whole query.
+
+    When building its own shingles, this does NOT use ``shingle_rows``:
+    MIN is duplicate-insensitive, so signatures need neither the distinct
+    pass nor any per-doc ordering — grams build narrowly (transform +
+    slice over the token array) and the ONLY wide op in the whole
+    signature plan is the final partial-agg'd groupBy, which ships one
+    (doc_id, K mins) row per map partition. The window+dropDuplicates
+    form shuffles every shingle's text twice; at the 1000× probe (5.4M
+    docs) that shuffle exceeded a single node's disk, while this shape's
+    shuffle is O(docs), not O(tokens)."""
+    if shingles is not None:
+        ex = shingles
+    else:
+        t = X.tokens("text", r"\s+")
+        base = docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n")).filter(
+            F.col("_n") >= 3
+        )
+        idx = base.select(
+            "doc_id",
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - 2)).alias("_i"),
+        )
+        ex = idx.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("_ws", F.col("_i")),
+                F.element_at("_ws", F.col("_i") + 1),
+                F.element_at("_ws", F.col("_i") + 2),
+            ).alias("s"),
+        )
     # 2 md5 digests per shingle; hashes j are 8-hex-char slices of them.
     digests = ex.select(
         "doc_id",
@@ -174,11 +204,27 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
             for seed in range(_NUM_HASHES // 4)
         ],
     )
+    # MIN over a LONG, not the hex string: fixed-width hex sorts
+    # identically to its numeric value, and a fixed-size agg buffer lets
+    # Catalyst use partial HashAggregate (string MIN forces SortAggregate
+    # — a per-partition sort of every gram row). Formatted back to the
+    # oracle's lowercase hex on output.
     aggs = []
     for j in range(_NUM_HASHES):
         seed, start = _mh_slice(j)
-        aggs.append(F.min(F.substring(f"d{seed}", start, 8)).alias(f"mh{j}"))
-    return digests.groupBy("doc_id").agg(*aggs)
+        aggs.append(
+            F.min(
+                F.conv(F.substring(f"d{seed}", start, 8), 16, 10).cast("long")
+            ).alias(f"_m{j}")
+        )
+    agged = digests.groupBy("doc_id").agg(*aggs)
+    return agged.select(
+        "doc_id",
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"_m{j}")), 8, "0")).alias(f"mh{j}")
+            for j in range(_NUM_HASHES)
+        ],
+    )
 
 
 def minhash_bands(sigs: DataFrame) -> DataFrame:

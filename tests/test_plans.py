@@ -160,3 +160,15 @@ def test_train_split_is_narrow(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "train_split_hash")
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_signatures_single_exchange(spark, sf_dir):
+    """Signature generation must be narrow until the final partial-agg'd
+    groupBy: no Window, no distinct pass, no SortAggregate (the long-MIN
+    buffer keeps it hash-aggregable) — one Exchange carrying (doc_id, K
+    mins), never shingle text. This is the shape that survived 1000×
+    where the window+dropDuplicates form exhausted single-node disk."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_sig", mode="simple")
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("Exchange") <= 2  # agg exchange + presentation sort
