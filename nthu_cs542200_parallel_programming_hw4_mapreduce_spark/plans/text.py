@@ -491,23 +491,32 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam that survives per-doc dedup because it repeats
     WITHIN a page, not across pages.
 
-    Bigrams form via posexplode + a lead window keyed (doc_id, pos) —
-    the same windowed-shingle shape the MinHash path uses (explode runs
-    in codegen; a higher-order zip of the array with itself would be
-    interpreted and quadratic-ish in token count for long docs). The
+    Bigrams build narrowly — explode the start index (codegen'd
+    Generate) and element_at the token array twice — so nothing wide
+    happens before the per-doc aggregate (a lead() window would shuffle
+    every token row; a higher-order zip would run interpreted). The
     per-doc count/countDistinct pair partial-aggregates map-side; docs
     with <2 tokens have no bigram and drop out on both sides. The ratio
     is integer/integer in both engines — no float accumulation to
     wobble."""
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = X.tokens("text", r"\s+")
     grams = (
-        docs.select("doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "t"))
-        .withColumn("nxt", F.lead("t").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "t", "nxt").alias("g"))
+        docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - 1)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("_ws", F.col("_i")),
+                F.element_at("_ws", F.col("_i") + 1),
+            ).alias("g"),
+        )
     )
     return (
         grams.groupBy("doc_id")
@@ -547,20 +556,34 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     are MBs, the corpus is TBs), so its distinct 4-grams BROADCAST and the
     train side is filtered by a broadcast semi-join with no shuffle of the
     100 TB side at all; only matched gram hits cross the wire for the final
-    per-doc distinct. Grams build narrowly via transform+slice over the
-    token array (O(n·4) per doc, no window shuffle); docs shorter than 4
+    per-doc distinct. Grams build narrowly — explode the start index
+    (codegen'd Generate) and element_at the token array four times (the
+    transform+slice higher-order form computes the same grams but runs
+    interpreted, outside whole-stage codegen); docs shorter than 4
     tokens contribute nothing on either engine."""
     docs = table(spark, sf_dir, "documents")
     t = X.tokens("text", r"\s+")
-    grams_arr = F.when(
-        F.size(t) >= 4,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 3),
-            lambda i: F.array_join(F.slice(t, i, 4), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
-        "doc_id", "lang", "source", F.explode(grams_arr).alias("g")
+    grams = (
+        docs.select(
+            "doc_id", "lang", "source", t.alias("_ws"), F.size(t).alias("_n")
+        )
+        .filter(F.col("_n") >= 4)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - 3)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(
+                " ",
+                *[F.element_at("_ws", F.col("_i") + k) for k in range(4)],
+            ).alias("g"),
+        )
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
