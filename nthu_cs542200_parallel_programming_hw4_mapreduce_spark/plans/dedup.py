@@ -70,29 +70,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, s): distinct k-shingles, exploded.
 
-    Built as posexplode → window lead(t, i) → concat, NOT via the
-    word_shingles array expression: the array form pays interpreted
-    slice/concat per shingle plus array_distinct (3.7 s at sf0.1 — the
-    single hottest stage of every fuzzy-dedup query); lead() over
-    (doc_id, pos) is codegen'd and costs one per-doc sort. Same shingle
-    set, ~4× faster, and the per-doc sort shape scales (shuffle on
-    doc_id, no giant arrays in memory)."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    Gram formation is narrow: explode the start index (a codegen'd
+    Generate) and element_at the token array k times. The earlier
+    window-lead form shuffled every token row just to line up
+    neighbors (and the interpreted transform+slice array form runs
+    outside codegen — 3.7 s at sf0.1); here the ONLY wide op is the
+    dropDuplicates the consumers genuinely need (Jaccard/containment
+    math is over shingle SETS), and that shuffle carries the final
+    distinct (doc_id, s) pairs."""
+    t = X.tokens("text", r"\s+")
     return (
-        toks.select(
+        docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
+        .filter(F.col("_n") >= k)
+        .select(
             "doc_id",
-            F.concat_ws(" ", *leads).alias("s"),
-            leads[-1].isNotNull().alias("_full"),
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - (k - 1))).alias("_i"),
         )
-        .filter("_full")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(k)]
+            ).alias("s"),
+        )
         .dropDuplicates(["doc_id", "s"])
-        .select("doc_id", "s")
     )
 
 
