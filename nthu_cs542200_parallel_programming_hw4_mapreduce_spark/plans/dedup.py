@@ -72,14 +72,21 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
 
     Gram formation is narrow: explode the start index (a codegen'd
     Generate) and element_at the token array k times. The earlier
-    window-lead form shuffled every token row just to line up
-    neighbors (and the interpreted transform+slice array form runs
-    outside codegen — 3.7 s at sf0.1); here the ONLY wide op is the
-    dropDuplicates the consumers genuinely need (Jaccard/containment
-    math is over shingle SETS), and that shuffle carries the final
-    distinct (doc_id, s) pairs."""
+    window-lead form shuffled every token row just to line up neighbors
+    (and the interpreted transform+slice array form runs outside codegen
+    — 3.7 s at sf0.1). The distinct the consumers genuinely need
+    (Jaccard/containment math is over shingle SETS) is a lag-compare
+    after a per-doc sort, NOT dropDuplicates: one shuffle keyed on
+    doc_id alone, so the output stays doc_id-partitioned and every
+    downstream doc_id window/aggregate reuses the exchange. (A
+    dropDuplicates here hashes on (doc_id, s) — the consumers then
+    re-shuffle the whole posting set by doc_id again, which is the
+    difference between the 100× verify pass completing and running a
+    single node out of shuffle disk.)"""
+    from pyspark.sql import Window
+
     t = X.tokens("text", r"\s+")
-    return (
+    grams = (
         docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
         .filter(F.col("_n") >= k)
         .select(
@@ -93,7 +100,12 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
                 " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(k)]
             ).alias("s"),
         )
-        .dropDuplicates(["doc_id", "s"])
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    return (
+        grams.withColumn("_prev", F.lag("s").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("s")))
+        .select("doc_id", "s")
     )
 
 

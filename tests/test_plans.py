@@ -172,3 +172,11 @@ def test_minhash_signatures_single_exchange(spark, sf_dir):
     assert "Window" not in plan
     assert "SortAggregate" not in plan
     assert plan.count("Exchange") <= 2  # agg exchange + presentation sort
+
+
+def test_text_repetition_has_no_window(spark, sf_dir):
+    """Bigram formation must stay narrow (index explode + element_at):
+    no Window node — the only wide op is the per-doc aggregate."""
+    plan = plan_of(spark, sf_dir, "text_repetition", mode="simple")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
