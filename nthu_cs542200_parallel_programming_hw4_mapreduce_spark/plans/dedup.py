@@ -181,8 +181,9 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
 
     When building its own shingles, this does NOT use ``shingle_rows``:
     MIN is duplicate-insensitive, so signatures need neither the distinct
-    pass nor any per-doc ordering — grams build narrowly (transform +
-    slice over the token array) and the ONLY wide op in the whole
+    pass nor any per-doc ordering — grams build via the codegen'd index
+    explode (explode(sequence(...)) + element_at over the token array,
+    no interpreted HOF, no window) and the ONLY wide op in the whole
     signature plan is the final partial-agg'd groupBy, which ships one
     (doc_id, K mins) row per map partition. The window+dropDuplicates
     form shuffles every shingle's text twice; at the 1000× probe (5.4M
@@ -660,6 +661,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_bucketed_pairs(
+    emb: DataFrame,
+    dim: int = 64,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """LSH-banded embedding near-dup pairs over a (vec_id, embedding)
+    frame — the composable core behind ``dedup_embedding_cosine_bucketed``
+    (factored out so tests can feed synthetic planted-duplicate frames
+    and scale probes can feed replicated corpora)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = V.np_planes(dim=dim, n_planes=n_bands * n_planes)
+
+    def tag(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            bits = (x @ planes.T) >= 0.0  # (n, B*P)
+            for band in range(n_bands):
+                seg = bits[:, band * n_planes:(band + 1) * n_planes]
+                keys = seg @ (1 << np.arange(n_planes, dtype=np.int64))
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                     "embedding": pdf["embedding"].values,  # .values: avoid index-misalignment with the fresh arrays
+                     "band": np.int32(band),
+                     "key": keys}
+                )
+
+    tagged = emb.mapInPandas(
+        tag, schema="vec_id long, embedding array<double>, band int, key long"
+    )
+    buckets = (
+        tagged.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+        .filter((F.size("vecs") > 1) & (F.size("vecs") <= _MAX_BUCKET))
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            for cell in pdf["vecs"]:
+                ids = np.array([v["vec_id"] for v in cell], dtype=np.int64)
+                mat = np.stack([np.asarray(v["embedding"], dtype=np.float64) for v in cell])
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                sim = mat @ mat.T
+                ai, bi = np.nonzero(sim >= threshold)
+                av, bv = ids[ai], ids[bi]
+                keep = av < bv
+                out_a.extend(av[keep].tolist())
+                out_b.extend(bv[keep].tolist())
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    return (
+        buckets.mapInPandas(kernel, schema="a_id long, b_id long")
+        .distinct()  # a pair can surface in several bands
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query("dedup_embedding_cosine_bucketed")  # rows-only: LSH banding is engine-specific
+def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup plan of record: LSH pre-bucketing
+    composed with the exact matmul kernel — the composition SCALING.md
+    promised and round-1's VERDICT asked to make real code.
+
+    ``dedup_embedding_cosine`` is the exact baseline but inherently
+    all-pairs (n²/B² block pairs — 10⁴× the work at 100× the data).
+    Here the corpus is tagged with B=4 independent random-hyperplane
+    band keys (P=8 sign bits each) in ONE narrow Arrow-batched pass —
+    each row leaves the scan with 4 (band, key) rows — then vectors
+    only meet inside a (band, key) bucket: groupBy + collect_list
+    (bucket keys draw from 2^8 values per band, capped at
+    ``_MAX_BUCKET`` like every LSH family here), one numpy matmul per
+    bucket, distinct over the per-band hits. Compare volume scales with
+    Σ bucket², i.e. with near-dup density, not |corpus|².
+
+    Recall is the standard banding OR-construction
+    (1 − (1 − p^P)^B with p = 1 − θ/π): ≳0.9 for near-identical pairs
+    (cos ≥ 0.95), falling off toward the 0.4 decision boundary.  The
+    fixture's exact pairs ALL sit at cos 0.40-0.48 (weakly-similar,
+    banding's worst case), so fixture recall is intentionally low;
+    tests pin (a) result ⊆ exact-pair set on the fixture and (b)
+    recall ≥ 0.9 on synthetic planted near-identical pairs — the regime
+    a production near-dup threshold (≥0.9) actually operates in.
+    Rows-only by design: the oracle cannot see the banding."""
+    return embedding_cosine_bucketed_pairs(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster formation (connected components over candidate pairs)
 # ---------------------------------------------------------------------------
@@ -787,8 +883,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same components via a recursive CTE; Spark
     uses iterative min-label propagation — same fixpoint, scalable
     plan (each round is one join + partial-agg min, AQE-optimized).
-    Edges are the chain variant (consecutive bucket members): linear in
-    bucket size, identical components — see lsh_candidate_pairs."""
+    Edges are the star variant (every bucket member linked to the
+    bucket's minimum id): linear in bucket size, intra-bucket diameter
+    2, identical components — see lsh_candidate_pairs."""
     docs = table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     edges = lsh_candidate_pairs(sigs, edges_only=True)

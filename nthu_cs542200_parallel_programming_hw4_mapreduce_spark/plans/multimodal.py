@@ -129,14 +129,13 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     column → random-hyperplane LSH bucketing → per-bucket cosine top-3
     for the first 5 docs as queries. Exercises every seam a production
     media-retrieval pipeline has: binary columns, Python batch compute,
-    vector columns, expression-level LSH, broadcast probe join, window
-    top-k."""
+    vector columns, vectorized LSH bucketing, broadcast probe join,
+    window top-k."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
     from ..functions import vectors as V
-    from ..plans.similarity import lsh_bucket
 
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -153,23 +152,24 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
     emb = payloads.mapInPandas(featurize, schema="doc_id long, embedding array<double>")
-    emb = emb.withColumn("bucket", lsh_bucket("embedding", dim=16))
+    emb = V.with_lsh_buckets(emb, dim=16)
     q = emb.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
     )
-    cos = V.cosine(F.col("qe"), F.col("c.embedding"))
-    scored = (
+    cand = (
         emb.alias("c")
         .join(F.broadcast(q), F.col("c.bucket") == F.col("qbucket"))
         .filter(F.col("c.doc_id") != F.col("q_id"))
-        .select("q_id", F.col("c.doc_id").alias("n_id"), F.round(cos, 5).alias("cos"), cos.alias("_raw"))
+        .select("q_id", F.col("c.doc_id").alias("n_id"),
+                F.col("c.embedding").alias("ce"), "qe")
     )
+    scored = V.score_pairs(cand, "ce", "qe")
     w = Window.partitionBy("q_id").orderBy(F.col("_raw").desc(), F.col("n_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("q_id", "n_id", "cos")
+        .select("q_id", "n_id", F.round("_raw", 5).alias("cos"))
         .orderBy("q_id", "n_id")
     )

@@ -88,3 +88,60 @@ def test_star_edges_equal_clique_components(spark, sf_dir):
         (r.doc_id, r.cluster) for r in connected_components(docs, clique).collect()
     }
     assert got_star == got_clique
+
+
+def test_bucketed_embedding_pairs_subset_of_exact(spark, sf_dir):
+    """The LSH-banded variant may only ever emit pairs the exact
+    all-pairs query also finds (same 0.4 threshold, same kernel) —
+    banding prunes candidates, never adds them."""
+    import __spark_entry__ as E
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in E.queries()["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.a_id, r.b_id)
+        for r in E.queries()["dedup_embedding_cosine_bucketed"](spark, sf_dir).collect()
+    }
+    assert bucketed, "banding should surface at least some boundary pairs"
+    assert bucketed <= exact
+
+
+def test_bucketed_embedding_recall_on_planted_near_dups(spark):
+    """The regime the operator is FOR: planted near-identical vectors
+    (cos ≥ 0.98). Banding theory gives per-pair recall
+    1-(1-p^8)^4 ≈ 0.97 at cos 0.99 — assert ≥ 0.9 over 20 planted
+    pairs. Background vectors are random (near-orthogonal in d=64), so
+    false candidates are also checked to stay out."""
+    import numpy as np
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        embedding_cosine_bucketed_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    planted = []
+    for i in range(20):  # pairs (2i, 2i+1): near-identical
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        noise = rng.randn(64) * 0.02
+        w = v + noise
+        w /= np.linalg.norm(w)
+        assert float(v @ w) >= 0.98
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, w.tolist()))
+        planted.append((2 * i, 2 * i + 1))
+    for j in range(40, 140):  # background: random directions
+        u = rng.randn(64)
+        rows.append((j, (u / np.linalg.norm(u)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.a_id, r.b_id)
+        for r in embedding_cosine_bucketed_pairs(emb, threshold=0.9).collect()
+    }
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.9
+    # nothing but planted pairs at a 0.9 threshold
+    assert got <= set(planted)

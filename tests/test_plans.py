@@ -180,3 +180,27 @@ def test_text_repetition_has_no_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_repetition", mode="simple")
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_vector_hot_paths_not_interpreted(spark, sf_dir):
+    """Round-2 fix for VERDICT item #2: corpus-scale vector scoring must
+    run in the Arrow-batched numpy kernels (MapInPandas), never as
+    interpreted higher-order-function folds — no ZipWith/ArrayAggregate
+    anywhere in these plans."""
+    for name in ("cosine_knn_exact", "ann_lsh_topk", "ann_ivf_topk",
+                 "multimodal_embed_ann", "dedup_embedding_cosine_bucketed"):
+        plan = plan_of(spark, sf_dir, name, mode="extended")
+        # every array HOF (zip_with / aggregate / transform lambdas)
+        # prints a lambdafunction(...) node — there must be none
+        assert "lambdafunction" not in plan.lower(), name
+        assert "zip_with" not in plan.lower(), name
+        assert "MapInPandas" in plan, name
+
+
+def test_knn_exact_has_no_join_no_corpus_shuffle(spark, sf_dir):
+    """The broadcast-matmul knn: corpus streams through one narrow
+    MapInPandas; no join node at all, and the only Exchange ranks the
+    pre-pruned |batches|·|q|·k candidate rows."""
+    plan = plan_of(spark, sf_dir, "cosine_knn_exact", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # candidate rank + presentation sort

@@ -49,10 +49,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_drift(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    """Flag declared-dtype divergence BEFORE canon() papers over it.
+
+    The driver hashes raw values, so an oracle SUM that DuckDB types as
+    HUGEINT (→ object/float in pandas) hash-mismatches Spark's int64 even
+    when values are equal — the exact class of the round-1 tpch_q12 red
+    row, which canon()'s int64 normalization hid locally.  Mixed
+    int-vs-float or int-vs-object on the same column is a failure here.
+    """
+    out = []
+    for c in sorted(set(spark_df.columns) & set(duck_df.columns)):
+        s, d = spark_df[c], duck_df[c]
+        kind = lambda v: (
+            "int" if pd.api.types.is_integer_dtype(v)
+            else "float" if pd.api.types.is_float_dtype(v)
+            else "datetime" if pd.api.types.is_datetime64_any_dtype(v)
+            else "other"
+        )
+        ks, kd = kind(s), kind(d)
+        if ks != kd and not (len(s) == 0 and len(d) == 0):
+            out.append(
+                f"dtype drift col {c!r}: spark={s.dtype} ({ks}) vs "
+                f"duck={d.dtype} ({kd}) — driver hash would mismatch; "
+                f"CAST the oracle column"
+            )
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    problems.extend(dtype_drift(spark_df, duck_df))
     if len(spark_df) != len(duck_df):
         return [f"row count differs: spark={len(spark_df)} duck={len(duck_df)}"]
     s, d = canon(spark_df), canon(duck_df)

@@ -48,8 +48,12 @@ def build_corpus(spark, factor: int) -> str:
     vector component → near-dups), even replicas are exact dups.
     Deterministic, derived solely from the fixture."""
     out_dir = f"/tmp/spark_graft_scale_{factor}x"
-    marker = os.path.join(out_dir, "documents", "_SUCCESS")
-    if os.path.exists(marker):
+    # reuse only a COMPLETE corpus: a crash between the two writes must
+    # not leave a half-built corpus that later runs silently adopt
+    if all(
+        os.path.exists(os.path.join(out_dir, t, "_SUCCESS"))
+        for t in ("documents", "embeddings")
+    ):
         return out_dir
     reps = spark.range(factor).withColumnRenamed("id", "rep")
     docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
