@@ -156,7 +156,18 @@ def wordcount_df(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
     """Execute the full faithful job: DataFrame pipeline → identity-
     partitioned, per-partition-sorted text files + CSV event log.
-    Returns {artifact: path}."""
+    Returns {artifact: path}.
+
+    Event-log timing fidelity: the reference logs each map task's OWN
+    elapsed ms (hw4.cc:153 — the worker thread times its chunk). Here
+    the map stage executes inside one Spark action, so per-chunk times
+    are not observable from the driver without a TaskEnd listener whose
+    task→chunk attribution would be a guess under Spark's own chunk
+    coalescing; every Complete_MapTask row therefore carries the SAME
+    aggregate map-stage elapsed ms. Vocabulary, field shapes, and event
+    ordering match the reference exactly (pinned by
+    tests/test_mapreduce.py); only the per-task ms column is
+    deliberately aggregate."""
     os.makedirs(cfg.output_dir, exist_ok=True)
     log_path = os.path.join(cfg.output_dir, f"{cfg.job_name}-log.out")
     t0 = time.time()

@@ -589,12 +589,42 @@ def quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact
     distinct/percentile: HyperLogLog++ count-distinct and GK-sketch
-    percentile. Values are sketch-dependent (no cross-engine oracle);
-    the test suite bounds their error against exact answers instead."""
+    percentile. Values are sketch-dependent (no cross-engine oracle),
+    but the CONTRACT is checkable: ``exact_distinct_agg`` computes the
+    same quantities exactly under a full oracle, and
+    tests/test_sources.py::test_approx_agg_error_bounds pins
+    |approx − exact|/exact ≤ 3·rsd (rsd = 0.05, the HLL++ default)
+    plus the sketch median landing inside the exact p40-p60 band."""
     li = table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "exact_distinct_agg",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def exact_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact companion to ``approx_agg`` — same quantities, exact
+    operators, full DuckDB oracle. Exists so the sketch query's
+    rows-only driver row is anchored by an oracle-green row computing
+    the identical semantics, and the error-bound test has a declared
+    exact side. At 100 TB this is the plan you pay a global sort /
+    two-phase distinct for; approx_agg is the plan you actually run."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_median_price"
+        ),
         F.count("*").alias("n"),
     )
 

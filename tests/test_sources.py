@@ -54,20 +54,27 @@ def test_partitioned_parquet_write_prunes(spark, docs, tmp_path):
 
 
 def test_approx_agg_error_bounds(spark, sf_dir):
-    """approx_count_distinct within 5% of exact; approx median between
-    exact p40 and p60 (loose, deterministic bounds)."""
+    """The approx_agg contract (VERDICT r1 item 7): the sketch answers
+    must sit within 3·rsd of the declared exact companion
+    (exact_distinct_agg), rsd = 0.05 being approx_count_distinct's
+    default standard error; the sketch median must land inside the
+    exact p40-p60 band. Both queries run through their registry entries
+    so the bound checks exactly what the driver sees."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    approx = qs["approx_agg"](spark, sf_dir).first()
+    exact = qs["exact_distinct_agg"](spark, sf_dir).first()
+    rsd = 0.05
+    assert approx["n"] == exact["n"]  # exact COUNT(*) rides both
+    rel = abs(approx["approx_parts"] - exact["exact_parts"]) / exact["exact_parts"]
+    assert rel <= 3 * rsd, f"HLL++ error {rel:.4f} exceeds 3*rsd"
     li = table(spark, sf_dir, "lineitem")
-    row = (
-        li.agg(
-            F.approx_count_distinct("l_partkey").alias("a"),
-            F.countDistinct("l_partkey").alias("e"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("am"),
-            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
-            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
-        )
+    band = li.agg(
+        F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
     ).first()
-    assert abs(row["a"] - row["e"]) / row["e"] < 0.05
-    assert row["p40"] <= row["am"] <= row["p60"]
+    assert band["p40"] <= approx["approx_median_price"] <= band["p60"]
 
 
 def test_lakehouse_stubs_raise_actionable_errors(spark):
