@@ -44,8 +44,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
     "cosine_knn_exact",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "tfidf_top_terms",
     "range_join_follow",
     "label_centroids",

@@ -375,10 +375,21 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, hour) key; forward-fill is a per-user ordered window whose
     partition size is bounded by that user's span in hours — millions of
     users parallelize, no global sort anywhere. The hourly mean uses an
-    exact decimal sum, so no float wobble crosses the oracle hash."""
+    exact decimal sum, so no float wobble crosses the oracle hash.
+
+    The declared query keeps a bounded user slice (< 20) so the oracle
+    output stays reviewable; ``resample_pipeline`` is the unfiltered
+    dataflow the scale probe drives over millions of users."""
+    return resample_pipeline(
+        table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    )
+
+
+def resample_pipeline(ev: DataFrame) -> DataFrame:
+    """Densify-and-carry over an arbitrary events frame (see
+    ``resample_ffill`` for the plan-shape argument)."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     hr = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(

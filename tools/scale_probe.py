@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import catalog, registry
 from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.session import get_spark
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,61 +43,103 @@ DEFAULT_QUERIES = [
 
 
 def build_corpus(spark, factor: int) -> str:
-    """Replicate documents and embeddings factor×: ids offset per
-    replica; odd replicas are perturbed (suffix token / nudged first
-    vector component → near-dups), even replicas are exact dups.
-    Deterministic, derived solely from the fixture."""
+    """Replicate documents, embeddings, and events factor×: ids offset
+    per replica; odd doc/vector replicas are perturbed (suffix token /
+    nudged first vector component → near-dups), even replicas are exact
+    dups; event replicas take fresh user_id ranges (key-population
+    growth — the stress for per-key windows/grids, not dup density).
+    Deterministic, derived solely from the fixture. Each table builds
+    independently behind its own _SUCCESS marker, so corpora from
+    earlier probe versions top up instead of rebuilding, and a crash
+    mid-build never leaves a half-corpus that later runs silently
+    adopt."""
     out_dir = f"/tmp/spark_graft_scale_{factor}x"
-    # reuse only a COMPLETE corpus: a crash between the two writes must
-    # not leave a half-built corpus that later runs silently adopt
-    if all(
-        os.path.exists(os.path.join(out_dir, t, "_SUCCESS"))
-        for t in ("documents", "embeddings")
-    ):
-        return out_dir
+
+    def done(t: str) -> bool:
+        return os.path.exists(os.path.join(out_dir, t, "_SUCCESS"))
+
     reps = spark.range(factor).withColumnRenamed("id", "rep")
-    docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
-    n = docs.count()
-    (
-        docs.crossJoin(reps)
-        .select(
-            (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
-            F.when(
-                F.col("rep") % 2 == 1,
-                F.concat(F.col("text"), F.lit(" r"), F.col("rep")),
+    if not done("documents"):
+        docs = spark.read.parquet(os.path.join(BASE_SF_DIR, "documents.parquet"))
+        n = docs.count()
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
+                F.when(
+                    F.col("rep") % 2 == 1,
+                    F.concat(F.col("text"), F.lit(" r"), F.col("rep")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                "lang",
+                "source",
+                "n_chars",
             )
-            .otherwise(F.col("text"))
-            .alias("text"),
-            "lang",
-            "source",
-            "n_chars",
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "documents"))
         )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "documents"))
-    )
-    emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
-    m = emb.count()
-    (
-        emb.crossJoin(reps)
-        .select(
-            (F.col("vec_id") + F.col("rep") * F.lit(m)).alias("vec_id"),
-            F.when(
-                F.col("rep") % 2 == 1,
-                F.transform(
-                    "embedding",
-                    lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
-                ),
+    if not done("embeddings"):
+        emb = spark.read.parquet(os.path.join(BASE_SF_DIR, "embeddings.parquet"))
+        m = emb.count()
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * F.lit(m)).alias("vec_id"),
+                F.when(
+                    F.col("rep") % 2 == 1,
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x
+                        + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+                    ),
+                )
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+                "label",
             )
-            .otherwise(F.col("embedding"))
-            .alias("embedding"),
-            "label",
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "embeddings"))
         )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "embeddings"))
-    )
+    if not done("events"):
+        # via catalog.table: fixture events are TIMESTAMP(NANOS); the
+        # replica lands as standard micros, which catalog passes through
+        ev = catalog.table(spark, BASE_SF_DIR, "events")
+        ne, u = ev.count(), ev.agg(F.max("user_id")).first()[0] + 1
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * F.lit(ne)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("rep") * F.lit(u)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "events"))
+        )
     return out_dir
+
+
+def _resample_full(spark, sf_view):
+    """The resample_ffill dataflow WITHOUT the oracle's bounded user
+    slice — per-key window/grid behavior over the full replicated user
+    population (the declared query filters user_id < 20, which would
+    probe only the base fixture's users)."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        resample_pipeline,
+    )
+
+    return resample_pipeline(catalog.table(spark, sf_view, "events"))
+
+
+#: Probe-only dataflows: shapes whose declared query bounds its output
+#: for the oracle, run here unbounded.
+PROBE_EXTRAS = {"resample_ffill_full": _resample_full}
 
 
 def main() -> None:
@@ -107,21 +149,21 @@ def main() -> None:
     corpus = build_corpus(spark, factor)
 
     # catalog.table(sf_dir, name) resolves {sf_dir}/{name}.parquet; stage a
-    # directory view where documents/embeddings point at the replicated
-    # corpus and every other table falls back to the base fixture.
+    # directory view where the replicated tables point at the corpus and
+    # every other table falls back to the base fixture.
     sf_view = f"{corpus}_view"
     os.makedirs(sf_view, exist_ok=True)
     for t in os.listdir(BASE_SF_DIR):
         link = os.path.join(sf_view, t)
         if not os.path.lexists(link):
             os.symlink(os.path.join(BASE_SF_DIR, t), link)
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         link = os.path.join(sf_view, f"{t}.parquet")
         if os.path.lexists(link):
             os.remove(link)
         os.symlink(os.path.join(corpus, t), link)
 
-    queries = registry.all_queries()
+    queries = {**registry.all_queries(), **PROBE_EXTRAS}
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
