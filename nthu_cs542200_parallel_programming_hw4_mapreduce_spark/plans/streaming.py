@@ -65,7 +65,10 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    # Testdata parquet stores ts as timestamp-without-timezone, which
+    # Spark 4 reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP.
+    # Session TZ is pinned to UTC (session.py), so the cast is exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     g = ev.select(
         "user_id",
@@ -191,7 +194,10 @@ def range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     bucket_us = 600_000_000  # == the range width → probe exactly 2 buckets
     ev = table(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
+    # Testdata parquet stores ts as timestamp-without-timezone, which
+    # Spark 4 reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP.
+    # Session TZ is pinned to UTC (session.py), so the cast is exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     signups = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"),
         F.col("user_id").alias("u"),

@@ -44,6 +44,10 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     src = spark.readStream.schema(schema).parquet(stream_path)
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(src.dtypes).get("ts") == "timestamp_ntz":
+        # Parquet timestamp-without-timezone reads as TIMESTAMP_NTZ, which
+        # watermarks/event-time reject; session TZ is UTC so the cast is exact.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 
