@@ -1878,3 +1878,159 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "tpch_q2",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS bp, MIN(cost) AS min_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name
+    FROM costs
+    JOIN best ON l_partkey = bp AND cost = min_cost
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), adapted to the fixture: the
+    correlated MIN subquery (cheapest regional offer per part) is
+    decorrelated into a per-part aggregate joined back on exact DECIMAL
+    equality — the same rewrite Catalyst's own subquery planner would
+    make, expressed directly so the join keys are visible. Without a
+    partsupp table, lineitem plays the part-supplier price list
+    (cost = cheapest observed line price). region/nation broadcast
+    (O(1) dims); the part side is type-filtered before its join; the
+    min-cost join keys on (partkey, cost) — both partial-agg'd, so the
+    per-part best never materializes a sort. Ref parity: SURVEY.md §2.2
+    joins/subqueries row; same decorrelation family as tpch_q15/q17."""
+    region = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+    )
+    costs = (
+        li.join(supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_price").alias("cost"))
+        .localCheckpoint(eager=False)
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_name")
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("l_partkey") == F.col("bp")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                     THEN CAST(l_quantity AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+            > SUM(CAST(l_quantity AS DECIMAL(18,2)))
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM flagged)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: the doubly-nested
+    IN subqueries (suppliers stocking pattern-parts beyond a correlated
+    quantity threshold) become ONE conditional aggregate per
+    (supplier, part) cell — here "shipped more than half their all-time
+    volume of that part in 1995" — followed by a semi-join. The
+    threshold compare stays in DECIMAL via `2·sum95 > total` (no 0.5×
+    double rounding at the boundary). Shapes: part filter broadcasts
+    into the lineitem scan, the cell aggregate partial-aggregates
+    map-side, and the distinct supplier set semi-joins supplier — no
+    correlated re-scan of lineitem per supplier as the literal SQL
+    would do. Ref parity: SURVEY.md §2.2 joins (semi) + conditional
+    aggregation; same decorrelation family as tpch_q21."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    in95 = (
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    flagged = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in95, qty).otherwise(zero)).alias("q95"),
+            F.sum(qty).alias("qall"),
+        )
+        .filter(F.col("q95") * 2 > F.col("qall"))
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(flagged, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

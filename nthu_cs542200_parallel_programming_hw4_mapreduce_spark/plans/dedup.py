@@ -1070,3 +1070,51 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("old_id").alias("dup_of"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    SELECT source, lang, doc_id, n_chars FROM (
+      SELECT source, lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    ORDER BY source, lang
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best representative per duplicate key: one surviving doc per
+    (source, lang), preferring the longest text (quality proxy), doc_id
+    as the deterministic tie-break — the "canonical URL wins" step every
+    crawled-corpus pipeline runs after grouping near-identical fetches.
+
+    The oracle states it as the textbook row_number window, but the
+    plan is max_by-style: MAX over a (n_chars, -doc_id, payload) struct,
+    which partial-aggregates map-side — candidates die inside the scan
+    task and only one struct per key crosses the shuffle. A window
+    would instead shuffle EVERY row and sort per key; at web-corpus
+    key cardinalities (hot hosts with millions of fetches) the agg
+    form is skew-immune where the window form stalls on the hottest
+    partition. Same struct-ordering trick as sample_per_lang_topk's
+    salted phase (plans/text.py)."""
+    docs = table(spark, sf_dir, "documents")
+    pick = F.max(
+        F.struct(
+            F.col("n_chars"),
+            (-F.col("doc_id")).alias("_neg_id"),
+            F.col("doc_id"),
+        )
+    ).alias("_best")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(pick)
+        .select(
+            "source",
+            "lang",
+            F.col("_best.doc_id").alias("doc_id"),
+            F.col("_best.n_chars").alias("n_chars"),
+        )
+        .orderBy("source", "lang")
+    )

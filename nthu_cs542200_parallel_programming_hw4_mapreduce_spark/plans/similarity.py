@@ -260,3 +260,38 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("v"), 6).alias("c"))
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           round(AVG(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 4)
+             AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding hygiene stats (count + mean L2 norm) — the
+    sanity pass a training pipeline runs before similarity search to
+    catch unnormalized or degenerate (zero) vectors per class.
+
+    Same shape rule as label_centroids: posexplode → partial-agg SUM of
+    squares per vector, then AVG per label — both aggregates combine
+    map-side and stay in whole-stage codegen; no interpreted
+    `aggregate()` fold per row (round-1 VERDICT item #2). round(4)
+    absorbs float accumulation-order ulps between engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    norms = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("_i", "_x"))
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.col("_x") * F.col("_x"))).alias("_norm"))
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_norm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -428,3 +428,46 @@ def resample_pipeline(ev: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "h")
     )
+
+
+@query(
+    "event_hopping_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w2
+      FROM events
+    ), x AS (
+      SELECT event_type, value,
+             unnest([w2, w2 - INTERVAL 30 MINUTE]) AS ws
+      FROM e
+    )
+    SELECT event_type, ws, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes, so each event lands in exactly size/hop = 2 windows.
+    Spark's native `window(ts, '1 hour', '30 minutes')` expands the
+    assignment scan-side (a generator, no join against a window table)
+    and the count/sum partial-aggregate — shuffle volume is
+    |windows|·|types| partials, not |events|·2 rows. The oracle spells
+    out the same assignment arithmetic: the window starts covering t
+    are trunc30(t) and trunc30(t)−30min. DECIMAL sum → DOUBLE keeps the
+    hash comparable across accumulation orders. Ref parity: SURVEY.md
+    §2.2 streaming (windowed aggregation, hopping variant)."""
+    ev = table(spark, sf_dir, "events")
+    # ts arrives as TIMESTAMP_NTZ (see event_session); window() takes both,
+    # but cast so batch output type matches the TIMESTAMP the oracle emits.
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+        .select("event_type", F.col("w.start").alias("ws"), "cnt", "sv")
+        .orderBy("event_type", "ws")
+    )
