@@ -2034,3 +2034,38 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via explicit salting (operators/joins.salted_join):
+    the events fixture concentrates its rows on a handful of user_ids —
+    the single-hot-key regime where even AQE's skew splitting can't help
+    a *build-side* hot key. Fact rows scatter over 8 salt sub-keys and
+    the (small) customer side replicates 8×, so the former one-reducer
+    key becomes 8 balanced tasks; the aggregate afterwards partial-aggs
+    as usual. Semantically identical to the plain equi-join the oracle
+    states — only the physical key distribution differs. Ref parity:
+    the reference's first-char partitioner (hw4.cc:479, quirk Q3) is the
+    same pathology on the map side; SURVEY.md §2.2 joins (skew)."""
+    from ..operators.joins import salted_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, "user_id", "c_custkey", salt=8)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+        .orderBy("c_nationkey")
+    )
