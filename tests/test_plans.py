@@ -204,3 +204,43 @@ def test_knn_exact_has_no_join_no_corpus_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cosine_knn_exact", mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # candidate rank + presentation sort
+
+
+def test_keep_best_is_aggregate_not_window(spark, sf_dir):
+    """dedup_keep_best's docstring claims the max_by-struct form: a
+    partial-aggregable MAX, never a per-key row_number sort."""
+    plan = plan_of(spark, sf_dir, "dedup_keep_best")
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_hopping_window_is_scan_side_generate(spark, sf_dir):
+    """Window assignment must expand scan-side (Expand/Generate), not
+    via a join against a window table; the count/sum must partial-agg."""
+    plan = plan_of(spark, sf_dir, "event_hopping_window")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_embedding_stats_stays_codegen(spark, sf_dir):
+    """posexplode → partial agg; no interpreted higher-order fold, no
+    Python evaluation."""
+    plan = plan_of(spark, sf_dir, "embedding_stats")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "lambdafunction"):
+        assert marker not in plan
+    assert "partial" in plan.lower()
+
+
+def test_q2_broadcasts_dims_only(spark, sf_dir):
+    """region/nation broadcast; the lineitem-derived costs table must
+    never be the broadcast side of its self-join-back."""
+    plan = plan_of(spark, sf_dir, "tpch_q2")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_decorrelates_to_single_aggregate(spark, sf_dir):
+    """The nested-IN shape must lower to one (suppkey, partkey) agg +
+    semi-join — no correlated per-supplier rescan of lineitem."""
+    plan = plan_of(spark, sf_dir, "tpch_q20")
+    assert plan.count("LeftSemi") >= 1
+    assert "partial" in plan.lower()
