@@ -295,3 +295,105 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def lloyd_rounds(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    max_rounds: int = 10,
+    tol: float = 1e-6,
+):
+    """Lloyd k-means over the embedding column; returns (assigned_df,
+    per-round inertia history). Iterative-on-Spark shape rules, same as
+    dedup_clusters' label propagation:
+
+    * per-round state that crosses rounds is BOUNDED: the k×d centroid
+      matrix (collected + broadcast — the sanctioned O(1) collect, like
+      ann_ivf_topk's centroid matrix);
+    * the corpus-sized work per round is one narrow mapInPandas scan
+      (numpy distance argmin per Arrow batch) + one partial-agg'd
+      groupBy — no corpus-sized join, no lineage growth (each round
+      replans from the parquet scan with a fresh broadcast);
+    * deterministic: init = the k lowest vec_ids, numpy argmin breaks
+      ties by first index, convergence on centroid shift < tol.
+
+    At 100 TB the per-round cost is a scan + a |k·d|-partial shuffle —
+    the same shape GraphX/MLlib's own k-means uses; rounds are O(10).
+    """
+    import numpy as np
+
+    d = len(emb.select("embedding").first()[0])
+    init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    history: list[float] = []
+
+    assigned = None
+    for _ in range(max_rounds):
+        bc = spark.sparkContext.broadcast(cmat)
+
+        def assign(batches):
+            mat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(
+                    [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+                )
+                # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is row-constant
+                d2 = -2.0 * (x @ mat.T) + (mat * mat).sum(axis=1)
+                best = np.argmin(d2, axis=1)
+                dist2 = (
+                    (x * x).sum(axis=1)
+                    + d2[np.arange(len(best)), best]
+                )
+                yield pdf.assign(cluster=best.astype("int64"),
+                                 dist2=np.maximum(dist2, 0.0))
+
+        assigned = emb.select("vec_id", "embedding").mapInPandas(
+            assign,
+            schema="vec_id long, embedding array<double>, cluster long, dist2 double",
+        )
+        # bounded collect: k×d averages + k inertia partials
+        upd = (
+            assigned.select(
+                "cluster", "dist2", F.posexplode("embedding").alias("i", "x")
+            )
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("cx"), F.sum("dist2").alias("_in"))
+            .collect()
+        )
+        new = cmat.copy()
+        inertia = 0.0
+        for r in upd:
+            new[r["cluster"], r["i"]] = r["cx"]
+            if r["i"] == 0:
+                # dist2 rides every (cluster, i) group; count it once via i==0
+                inertia += r["_in"]
+        history.append(inertia)
+        shift = float(np.abs(new - cmat).max())
+        cmat = new
+        if shift < tol:
+            break
+    return assigned, history
+
+
+@query("kmeans_lloyd")  # rows-only: iterative algorithm (SURVEY §2.2 exception)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means summary: per-cluster size + inertia after
+    convergence (k=8, ≤10 rounds). The curation use-case is
+    cluster-balanced sampling / diversity analysis over corpus
+    embeddings; the oracle-exempt status is the same as dedup_clusters'
+    would be without its recursive-CTE twin — DuckDB has no iterative
+    re-assignment. tests/test_similarity.py pins monotone inertia and
+    cluster-count invariants instead."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd_rounds(spark, emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("dist2"), 3).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

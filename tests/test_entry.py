@@ -26,6 +26,7 @@ def test_registry_alignment():
         "streaming_dedup",
         "dedup_minhash_mllib",
         "dedup_simhash_pairs",
+        "kmeans_lloyd",
         "dedup_embedding_cosine_bucketed",
         "multimodal_embed_ann",
         "multimodal_features",

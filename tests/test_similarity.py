@@ -39,3 +39,23 @@ def test_ann_ivf_recall_reasonable(spark, sf_dir, exact):
 def test_embedding_cosine_pairs_symmetric_ids(spark, sf_dir):
     pairs = E.queries()["dedup_embedding_cosine"](spark, sf_dir).collect()
     assert all(r["a_id"] < r["b_id"] for r in pairs)
+
+
+def test_kmeans_lloyd_inertia_monotone(spark, sf_dir):
+    """Lloyd's invariants: inertia never increases across rounds, every
+    vector lands in exactly one of the k clusters, and the summary is
+    deterministic for a fixed fixture."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        lloyd_rounds,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, history = lloyd_rounds(spark, emb, k=8, max_rounds=6)
+    assert len(history) >= 2
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(history, history[1:]))
+    n = emb.count()
+    assert assigned.count() == n
+    summary = E.queries()["kmeans_lloyd"](spark, sf_dir).collect()
+    assert 1 <= len(summary) <= 8
+    assert sum(r["n"] for r in summary) == n
