@@ -1,6 +1,6 @@
 """Source connectors beyond the parquet fixtures.
 
-CSV/JSON are first-class (schema-explicit — a schema-inference pass over
+CSV/JSON/ORC are first-class (schema-explicit — a schema-inference pass over
 100 TB is a full extra scan). Lakehouse formats (Delta/Iceberg/Hudi) and
 JDBC need jars that are not in this container — they are stubbed behind
 import/availability probes with actionable errors, per the build-plan
@@ -21,6 +21,13 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """JSON-lines with an explicit schema."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — ships in Spark's JVM (no extra jar), self-describing
+    schema like parquet, with the same predicate-pushdown + column-
+    pruning behavior (min/max stripe statistics drive row skipping)."""
+    return spark.read.orc(path)
 
 
 def _require_format(spark: SparkSession, fmt: str, hint: str) -> None:

@@ -100,3 +100,27 @@ def test_csv_reader_helper(spark, docs, tmp_path):
     docs.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
     back = read_csv(spark, out, docs.schema)
     assert back.count() == docs.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, docs, tmp_path):
+    """ORC is jar-free in Spark: write the docs table, read it back via
+    the helper, and confirm predicate pushdown reaches the ORC scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.readers import (
+        read_orc,
+    )
+
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    filtered = back.filter(back.doc_id > 100).select("doc_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain(True)
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "doc_id" in pushed
