@@ -56,20 +56,26 @@ def run_windowed_count(
     path: str,
     window: str = "1 hour",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """1-hour tumbling-window count + DECIMAL sum per event type.
+    """Tumbling (or, with ``slide``, hopping) window count + DECIMAL sum
+    per event type.
 
     complete-mode memory sink → every window is in the result table, so
     the output equals the batch groupBy — the unification property the
     declared-query oracle checks. With ``watermark`` set and append mode
     this becomes the production late-data topology; complete+no-watermark
-    is right for a finite backfill like this.
+    is right for a finite backfill like this. ``slide`` reuses the same
+    topology for overlapping windows (each event lands in window/slide
+    state rows — state volume scales with that ratio, which is why
+    production hops are small multiples, not sliding-by-record).
     """
     src = events_stream(spark, path)
     if watermark:
         src = src.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     agg = (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),

@@ -140,3 +140,16 @@ def test_incremental_dedup_equals_batch(spark, sf_dir):
         for r in E.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
     }
     assert inc == batch
+
+
+def test_streaming_hopping_equals_batch(spark, sf_dir):
+    """The real-streaming hopping topology (window + slide through the
+    memory sink) must equal the batch event_hopping_window query — the
+    same unification property as the tumbling case."""
+    stream = run_windowed_count(
+        spark, f"{sf_dir}/events.parquet", window="1 hour", slide="30 minutes"
+    ).collect()
+    batch = E.queries()["event_hopping_window"](spark, sf_dir).collect()
+    s = {(r["event_type"], r["h"]): (r["cnt"], r["sv"]) for r in stream}
+    b = {(r["event_type"], r["ws"]): (r["cnt"], r["sv"]) for r in batch}
+    assert s == b
