@@ -1118,3 +1118,62 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    cnt AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(common * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = a_id
+    JOIN cnt cb ON cb.doc_id = b_id
+    WHERE common * 1.0 / LEAST(ca.n, cb.n) >= 0.8
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment detection: pairs where the smaller shingle set
+    is ≥80% inside the other — the quote/excerpt/boilerplate-wrapper
+    case Jaccard misses (a short doc embedded in a long one has low
+    Jaccard but containment ≈ 1). Same inverted-index shape as
+    dedup_ngram_jaccard — posting lists carry per-doc set sizes, pairs
+    expand expression-side, NO corpus-sized join — only the denominator
+    changes to min(|A|,|B|). Shares its scale ceiling too (pair stream
+    ∝ Σ df²; see SCALING.md): a corpus operator only after exact-dedup
+    collapse, a verification primitive otherwise."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    exn = shingle_rows(docs).withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    posting = (
+        exn.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_SHINGLE_DF))
+    )
+    pairs = (
+        expand_pairs(posting)
+        .groupBy(
+            F.col("a_id.doc_id").alias("a_id"),
+            F.col("a_id.n").alias("na"),
+            F.col("b_id.doc_id").alias("b_id"),
+            F.col("b_id.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common") * 1.0 / F.least("na", "nb")
+    return (
+        pairs.filter(cont >= 0.8)
+        .select("a_id", "b_id", F.round(cont, 6).alias("containment"))
+        .orderBy("a_id", "b_id")
+    )

@@ -793,3 +793,40 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "corpus_report",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT md5(text)) AS n_uniq,
+           round(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+             AS dup_rate
+    FROM documents
+    GROUP BY ROLLUP(lang, source)
+    ORDER BY lang NULLS FIRST, source NULLS FIRST
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: doc counts, volume, and exact-duplicate rate
+    per (lang, source) with rollup subtotals — the first query a curation
+    run executes to decide where dedup budget goes. One pass: rollup
+    replicates each row into its 3 grouping sets scan-side, COUNT
+    (DISTINCT md5) expands to the standard two-phase distinct aggregate
+    (partial distinct on (group, fingerprint) before the shuffle), and
+    the md5 fingerprint matches DuckDB's bit-for-bit (same family as
+    dedup_exact)."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    uniq = F.countDistinct(fp)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            uniq.alias("n_uniq"),
+            F.round(1.0 - uniq * 1.0 / F.count("*"), 4).alias("dup_rate"),
+        )
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
