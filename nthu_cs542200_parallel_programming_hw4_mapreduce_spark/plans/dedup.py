@@ -366,54 +366,51 @@ _SIMHASH_BANDS = 4
 
 
 def _bit_contrib(j: int, tok: str = "t", hashed: bool = False) -> str:
-    """±1 contribution of token ``tok`` at bit j = parity of hex nibble
-    j%32 of md5(tok ++ ':' ++ j//32) — one md5 digest yields 32 bits, so
-    64 bits cost two digests per token. Valid in BOTH Spark SQL and
-    DuckDB. ``hashed`` references a precomputed digest column named
-    ``h{j//32}`` instead of inlining the md5."""
-    seed, pos = divmod(j, 32)
-    h = f"h{seed}" if hashed else f"md5({tok} || ':{seed}')"
+    """±1 contribution of token ``tok`` at bit j = bit j%4 of hex nibble
+    j//4 of md5(tok) — all four bits of each nibble are used, so the 64
+    signature bits cost ONE digest per token (the earlier nibble-PARITY
+    family burned 3/4 of the digest's entropy and needed two). Valid in
+    BOTH Spark SQL and DuckDB (single source of truth for the family).
+    ``hashed`` references a precomputed digest column named ``h0``
+    instead of inlining the md5."""
+    p, b = divmod(j, 4)
+    h = "h0" if hashed else f"md5({tok})"
     return (
-        f"(CASE WHEN (instr('0123456789abcdef', substr({h}, {pos + 1}, 1)) - 1) % 2 = 1"
+        f"(CASE WHEN ((instr('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) >> {b}) & 1 = 1"
         f" THEN 1 ELSE -1 END)"
     )
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash. Tokens (with multiplicity) are
-    exploded and md5-hashed ONCE per seed (2 digests for 64 bits); the
-    per-bit ±1 sums aggregate with map-side partial aggregation.
+    exploded and md5-hashed ONCE (all four bits of each of the first 16
+    hex nibbles → 64 bits from a single digest — md5 volume is the
+    stage's dominant cost, measured 210 s at the 1000× probe under the
+    old two-digest family); the per-bit ±1 sums aggregate with map-side
+    partial aggregation.
 
-    The parity of hex nibble p is its LOW BIT, so instead of 64
-    string-op expressions (instr+substr per bit — the hot loop of the
-    old form), each digest converts to four 32-bit int chunks once and
-    every bit contribution is a codegen'd shift-and-mask:
-    ±1 = 2·((chunk >> 4·(7−p%8)) & 1) − 1. Same bits as the oracle's
-    md5-nibble-parity SQL, ~2× faster signature stage."""
-    n_seeds = _SIMHASH_BITS // 32
+    Instead of 64 string-op expressions (instr+substr per bit — the hot
+    loop of the oracle's readable form), the digest converts to four
+    32-bit int chunks once and every bit contribution is a codegen'd
+    shift-and-mask: ±1 = 2·((chunk >> (4·(7−p%8) + b)) & 1) − 1 for
+    nibble p = j//4, bit b = j%4. Same bits as `_bit_contrib`'s SQL —
+    the family is defined once and rendered for both engines."""
     toks = docs.select(
         "doc_id", F.explode(X.tokens("text", r"\s+")).alias("t")
-    ).select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.col("t"), F.lit(f":{seed}"))).alias(f"h{seed}")
-            for seed in range(n_seeds)
-        ],
-    )
+    ).select("doc_id", F.md5(F.col("t")).alias("h0"))
     chunks = [
-        F.conv(F.substring(f"h{seed}", 8 * c + 1, 8), 16, 10)
+        F.conv(F.substring("h0", 8 * c + 1, 8), 16, 10)
         .cast("long")
-        .alias(f"c{seed * 4 + c}")
-        for seed in range(n_seeds)
+        .alias(f"c{c}")
         for c in range(4)
     ]
     packed = toks.select("doc_id", *chunks)
     sums = []
     for j in range(_SIMHASH_BITS):
-        p = j % 32  # nibble index within the digest, left to right
-        k, o = divmod(p, 8)  # chunk index within digest, offset in chunk
-        chunk = F.col(f"c{(j // 32) * 4 + k}")
-        bit = F.shiftright(chunk, (7 - o) * 4).bitwiseAND(F.lit(1))
+        p, b = divmod(j, 4)  # nibble index (left to right), bit within nibble
+        k, o = divmod(p, 8)  # chunk index, nibble offset in chunk
+        chunk = F.col(f"c{k}")
+        bit = F.shiftright(chunk, (7 - o) * 4 + b).bitwiseAND(F.lit(1))
         sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
     agged = packed.groupBy("doc_id").agg(*sums)
     bit_chars = [
