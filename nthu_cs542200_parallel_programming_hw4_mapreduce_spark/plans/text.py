@@ -48,38 +48,54 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation-density / stopword-ratio
     composite.
 
-    Token-dependent counts go explode → groupBy (tokenization runs once
-    per doc, inside codegen; the higher-order-function form is
-    interpreted and gets re-inlined per consumer by CollapseProject).
-    Char-level stats stay scan-side. Left join keeps token-less docs
-    (counts coalesce to 0), matching the oracle exactly."""
+    Everything aggregates from ONE explode → groupBy — no join back to
+    the docs table. Two non-obvious choices, both measured:
+
+    * the punct count aggregates from per-TOKEN regexes (tokens split on
+      ``\\s+``, and the punct class excludes whitespace, so every punct
+      char lives inside some token — Σ punct(token) ≡ punct(text) by
+      construction). Projecting punct_count(text) next to the explode
+      instead is a trap: CollapseProject re-inlines the full-text regex
+      into the post-Generate project, re-scanning the WHOLE doc once per
+      token row (measured 5.4 s vs 1.0 s at sf0.1);
+    * the join-back form this replaces was locally faster (its O(docs)
+      tok_stats side broadcast under the 64 MB threshold) but
+      scale-wrong: tok_stats grows with the corpus, and at 100 TB that
+      join either mis-broadcasts (the lsh_jaccard_verified OOM class)
+      or shuffles the full text column. Here the only wide op is the
+      partial-agg'd groupBy shipping 4 ints per doc.
+
+    ``explode_outer`` keeps token-less docs (count("t") skips the null
+    row), matching the oracle exactly."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
-    sw = X.STOPWORDS["en"]
-    tok_stats = toks.groupBy("doc_id").agg(
-        F.count("*").alias("_nt"),
-        F.sum(F.lower("t").isin(*sw).cast("int")).alias("_hits"),
+    ex = docs.select(
+        "doc_id",
+        F.length("text").alias("_nc"),
+        F.explode_outer(X.tokens("text", r"\s+")).alias("t"),
     )
-    n_chars = F.length("text")
-    n_toks = F.coalesce("_nt", F.lit(0))
-    hits = F.coalesce("_hits", F.lit(0))
-    n_punct = X.punct_count("text")
+    sw = X.STOPWORDS["en"]
+    stats = ex.groupBy("doc_id", "_nc").agg(
+        F.count("t").alias("_nt"),
+        F.coalesce(
+            F.sum(F.lower("t").isin(*sw).cast("int")), F.lit(0)
+        ).alias("_hits"),
+        F.coalesce(F.sum(X.punct_count("t")), F.lit(0)).alias("_np"),
+    )
+    n_chars, n_punct = F.col("_nc"), F.col("_np")
     len_score = F.least(n_chars / F.lit(200.0), F.lit(1.0))
     punct_score = F.greatest(
         F.lit(0.0), F.lit(1.0) - (n_punct / F.greatest(n_chars, F.lit(1))) * 5
     )
-    prose_score = F.least((hits / F.greatest(n_toks, F.lit(1))) * 4, F.lit(1.0))
-    return (
-        docs.join(tok_stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_chars.cast("long").alias("n_chars"),
-            n_toks.cast("long").alias("n_tokens"),
-            n_punct.cast("long").alias("n_punct"),
-            F.round((len_score + punct_score + prose_score) / 3, 6).alias("quality"),
-        )
-        .orderBy("doc_id")
+    prose_score = F.least(
+        (F.col("_hits") / F.greatest(F.col("_nt"), F.lit(1))) * 4, F.lit(1.0)
     )
+    return stats.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round((len_score + punct_score + prose_score) / 3, 6).alias("quality"),
+    ).orderBy("doc_id")
 
 
 _DD_LANG_CASE = None
