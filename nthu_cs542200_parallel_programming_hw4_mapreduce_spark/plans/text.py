@@ -846,3 +846,46 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
     )
+
+
+@query(
+    "quality_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM q GROUP BY decile ORDER BY decile
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile bucketing (ntile over a quality proxy) + per-decile
+    stats — the prelude to decile-based mixture sampling ("keep the top
+    3 deciles, downsample the middle, drop the tail").
+
+    A global ntile is a single-partition window — the one shape we
+    forbid elsewhere (sample_per_lang_topk's salted two-phase exists for
+    exactly that reason). It stays here because the DECLARED semantics
+    need global ranks and the output is 10 rows; at 100 TB the same
+    contract is served by approxQuantile cut points (one pass, no global
+    sort) — this query is the exact-semantics baseline the approximate
+    form would be validated against, the same exact/approx pairing as
+    approx_agg vs exact_distinct_agg. Deterministic tie-break on doc_id
+    keeps both engines' tile boundaries identical."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    q = docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return (
+        q.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )
