@@ -135,10 +135,16 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Explode tokens once, aggregate one hit-count per language (map-side
     partial, codegen'd IN-lists), then apply the shared argmax fold —
     ~4× less tokenization than the per-language array-filter form, which
-    matters when the pass runs over 100 TB of text. Left join keeps
-    token-less docs → scores 0 → 'und', matching the oracle."""
+    matters when the pass runs over 100 TB of text. ``explode_outer``
+    keeps token-less docs in the aggregate itself (null token rows hit
+    no IN-list → all scores coalesce to 0 → 'und'), so there is NO join
+    back to the docs table — the former left-join form only looked
+    cheap because its O(docs) aggregate side slipped under the local
+    broadcast threshold (same scale trap text_quality shed)."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+    toks = docs.select(
+        "doc_id", F.explode_outer(X.tokens("text", r"\s+")).alias("t")
+    )
     hit_aggs = [
         F.sum(F.lower("t").isin(*X.STOPWORDS[lang]).cast("int")).alias(f"_h_{lang}")
         for lang in sorted(X.STOPWORDS)
@@ -147,11 +153,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = {
         lang: F.coalesce(f"_h_{lang}", F.lit(0)) for lang in sorted(X.STOPWORDS)
     }
-    return (
-        docs.join(hits, "doc_id", "left")
-        .select("doc_id", X.lang_id_from_scores(scores).alias("lang_pred"))
-        .orderBy("doc_id")
-    )
+    return hits.select(
+        "doc_id", X.lang_id_from_scores(scores).alias("lang_pred")
+    ).orderBy("doc_id")
 
 
 @query(
@@ -445,7 +449,16 @@ def pipeline_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the lowest doc_id per fingerprint cluster → corpus stats.
     Composes lang_id + text_quality + dedup_exact; one pass over the
     corpus, two shuffles (doc-stats aggregation, fingerprint dedup) —
-    the shape of a real 100 TB cleaning job."""
+    the shape of a real 100 TB cleaning job.
+
+    The docs⋈stats join survives here (unlike lang_id/text_quality,
+    which shed theirs) because this plan also needs full-text values —
+    the md5 fingerprint — that cannot aggregate from token rows and
+    would hit the CollapseProject per-token re-inline trap if carried
+    through the explode as a group key. Both join sides scale with the
+    corpus, so the stats side carries an explicit merge hint (the
+    lsh_jaccard_verified rule: never let a corpus-sized side be
+    broadcast on local statistics)."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -469,7 +482,7 @@ def pipeline_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.least((hits_en / F.greatest(n_toks, F.lit(1))) * 4, F.lit(1.0))
     ) / 3
-    scored = docs.join(stats, "doc_id", "left").select(
+    scored = docs.join(stats.hint("merge"), "doc_id", "left").select(
         "doc_id",
         X.fingerprint("text").alias("fp"),
         X.lang_id_from_scores(scores).alias("lang_pred"),
