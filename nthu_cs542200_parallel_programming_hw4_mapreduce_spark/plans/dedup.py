@@ -1062,7 +1062,10 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = fp.filter(F.col("doc_id") % 2 == 1)
     return (
-        new.join(old, "fp")
+        # both sides scale with the corpus (history especially) — pin to
+        # sort-merge per the lsh_jaccard_verified rule rather than letting
+        # selectivity guesses pick a broadcast that 100 TB invalidates
+        new.join(old.hint("merge"), "fp")
         .groupBy("doc_id")
         .agg(F.min("old_id").alias("dup_of"))
         .orderBy("doc_id")
