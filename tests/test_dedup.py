@@ -145,3 +145,26 @@ def test_bucketed_embedding_recall_on_planted_near_dups(spark):
     assert hit / len(planted) >= 0.9
     # nothing but planted pairs at a 0.9 threshold
     assert got <= set(planted)
+
+
+def test_containment_finds_planted_excerpt(spark, tmp_path_factory):
+    """A short doc whose shingles are a strict subset of a long doc's
+    must surface with containment 1.0; unrelated docs must not pair."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        dedup_containment,
+    )
+
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    excerpt = "gamma delta epsilon zeta eta"  # interior slice → all its
+    # trigram shingles appear verbatim inside long_text
+    rows = [
+        (0, long_text, "en", "src", len(long_text)),
+        (1, excerpt, "en", "src", len(excerpt)),
+        (2, "unrelated words entirely disjoint vocabulary here", "en", "src", 49),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("contain"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["a_id"], r["b_id"]): r["containment"] for r in dedup_containment(spark, d).collect()}
+    assert out.get((0, 1)) == 1.0
+    assert all(2 not in pair for pair in out)
