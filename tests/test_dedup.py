@@ -168,3 +168,22 @@ def test_containment_finds_planted_excerpt(spark, tmp_path_factory):
     out = {(r["a_id"], r["b_id"]): r["containment"] for r in dedup_containment(spark, d).collect()}
     assert out.get((0, 1)) == 1.0
     assert all(2 not in pair for pair in out)
+
+
+def test_keep_best_prefers_longest_then_lowest_id(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        dedup_keep_best,
+    )
+
+    rows = [
+        (0, "short", "en", "srcA", 5),
+        (1, "a much longer document body", "en", "srcA", 27),   # wins srcA/en
+        (2, "tie text one", "fr", "srcA", 12),
+        (3, "tie text two", "fr", "srcA", 12),                   # tie → doc 2 wins
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("keepbest"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["source"], r["lang"]): r["doc_id"] for r in dedup_keep_best(spark, d).collect()}
+    assert out[("srcA", "en")] == 1
+    assert out[("srcA", "fr")] == 2
