@@ -471,3 +471,36 @@ def event_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("w.start").alias("ws"), "cnt", "sv")
         .orderBy("event_type", "ws")
     )
+
+
+@query(
+    "streaming_hopping",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w2
+      FROM events
+    ), x AS (
+      SELECT event_type, value,
+             unnest([w2, w2 - INTERVAL 30 MINUTE]) AS ws
+      FROM e
+    )
+    SELECT event_type, ws AS h, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming hopping windows: readStream over the
+    events parquet, window(ts, '1 hour', '30 minutes'), complete-mode
+    memory sink run to completion — the streaming twin of
+    event_hopping_window, sharing its oracle because complete mode over
+    a finite backfill equals the batch aggregate (the batch/streaming
+    unification property, pinned for the tumbling case by
+    test_streaming_equals_batch and for this hopping case by
+    test_streaming_hopping_equals_batch)."""
+    from ..streaming.windows import run_windowed_count
+
+    return run_windowed_count(
+        spark, f"{sf_dir}/events.parquet", window="1 hour", slide="30 minutes"
+    )
