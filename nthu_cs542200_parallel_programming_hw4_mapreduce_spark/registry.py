@@ -54,9 +54,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1", "tpch_q12",
     # dedup family
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
-    "dedup_clusters", "dedup_lsh_jaccard_verified", "dedup_cross_snapshot",
+    "dedup_clusters", "dedup_lsh_jaccard_verified", "dedup_fuzzy_production",
+    "dedup_cross_snapshot",
     # similarity / embeddings
     "cosine_knn_exact", "ann_lsh_topk", "ann_ivf_topk", "label_centroids",
     # text analysis + corpus hygiene (incl. UDTF surface)

@@ -48,7 +48,7 @@ def test_window_mostly_oracle_backed():
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
     # rows-only slots are spent ONLY on genuinely non-SQL-expressible ops
     assert set(rows_only) <= {
-        "dedup_simhash_pairs", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_lsh_topk", "ann_ivf_topk",
         "multimodal_features", "multimodal_embed_ann", "streaming_stateful",
         "dedup_embedding_cosine_bucketed",
     }, f"unexpected rows-only in window: {rows_only}"
