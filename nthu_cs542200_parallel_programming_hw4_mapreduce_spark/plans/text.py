@@ -562,6 +562,38 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _contamination_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, g): word 4-grams via the narrow
+    index-explode build (codegen'd Generate + element_at; the
+    transform+slice higher-order form computes the same grams but runs
+    interpreted). Shared by the exact and bloom decontamination paths."""
+    t = X.tokens("text", r"\s+")
+    return (
+        docs.select(
+            "doc_id", "lang", "source", t.alias("_ws"), F.size(t).alias("_n")
+        )
+        .filter(F.col("_n") >= 4)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - 3)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(
+                " ",
+                *[F.element_at("_ws", F.col("_i") + k) for k in range(4)],
+            ).alias("g"),
+        )
+    )
+
+
 @query(
     "decontaminate_ngram",
     oracle=f"""
@@ -594,29 +626,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted, outside whole-stage codegen); docs shorter than 4
     tokens contribute nothing on either engine."""
     docs = table(spark, sf_dir, "documents")
-    t = X.tokens("text", r"\s+")
-    grams = (
-        docs.select(
-            "doc_id", "lang", "source", t.alias("_ws"), F.size(t).alias("_n")
-        )
-        .filter(F.col("_n") >= 4)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "_ws",
-            F.explode(F.sequence(F.lit(1), F.col("_n") - 3)).alias("_i"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.concat_ws(
-                " ",
-                *[F.element_at("_ws", F.col("_i") + k) for k in range(4)],
-            ).alias("g"),
-        )
-    )
+    grams = _contamination_grams(docs)
     eval_grams = (
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
@@ -904,4 +914,87 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("decile")
+    )
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_DD_TOKS} AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, source, array_to_string(ws[i:i + 3], ' ') AS g
+      FROM toks, UNNEST(range(1, len(ws) - 2)) AS r(i)
+    )
+    SELECT DISTINCT doc_id, lang, source FROM grams
+    WHERE doc_id % 97 <> 0
+      AND g IN (SELECT g FROM grams WHERE doc_id % 97 = 0)
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM-FILTER prefilter — same declared
+    semantics (and oracle) as decontaminate_ngram, different scale
+    regime. The exact form broadcasts the eval gram SET, which works
+    while benchmarks are MBs; when the blocklist is itself corpus-scale
+    (a 10B-gram eval suite, a competitor-crawl exclusion list), the set
+    no longer broadcasts but a bits-only bloom of it does (~1.4 GB for
+    10B grams at 1% fp), and only the bloom's surviving ~1% of corpus
+    grams pay the exact verification join.
+
+    Build: k=4 positions per eval gram via seeded xxhash64 mod m; the
+    bit array aggregates distributedly (groupBy word index + bit_or —
+    partial-agg'd) and collects BOUNDED by construction (m/64 longs,
+    m chosen ∝ eval size, capped). Probe: scan-side bit tests against
+    the broadcast word array (shiftleft by a column is SQL-expressible;
+    no Python, no shuffle). The final exact semi-join restores
+    exactness — bloom false positives die there, so the result is
+    bit-identical to the exact path and shares its oracle."""
+    docs = table(spark, sf_dir, "documents")
+    grams = _contamination_grams(docs)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    n_eval = eval_grams.count()
+    # m ≈ 16 bits/gram (k=4 → ~0.2% fp), in whole 64-bit words, capped
+    n_words = max(16, min(65536, (16 * max(n_eval, 1) + 63) // 64))
+    m_bits = 64 * n_words
+    seeds = [1, 2, 3, 4]
+
+    def positions(col):
+        return [F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m_bits)) for s in seeds]
+
+    word_bits = (
+        eval_grams.select(
+            F.explode(F.array(*positions(F.col("g")))).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 AS int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    bloom = [0] * n_words
+    for r in word_bits:
+        bloom[r["w"]] = r["bits"]
+    bl = F.array(*[F.lit(x) for x in bloom])
+
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    probed = train.withColumn("_bl", bl)
+    cond = None
+    for i, p in enumerate(positions(F.col("g"))):
+        probed = probed.withColumn(f"_p{i}", p)
+        hit = F.expr(
+            f"(element_at(_bl, cast(_p{i} div 64 AS int) + 1)"
+            f" & shiftleft(1L, cast(_p{i} % 64 AS int))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    candidates = probed.filter(cond).select("doc_id", "lang", "source", "g")
+    return (
+        candidates.join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id", "lang", "source")
+        .distinct()
+        .orderBy("doc_id")
     )

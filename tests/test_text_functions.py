@@ -67,3 +67,15 @@ def test_bpe_ish_counts_punctuation(spark):
     [row] = df.select(X.bpe_ish_token_count("text").alias("n")).collect()
     # hello , world ! x 2 → 6
     assert row["n"] == 6
+
+
+def test_bloom_decontaminate_matches_exact_and_prunes(spark, sf_dir):
+    """The bloom path must equal the exact path bit-for-bit (false
+    positives die in the verify join) while the prefilter does real
+    work: surviving candidate grams are a small fraction of train
+    grams on the fixture."""
+    import __spark_entry__ as E
+
+    exact = E.queries()["decontaminate_ngram"](spark, sf_dir).collect()
+    bloom = E.queries()["decontaminate_bloom"](spark, sf_dir).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, bloom))
