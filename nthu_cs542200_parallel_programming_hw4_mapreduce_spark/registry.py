@@ -40,38 +40,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness gate checks only the FIRST 50 entries of
 # ``queries()`` (dict iteration order).  Registration order alone would
 # spend the whole window on core/TPC-H (round-1 lesson), so the window
-# is curated: §2.1 coverage + the TPC-H regression proof + every
-# LLM-pipeline (dedup / text / similarity / multimodal / streaming)
-# north-star query.  Everything else still registers and keeps its
-# local oracle-parity test (tests/test_oracle_parity.py); it just
-# yields its driver slot.  Exactly 50 names; pinned by
-# tests/test_registry.py.
+# is curated — and ROTATED each round so every declared query
+# eventually earns a driver CORRECTNESS row:
+#
+#   * an always-on regression core keeps its slot every round
+#     (§2.1 O1-O11 coverage + ``tpch_q12``, the round-1 hash-mismatch
+#     proof);
+#   * queries never driver-checked in ANY prior round get priority
+#     for the remaining slots (round 3: the 31 queries listed in
+#     VERDICT r2 "What's missing" §1, plus the new ``kmeans_assign``);
+#   * leftover slots go to queries checked only once, preferring
+#     family diversity (join/window/set/scalar/TPC-H).
+#
+# Queries rotated out keep their local oracle-parity test
+# (tests/test_oracle_parity.py) — the identical check the driver runs —
+# and their green rows in CORRECTNESS_r{1,2}.json stand as proof.
+# Exactly 50 names; pinned by tests/test_registry.py.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2.1 O1-O11 + flagship
+    # --- always-on regression core: §2.1 O1-O11 + flagship + q12 proof
     "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
-    "partition_expr", "sort_asc", "sort_desc", "agg_count",
-    # TPC-H representative + the round-1 hash-mismatch regression
-    "tpch_q1", "tpch_q12",
-    # dedup family
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
-    "dedup_clusters", "dedup_lsh_jaccard_verified", "dedup_fuzzy_production",
-    "dedup_cross_snapshot",
-    # similarity / embeddings
-    "cosine_knn_exact", "ann_lsh_topk", "ann_ivf_topk", "label_centroids",
-    # text analysis + corpus hygiene (incl. UDTF surface)
-    "text_quality", "lang_id", "token_count_est", "doc_fingerprint",
-    "tfidf_top_terms", "udtf_tokenize", "text_scrub_pii",
-    "pipeline_filter_quality", "text_repetition", "decontaminate_ngram",
-    "sample_per_lang_topk", "train_split_hash", "pack_context_windows",
-    "chunk_overlap",
-    # multimodal
-    "multimodal_meta", "multimodal_features", "multimodal_embed_ann",
-    # streaming / temporal
-    "event_window", "event_session", "streaming_window",
-    "asof_last_signup", "streaming_stateful", "range_join_follow",
-    "session_window_native", "resample_ffill",
+    "partition_expr", "sort_asc", "sort_desc", "agg_count", "tpch_q12",
+    # --- round-3 rotation: never driver-checked before this round ---
+    # TPC-H tail
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    # core/stats/scalar tail
+    "exact_distinct_agg", "stats_agg", "scalar_json", "join_skew_salted",
+    # text / corpus hygiene tail
+    "shingle_fingerprints", "ngram_freq", "text_normalize",
+    "corpus_report", "quality_deciles", "decontaminate_bloom",
+    "pandas_udaf_mean",
+    # dedup tail
+    "dedup_simhash_pairs", "dedup_minhash_mllib", "dedup_keep_best",
+    "dedup_containment",
+    # similarity / iterative tail (kmeans_assign is the new oracle-backed
+    # companion that gives the Lloyd loop a SQL-checkable foothold)
+    "embedding_stats", "kmeans_assign", "kmeans_lloyd",
+    # multimodal / temporal / streaming tail
+    "multimodal_framesample", "asof_cogroup_pandas",
+    "streaming_dedup", "streaming_incremental_dedup",
+    "event_hopping_window", "streaming_hopping",
+    # --- once-checked (r1-only) family representatives ---
+    "filter_pred", "join_equi", "distinct_dedup", "topk", "window_rank",
+    "scalar_text", "set_union", "sql_api_subquery", "quantile_price",
 )
 
 

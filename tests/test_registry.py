@@ -25,21 +25,30 @@ def test_window_is_first_50():
     assert set(registry.DRIVER_WINDOW) <= set(names)
 
 
-def test_window_covers_north_star_families():
+def test_window_covers_rotation_targets():
     window = set(registry.DRIVER_WINDOW)
-    # VERDICT r1 "done =" list — all must hold driver slots
-    must = {
-        "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh",
-        "dedup_clusters", "dedup_lsh_jaccard_verified", "text_quality",
-        "lang_id", "tfidf_top_terms", "decontaminate_ngram",
-        "cosine_knn_exact", "label_centroids", "event_window",
-        "event_session", "multimodal_meta",
-        # §2.1 core coverage
+    # Round-3 rotation (VERDICT r2 "Next round" §1): the always-on
+    # regression core plus every query never driver-checked in r1/r2.
+    core = {
         "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
         "partition_expr", "sort_asc", "sort_desc", "agg_count",
         # round-1 regression proof
         "tpch_q12",
     }
+    never_checked = {
+        "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
+        "tpch_q20", "tpch_q21", "tpch_q22",
+        "exact_distinct_agg", "stats_agg", "scalar_json",
+        "join_skew_salted", "shingle_fingerprints", "ngram_freq",
+        "text_normalize", "corpus_report", "quality_deciles",
+        "decontaminate_bloom", "pandas_udaf_mean", "dedup_simhash_pairs",
+        "dedup_minhash_mllib", "dedup_keep_best", "dedup_containment",
+        "embedding_stats", "kmeans_assign", "kmeans_lloyd",
+        "multimodal_framesample", "asof_cogroup_pandas", "streaming_dedup",
+        "streaming_incremental_dedup", "event_hopping_window",
+        "streaming_hopping",
+    }
+    must = core | never_checked
     assert must <= window, f"missing from driver window: {must - window}"
 
 
@@ -48,9 +57,9 @@ def test_window_mostly_oracle_backed():
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
     # rows-only slots are spent ONLY on genuinely non-SQL-expressible ops
     assert set(rows_only) <= {
-        "ann_lsh_topk", "ann_ivf_topk",
-        "multimodal_features", "multimodal_embed_ann", "streaming_stateful",
-        "dedup_embedding_cosine_bucketed",
+        "pandas_udaf_mean", "dedup_simhash_pairs", "dedup_minhash_mllib",
+        "kmeans_lloyd", "multimodal_framesample", "asof_cogroup_pandas",
+        "streaming_dedup", "streaming_incremental_dedup",
     }, f"unexpected rows-only in window: {rows_only}"
 
 
