@@ -956,8 +956,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
     n_eval = eval_grams.count()
-    # m ≈ 16 bits/gram (k=4 → ~0.2% fp), in whole 64-bit words, capped
-    n_words = max(16, min(65536, (16 * max(n_eval, 1) + 63) // 64))
+    # m ≈ 16 bits/gram (k=4 → ~0.2% fp), in whole 64-bit words. The cap
+    # is memory-bound, not plan-bound (see below): 2^21 words = 16 MB
+    # of bits ≈ 8.4M grams at 16 bits/gram. Past it the fp rate degrades
+    # and the exact semi-join absorbs the extras — still correct, just
+    # less selective; a 10B-gram blocklist would persist the bit array
+    # as a table and broadcast it the same way.
+    n_words = max(16, min(1 << 21, (16 * max(n_eval, 1) + 63) // 64))
     m_bits = 64 * n_words
     seeds = [1, 2, 3, 4]
 
@@ -979,10 +984,17 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = [0] * n_words
     for r in word_bits:
         bloom[r["w"]] = r["bits"]
-    bl = F.array(*[F.lit(x) for x in bloom])
+    # Ship the bit array as DATA, not as plan (round-2 VERDICT item #3:
+    # the previous form inlined n_words F.lit longs into the expression
+    # tree, bloating analysis/codegen and capping the bloom at 64k
+    # words). A one-row DataFrame broadcast-crossJoined onto the train
+    # scan puts a single BroadcastNestedLoopJoin node in the plan; the
+    # bits travel the torrent broadcast path like any dim table, and
+    # the per-gram probe below stays whole-stage-codegen JVM.
+    bl_df = spark.createDataFrame([(bloom,)], "_bl array<bigint>")
 
     train = grams.filter(F.col("doc_id") % 97 != 0)
-    probed = train.withColumn("_bl", bl)
+    probed = train.crossJoin(F.broadcast(bl_df))
     cond = None
     for i, p in enumerate(positions(F.col("g"))):
         probed = probed.withColumn(f"_p{i}", p)

@@ -285,3 +285,16 @@ def test_o11_output_path_is_jvm_sorted(spark, tmp_path):
     assert "pid" in sort_args and "word" in sort_args and "cnt" in sort_args
     # exactly one pid exchange on top of the aggregation's own shuffle
     assert plan.count("REPARTITION_BY_NUM") == 1
+
+
+def test_bloom_bits_ride_broadcast_not_plan(spark, sf_dir):
+    """decontaminate_bloom (round-2 VERDICT #3): the bloom bit array
+    must ship as broadcast DATA (one-row BroadcastNestedLoopJoin), not
+    as thousands of inlined literals bloating the expression tree. A
+    compact plan string is the observable: the old form printed every
+    word of the bit array."""
+    plan = plan_of(spark, sf_dir, "decontaminate_bloom")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(plan) < 50_000, f"plan string is {len(plan)} chars — literal bloat?"
+    # exactness is still restored by the broadcast semi-join on grams
+    assert "LeftSemi" in plan
