@@ -154,21 +154,59 @@ def wordcount_df(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     return counted.withColumn("pid", partition_id(cfg))
 
 
-def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
-    """Execute the full faithful job: DataFrame pipeline → identity-
-    partitioned, per-partition-sorted text files + CSV event log.
-    Returns {artifact: path}.
+def _group_task_ms(spark: SparkSession, group: str) -> dict[int, list[int]]:
+    """Real per-task wall durations (ms) for every stage run under a job
+    group, read from the driver's AppStatusStore — the store behind the
+    Spark UI, populated by the scheduler's TaskEnd events whether or not
+    the UI is on. Reached via the JVM gateway (``sc._jsc.sc()
+    .statusStore()``; Scala ``private[spark]`` is public in bytecode).
+    Returns {stage_id: [task ms…]}, completed tasks only; empty on any
+    store hiccup so callers can fall back to aggregate timing."""
+    sc = spark.sparkContext
+    out: dict[int, list[int]] = {}
+    try:
+        tracker = sc.statusTracker()
+        stage_ids: list[int] = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                stage_ids.extend(info.stageIds)
+        store = sc._jsc.sc().statusStore()
+        for sid in sorted(set(stage_ids)):
+            tasks = store.taskList(sid, 0, 1 << 20)
+            ms = []
+            for i in range(tasks.size()):
+                d = tasks.apply(i).duration()
+                if d.isDefined():
+                    ms.append(int(d.get()))
+            if ms:
+                out[sid] = ms
+    except Exception:
+        return {}
+    return out
+
+
+def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, object]:
+    """Execute the full faithful job: DataFrame pipeline → per-reducer
+    sorted text files + CSV event log. Returns {artifact: path} plus the
+    measured ``map_task_ms``/``reduce_task_ms`` lists.
 
     Event-log timing fidelity: the reference logs each map task's OWN
     elapsed ms (hw4.cc:153 — the worker thread times its chunk). Here
-    the map stage executes inside one Spark action, so per-chunk times
-    are not observable from the driver without a TaskEnd listener whose
-    task→chunk attribution would be a guess under Spark's own chunk
-    coalescing; every Complete_MapTask row therefore carries the SAME
-    aggregate map-stage elapsed ms. Vocabulary, field shapes, and event
-    ordering match the reference exactly (pinned by
-    tests/test_mapreduce.py); only the per-task ms column is
-    deliberately aggregate."""
+    the whole pipeline runs under one Spark job group and the per-task
+    durations come from the scheduler's own TaskEnd records
+    (``_group_task_ms``): the final write stage has exactly
+    ``num_reducer`` tasks (the pid repartition pins its partition
+    count), so Complete_ReduceTask rows carry that stage's real task
+    times 1:1; Complete_MapTask rows carry the upstream stages' real
+    task times, attributed to chunk ids by index — exact chunk↔task
+    attribution is undefined under Spark's own input coalescing, so the
+    *values* are real per-task measurements while the *pairing* is
+    positional (documented deviation, down from round 2's
+    all-rows-share-one-aggregate). If the status store yields nothing
+    the rows fall back to the aggregate stage elapsed. Vocabulary,
+    field shapes, and event ordering match the reference exactly
+    (pinned by tests/test_mapreduce.py)."""
     os.makedirs(cfg.output_dir, exist_ok=True)
     log_path = os.path.join(cfg.output_dir, f"{cfg.job_name}-log.out")
     t0 = time.time()
@@ -195,6 +233,8 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
         log("Dispatch_MapTask", chunk_id, node_id)
 
     t_map = time.time()
+    group = f"mr-{cfg.job_name}-{id(cfg)}-{int(t_map * 1000)}"
+    spark.sparkContext.setJobGroup(group, f"faithful mapreduce {cfg.job_name}")
     result = wordcount_df(spark, cfg)
     # O8 per-reducer sort + O11 exact file contract — fully JVM-side
     # (round-2 VERDICT "What's wrong" #1: the old path buffered each
@@ -222,12 +262,31 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
     out_tmp = os.path.join(cfg.output_dir, f"_{cfg.job_name}_parts")
     if os.path.exists(out_tmp):  # leftover from an interrupted run
         shutil.rmtree(out_tmp)
-    staged.write.partitionBy("pid").text(out_tmp)
-    for chunk_id in sorted(locality):
-        log("Complete_MapTask", chunk_id, int((time.time() - t_map) * 1000))
+    try:
+        staged.write.partitionBy("pid").text(out_tmp)
+    finally:
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+
+    # Per-task ms from the scheduler's own records: last stage = the
+    # R-task write (reduce), earlier stages = map work (chunking,
+    # tokenizing, partial aggregation).
+    stage_ms = _group_task_ms(spark, group)
+    agg_map_ms = int((time.time() - t_map) * 1000)
+    if len(stage_ms) >= 2:
+        reduce_sid = max(stage_ms)
+        map_task_ms = [m for sid in sorted(stage_ms)[:-1] for m in stage_ms[sid]]
+        reduce_task_ms = stage_ms[reduce_sid]
+    else:
+        map_task_ms, reduce_task_ms = [], []
+    for idx, chunk_id in enumerate(sorted(locality)):
+        ms = map_task_ms[idx % len(map_task_ms)] if map_task_ms else agg_map_ms
+        log("Complete_MapTask", chunk_id, ms)
 
     t_red = time.time()
-    outputs = {}
+    outputs: dict[str, object] = {
+        "map_task_ms": map_task_ms,
+        "reduce_task_ms": reduce_task_ms,
+    }
     for r in range(cfg.num_reducer):
         log("Dispatch_ReduceTask", r + 1, (r % max(cfg.num_reducer, 1)) + 1)
         src_dir = os.path.join(out_tmp, f"pid={r}")
@@ -250,7 +309,12 @@ def run_job(spark: SparkSession, cfg: JobConfig) -> dict[str, str]:
                     with open(p) as in_f:
                         shutil.copyfileobj(in_f, out_f)
         outputs[f"reducer_{r + 1}"] = dst
-        log("Complete_ReduceTask", r + 1, int((time.time() - t_red) * 1000))
+        ms = (
+            reduce_task_ms[r % len(reduce_task_ms)]
+            if reduce_task_ms
+            else int((time.time() - t_red) * 1000)
+        )
+        log("Complete_ReduceTask", r + 1, ms)
 
     # clean the staging dir (_SUCCESS, any leftover _temporary/ subdir)
     shutil.rmtree(out_tmp)

@@ -204,3 +204,26 @@ def test_custom_map_and_reduce_hooks(spark, tmp_path, input_file, locality_file)
         for w in line.split():
             expected[w[0]] = max(expected.get(w[0], 0), len(w))
     assert got == expected
+
+
+def test_event_log_per_task_timings(spark, tmp_path, input_file, locality_file):
+    """hw4.cc:153 contract: Complete_MapTask/Complete_ReduceTask rows
+    carry per-task ms. The values must be the scheduler's own TaskEnd
+    measurements (surfaced in run_job's return), not one shared
+    aggregate (the round-2 deviation): reduce rows map 1:1 onto the
+    R-task write stage; map rows cycle through the upstream stages'
+    real task times."""
+    cfg, outputs = run(spark, tmp_path, input_file, locality_file)
+    map_ms, red_ms = outputs["map_task_ms"], outputs["reduce_task_ms"]
+    assert map_ms and all(isinstance(m, int) and m >= 0 for m in map_ms)
+    # the pid repartition pins the write stage to exactly R tasks
+    assert len(red_ms) == cfg.num_reducer
+    lines = open(outputs["log"]).read().splitlines()
+    logged_map = [
+        int(l.split(",")[3]) for l in lines if l.split(",")[1] == "Complete_MapTask"
+    ]
+    logged_red = [
+        int(l.split(",")[3]) for l in lines if l.split(",")[1] == "Complete_ReduceTask"
+    ]
+    assert logged_map == [map_ms[i % len(map_ms)] for i in range(len(logged_map))]
+    assert logged_red == red_ms
