@@ -51,6 +51,32 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     return src
 
 
+def windowed_count_stream(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    slide: str | None = None,
+) -> DataFrame:
+    """The streaming window-count topology itself (unstarted): readStream
+    → optional watermark → tumbling/hopping window agg. Split out of
+    ``run_windowed_count`` so tests can drive the SAME topology through
+    multi-micro-batch feeds (late-data/watermark proofs) instead of the
+    one-shot processAllAvailable wrapper."""
+    src = events_stream(spark, path)
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+        .select("event_type", F.col("w.start").alias("h"), "cnt", "sv")
+    )
+
+
 def run_windowed_count(
     spark: SparkSession,
     path: str,
@@ -70,18 +96,7 @@ def run_windowed_count(
     state rows — state volume scales with that ratio, which is why
     production hops are small multiples, not sliding-by-record).
     """
-    src = events_stream(spark, path)
-    if watermark:
-        src = src.withWatermark("ts", watermark)
-    win = F.window("ts", window, slide) if slide else F.window("ts", window)
-    agg = (
-        src.groupBy(win.alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
-        )
-        .select("event_type", F.col("w.start").alias("h"), "cnt", "sv")
-    )
+    agg = windowed_count_stream(spark, path, window, watermark, slide)
     name = f"stream_windowed_{next(_sink_counter)}"
     mode = "append" if watermark else "complete"
     q = (

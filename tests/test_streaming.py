@@ -153,3 +153,67 @@ def test_streaming_hopping_equals_batch(spark, sf_dir):
     s = {(r["event_type"], r["h"]): (r["cnt"], r["sv"]) for r in stream}
     b = {(r["event_type"], r["ws"]): (r["cnt"], r["sv"]) for r in batch}
     assert s == b
+
+
+def test_windows_py_watermark_matches_batch_minus_late(spark, tmp_path):
+    """Late-data proof on the engine's own topology (streaming/windows.py
+    ``windowed_count_stream``, the path every declared streaming window
+    query runs through): an out-of-order two-batch feed must (a) DROP
+    the row that arrives behind the watermark and (b) make every emitted
+    (closed) window equal the batch groupBy over the on-time rows — the
+    stream/batch unification property, now proven on the append-mode
+    late-data path rather than the complete-mode backfill."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.streaming.windows import (
+        windowed_count_stream,
+    )
+
+    src = str(tmp_path / "events_stream")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    schema = "ts timestamp, event_type string, value double"
+    batch1 = [(t(10, 5), "a", 1.0), (t(10, 20), "a", 2.0), (t(11, 40), "a", 1.0)]
+    late_row = (t(10, 30), "a", 5.0)  # behind the 11:10 watermark → dropped
+    batch2 = [late_row, (t(12, 30), "a", 1.0)]
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(src)
+
+    agg = windowed_count_stream(
+        spark, src, window="1 hour", watermark="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_batch_proxy")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark → 11:40 - 30m = 11:10
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 2: late row dropped, 11:00 closes
+        got = {
+            (r["event_type"], r["h"]): (r["cnt"], r["sv"])
+            for r in spark.table("wm_batch_proxy").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch proxy over ON-TIME rows only, restricted to closed windows
+    on_time = spark.createDataFrame(batch1 + [batch2[1]], schema)
+    closed = (
+        on_time.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+        .select("event_type", F.col("w.start").alias("h"), "cnt", "sv")
+        .filter(F.col("h") < t(12, 0))  # final watermark 12:00 closes < 12:00
+        .collect()
+    )
+    expected = {(r["event_type"], r["h"]): (r["cnt"], r["sv"]) for r in closed}
+    assert got == expected
+    # and the late row's value is visibly absent from its window
+    assert got[("a", t(10, 0))] == (2, 3.0)
