@@ -20,16 +20,53 @@ from ..catalog import table
 from ..registry import query
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode (PIL/libvips) — NOT available in this container.
+def _image_decoder():
+    """Factory for the payload decoder. Returns a SELF-CONTAINED closure
+    (stdlib/optional imports inside, no module globals) so executors
+    pickle it by value — a module-level function would pickle by
+    reference and break any worker without the repo on PYTHONPATH."""
 
-    The deterministic fake used by ``multimodal_features`` stands in so
-    the distributed plumbing (binary column → Arrow batch → per-batch
-    Python → typed feature rows) is fully exercised.
-    """
-    raise NotImplementedError(
-        "image codecs not installed; multimodal_features uses a deterministic fake"
-    )
+    def decode(payload: bytes) -> dict:
+        """Decode an image payload to {width, height, mode, decoder}.
+
+        Tries a real codec first (PIL, when installed — it is NOT in
+        this container) and falls back to a DETERMINISTIC FAKE derived
+        from the byte stream, flagged ``decoder='fake'``. Undecodable
+        bytes under a real codec also fall back (the fixtures' payloads
+        are text bytes, not real media). Either way the distributed
+        plumbing — binary column → Arrow batch → per-batch Python →
+        typed feature rows — is identical; installing Pillow upgrades
+        the values without touching any plan.
+        """
+        try:
+            from PIL import Image  # optional dependency probe
+        except ImportError:
+            Image = None
+        if Image is not None:
+            import io
+
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    return {
+                        "width": int(im.width),
+                        "height": int(im.height),
+                        "mode": str(im.mode),
+                        "decoder": "pil",
+                    }
+            except Exception:
+                pass  # not a decodable image — deterministic fake below
+        return {
+            "width": 16 + (payload[0] % 64) if payload else 0,
+            "height": 16 + (payload[-1] % 64) if payload else 0,
+            "mode": "FAKE",
+            "decoder": "fake",
+        }
+
+    return decode
+
+
+#: Public decode entry point (see the closure's docstring).
+decode_image = _image_decoder()
 
 
 @query(
@@ -57,30 +94,30 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_features")  # rows-only: mapInPandas plumbing, fake decoder
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``: Arrow
-    batches of (doc_id, payload) go to Python; a deterministic fake
-    decoder emits fixed-width features (byte_sum, fake width/height from
-    the byte stream). This is exactly the batch shape a real image
-    featurizer would use — swap ``_fake_features`` for a real codec and
-    nothing else changes. Partition-parallel, no shuffle."""
+    batches of (doc_id, payload) go to Python; ``decode_image`` supplies
+    width/height (real PIL decode when installed, deterministic fake
+    otherwise — same batch shape either way). Partition-parallel, no
+    shuffle."""
     docs = table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    decode = _image_decoder()  # fresh by-value closure for the executors
 
-    def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = pdf["payload"]
+            dec = [decode(bytes(b)) for b in raw]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": raw.map(len),
                     "byte_sum": raw.map(lambda b: sum(b) % 2**31),
-                    # fake 'decoded' dims: deterministic function of content
-                    "width": raw.map(lambda b: 16 + (b[0] % 64) if len(b) else 0),
-                    "height": raw.map(lambda b: 16 + (b[-1] % 64) if len(b) else 0),
+                    "width": [d["width"] for d in dec],
+                    "height": [d["height"] for d in dec],
                 }
             )
 
     out = payloads.mapInPandas(
-        _fake_features,
+        _features,
         schema="doc_id long, n_bytes int, byte_sum long, width int, height int",
     )
     return out.orderBy("doc_id")
