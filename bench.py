@@ -62,6 +62,10 @@ HEADLINE = [
     "train_split_hash",
     "stats_agg",
     "resample_ffill",
+    # r3 additions: bloom-prefiltered decontamination + the oracle-backed
+    # Lloyd assignment round (totals across rounds compare on shared sets)
+    "decontaminate_bloom",
+    "kmeans_assign",
 ]
 
 

@@ -13,6 +13,20 @@ cluster formation the way a crawled web corpus would.
 Writes the replicated corpus under /tmp/spark_graft_scale_<factor>x
 (reused if present) and prints one timing line per query plus one JSON
 summary line. Queries default to the production dedup path.
+
+Two dup regimes, selected by ``--variants N``:
+
+* default (no flag): every odd replica gets a UNIQUE suffix, so
+  near-dup cluster size grows LINEARLY with the factor — an
+  adversarial regime in which any pairwise verifier's pair volume is
+  quadratic in the factor (measured: it exceeds this node's disk at
+  300×). Useful for finding the wall, not for projecting production.
+* ``--variants N``: odd replicas cycle through N distinct suffixes, so
+  cluster size is CONSTANT (N near-dup variants + 1 exact family) no
+  matter the factor — the production crawl profile, where dup cluster
+  size is set by site behavior, not corpus size. Pair volume then
+  scales linearly with the corpus, which is the regime the
+  exact-collapse-first composition is designed for.
 """
 
 from __future__ import annotations
@@ -42,7 +56,7 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_corpus(spark, factor: int) -> str:
+def build_corpus(spark, factor: int, variants: int | None = None) -> str:
     """Replicate documents, embeddings, and events factor×: ids offset
     per replica; odd doc/vector replicas are perturbed (suffix token /
     nudged first vector component → near-dups), even replicas are exact
@@ -53,7 +67,9 @@ def build_corpus(spark, factor: int) -> str:
     earlier probe versions top up instead of rebuilding, and a crash
     mid-build never leaves a half-corpus that later runs silently
     adopt."""
-    out_dir = f"/tmp/spark_graft_scale_{factor}x"
+    out_dir = f"/tmp/spark_graft_scale_{factor}x" + (
+        f"_v{variants}" if variants else ""
+    )
 
     def done(t: str) -> bool:
         return os.path.exists(os.path.join(out_dir, t, "_SUCCESS"))
@@ -68,7 +84,13 @@ def build_corpus(spark, factor: int) -> str:
                 (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
                 F.when(
                     F.col("rep") % 2 == 1,
-                    F.concat(F.col("text"), F.lit(" r"), F.col("rep")),
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" r"),
+                        # capped regime: N distinct odd suffixes → constant
+                        # cluster size; default: unique suffix per replica
+                        F.col("rep") % (2 * variants) if variants else F.col("rep"),
+                    ),
                 )
                 .otherwise(F.col("text"))
                 .alias("text"),
@@ -143,10 +165,16 @@ PROBE_EXTRAS = {"resample_ffill_full": _resample_full}
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    variants = None
+    if "--variants" in args:
+        i = args.index("--variants")
+        variants = int(args[i + 1])
+        del args[i : i + 2]
+    factor = int(args[0]) if args else 100
+    names = args[1:] or DEFAULT_QUERIES
     spark = get_spark("scale-probe")
-    corpus = build_corpus(spark, factor)
+    corpus = build_corpus(spark, factor, variants)
 
     # catalog.table(sf_dir, name) resolves {sf_dir}/{name}.parquet; stage a
     # directory view where the replicated tables point at the corpus and
@@ -170,7 +198,16 @@ def main() -> None:
         queries[name](spark, sf_view).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 2)
         print(f"{name}: {timings[name]}s", flush=True)
-    print(json.dumps({"factor": factor, "base": BASE_SF_DIR, "queries": timings}))
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "variants": variants,
+                "base": BASE_SF_DIR,
+                "queries": timings,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
