@@ -2069,3 +2069,53 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "delta_scan",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake round trip through the jar-free connector
+    (sources/delta.py): documents materializes ONCE per sf_dir as an
+    on-disk Delta table (data parquet + commit-0 transaction log,
+    partitioned by lang), then reads back through ``read_delta`` — log
+    replay → active-file snapshot → native parquet scan with per-branch
+    partition literals — and aggregates. The oracle runs on the
+    original parquet, so a green row proves the Delta path loses,
+    duplicates, and mistypes nothing (including the partition column,
+    which exists only in the log, not in the data files).
+
+    Scale: the transaction log is metadata (file list on the driver,
+    same posture as any file index); the data path is Spark's own
+    parquet scan, so pushdown/pruning/codegen apply unchanged, and
+    filters on partition columns constant-fold per branch — real
+    partition pruning (pinned by tests/test_delta.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.delta import write_delta_commit0
+    from ..sources.readers import read_delta
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_delta_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(base, "_delta_log", f"{0:020d}.json")):
+        write_delta_commit0(
+            spark, table(spark, sf_dir, "documents"), base, partition_by=["lang"]
+        )
+    return (
+        read_delta(spark, base)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("lang", "source")
+    )

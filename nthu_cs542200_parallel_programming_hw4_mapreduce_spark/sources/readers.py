@@ -42,14 +42,26 @@ def _require_format(spark: SparkSession, fmt: str, hint: str) -> None:
                 f"{fmt} requires its connector jar on the Spark classpath "
                 f"(not present in this environment). {hint}"
             ) from e
-        raise  # format exists; the bogus path failed → caller's path problem
+        if "PATH_NOT_FOUND" in msg or "does not exist" in msg:
+            return  # format resolved; only the probe path is bogus
+        raise  # format exists; some other probe failure → surface it
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Delta Lake table scan — needs delta-spark on the classpath."""
-    _require_format(
-        spark, "delta", "Add io.delta:delta-spark and retry: spark.read.format('delta').load(path)"
-    )
+    """Delta Lake table scan: the native connector when delta-spark is
+    on the classpath, else the built-in jar-free log reader
+    (``sources/delta.py``) — the Delta READ protocol is plain JSON +
+    parquet, so minReaderVersion-1 tables (no column mapping, no
+    deletion vectors) read correctly without any jar."""
+    try:
+        _require_format(
+            spark, "delta",
+            "Add io.delta:delta-spark and retry: spark.read.format('delta').load(path)",
+        )
+    except NotImplementedError:
+        from .delta import read_delta_via_log
+
+        return read_delta_via_log(spark, path)
     return spark.read.format("delta").load(path)
 
 
