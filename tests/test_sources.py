@@ -78,16 +78,20 @@ def test_approx_agg_error_bounds(spark, sf_dir):
 
 
 def test_lakehouse_stubs_raise_actionable_errors(spark):
-    """Delta/Iceberg jars aren't in this environment: the connectors must
-    fail with a NotImplementedError naming the missing jar, not an
-    opaque ClassNotFound."""
+    """Iceberg (no jar-free path) must fail with a NotImplementedError
+    naming the missing jar, not an opaque ClassNotFound; Delta falls back
+    to the jar-free log reader, which reports a non-table path as
+    FileNotFoundError naming the missing ``_delta_log``."""
     import pytest as _pytest
 
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.readers import (
         read_delta,
+        read_iceberg,
     )
 
-    with _pytest.raises(NotImplementedError, match="delta"):
+    with _pytest.raises(NotImplementedError, match="iceberg"):
+        read_iceberg(spark, "nonexistent_catalog.db.tbl")
+    with _pytest.raises(FileNotFoundError, match="_delta_log"):
         read_delta(spark, "/tmp/nonexistent_delta")
 
 
