@@ -1258,3 +1258,162 @@ def dedup_fuzzy_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = docs.join(keep.hint("merge"), "doc_id", "left_semi")
     return lsh_jaccard_verified_over(reps)
+
+
+# ---------------------------------------------------------------------------
+# Corpus duplication metrics + semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "substring_dup_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(l) - 7, 0) + 1)) r(i)
+    ),
+    w AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS c FROM g)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(DISTINCT doc_id) FROM w WHERE c > 1) AS docs_with_dup,
+           (SELECT COUNT(DISTINCT g) FROM w WHERE c > 1) AS dup_grams,
+           round(CAST((SELECT COUNT(DISTINCT doc_id) FROM w WHERE c > 1) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM documents), 6) AS dup_rate
+    """,
+)
+def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus substring-duplication metric (the diagnostic behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021, §4: how much of the corpus shares a long exact substring
+    with another document): the fraction of docs containing at least one
+    word 8-gram that also occurs in a DIFFERENT document, plus the count
+    of such duplicated grams. One summary row — the number a pipeline
+    owner reads before deciding whether ExactSubstr-style dedup is worth
+    running.
+
+    Plan shape: the positional 8-grams reuse :func:`~..functions.text.
+    word_shingles` (codegen'd index build, per-doc array_distinct), then
+    ONE shuffle on the gram partitions a count window (docs-per-gram
+    groups are near-dup-cluster sized, never corpus sized), and the
+    filtered stream partial-aggregates into two distinct counts. The
+    final 1×1 crossJoin attaches the corpus count — both sides single
+    rows, no data motion."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    gd = docs.select(
+        "doc_id", F.explode(X.word_shingles("text", k=8)).alias("g")
+    )
+    dup = gd.withColumn(
+        "c", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("c") > 1)
+    stats = dup.agg(
+        F.countDistinct("doc_id").alias("docs_with_dup"),
+        F.countDistinct("g").alias("dup_grams"),
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return n.crossJoin(stats).select(
+        "n_docs",
+        "docs_with_dup",
+        "dup_grams",
+        F.round(
+            F.col("docs_with_dup").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+             embedding AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8) s
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cluster,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+             )) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    a AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT vec_id, embedding, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d) t
+      WHERE rn = 1
+    )
+    SELECT DISTINCT y.vec_id AS removed_id
+    FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE {V.dd_cosine('x.embedding', 'y.embedding')} >= 0.4
+    ORDER BY removed_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the embedding
+    space, then deduplicate ONLY within each cluster — pairwise cosine
+    against cluster peers, dropping every vector that has a lower-id
+    peer at cosine ≥ τ. Clustering bounds the compare volume to
+    Σ clusterᵢ² instead of n²; the paper's production recipe sizes k so
+    clusters stay ~n/k small (50k clusters for 100M docs).
+
+    Assignment reuses ``kmeans_assign``'s proven kernel verbatim (fixed
+    init = the k lowest vec_ids, one Lloyd round, Σ(x−c)² term-for-term
+    with the oracle, argmin first-index tie-break ≡ ORDER BY d2,
+    cluster) but passes the embedding through the Arrow batch so the
+    per-cluster stage needs NO join back to the corpus. The per-cluster
+    pairwise stage is ``groupBy(cluster).applyInPandas`` — one shuffle
+    on cluster, then a normalized-matmul BLAS kernel per cluster (same
+    float-margin argument as dedup_embedding_cosine: the 0.4 threshold
+    sits ≥1e-5 from every fixture pair, 9 orders above summation-reorder
+    noise). Each vector lives in exactly one cluster, so removed ids
+    are distinct by construction."""
+    import numpy as np
+    import pandas as pd
+
+    k, threshold = 8, 0.4
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            d2 = ((x[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+            yield pdf.assign(cluster=np.argmin(d2, axis=1).astype("int64"))
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cluster long"
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"].iloc[order]]
+        )
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sim = mat @ mat.T
+        lo, hi = np.triu_indices(len(ids), k=1)
+        removed = np.unique(hi[sim[lo, hi] >= threshold])
+        return pd.DataFrame({"removed_id": ids[removed]})
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(dedup_cluster, schema="removed_id long")
+        .orderBy("removed_id")
+    )
