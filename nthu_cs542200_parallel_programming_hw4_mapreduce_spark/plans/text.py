@@ -1016,3 +1016,250 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules, unigram-LM scoring, temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+# The Gopher repetition-free quality rules' stopword set (Rae et al.
+# 2021, "Scaling Language Models: ... Gopher", table A1) — distinct from
+# functions.text.STOPWORDS, which is the language-ID family.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "quality_gopher",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(l) AS n_words,
+             coalesce(list_sum(list_transform(l, w -> length(w))), 0) AS sum_len,
+             len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             n_hash, n_ellipsis,
+             len(list_filter({list(_GOPHER_STOPWORDS)},
+                 sw -> list_contains(list_transform(l, w -> lower(w)), sw))) AS n_stop
+      FROM s
+    )
+    SELECT doc_id, n_words,
+           round(CAST(sum_len AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS f_word_count,
+           CAST(sum_len BETWEEN 3 * n_words AND 10 * n_words AS INT) AS f_mean_len,
+           CAST(10 * (n_hash + n_ellipsis) < n_words AS INT) AS f_symbol,
+           CAST(5 * n_alpha >= 4 * n_words AS INT) AS f_alpha,
+           CAST(n_stop >= 2 AS INT) AS f_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND sum_len BETWEEN 3 * n_words AND 10 * n_words
+                AND 10 * (n_hash + n_ellipsis) < n_words
+                AND 5 * n_alpha >= 4 * n_words
+                AND n_stop >= 2 AS INT) AS gopher_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, §A1.1): word count
+    in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# and …) < 0.1, ≥80% of words contain an alphabetic character, and
+    ≥2 of the canonical stop words present. Flags are emitted per rule
+    (as 0/1 ints) so downstream mixtures can re-weight on individual
+    rules rather than the conjunction.
+
+    Plan shape follows text_quality's measured family rule — ONE
+    explode → groupBy(doc_id), no higher-order array functions in the
+    hot path (interpreted) and no join back to the docs table; the two
+    doc-level symbol counts ride the explode as constants and come back
+    via FIRST. Every flag compares INTEGERS (3·n ≤ Σlen, 5·alpha ≥ 4·n,
+    10·sym < n) — no float thresholds, so engine parity is exact; the
+    one emitted float (mean word length) is a single rounded division
+    of exact ints."""
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text", r"\s+")
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ell = F.expr(
+        "(length(text) - length(replace(text, '...', ''))) div 3"
+    )
+    lw = F.lower("w")
+    m = (
+        docs.select(
+            "doc_id",
+            n_hash.alias("_nh"),
+            n_ell.alias("_ne"),
+            F.explode_outer(toks).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").alias("n_words"),
+            F.coalesce(F.sum(F.length("w")), F.lit(0)).alias("sum_len"),
+            F.coalesce(
+                F.sum(F.col("w").rlike("[A-Za-z]").cast("int")), F.lit(0)
+            ).alias("n_alpha"),
+            F.countDistinct(
+                F.when(lw.isin(*_GOPHER_STOPWORDS), lw)
+            ).alias("n_stop"),
+            F.first("_nh").alias("n_hash"),
+            F.first("_ne").alias("n_ellipsis"),
+        )
+    )
+    f_words = F.col("n_words").between(50, 100000)
+    f_mean = (F.lit(3) * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= F.lit(10) * F.col("n_words")
+    )
+    f_sym = F.lit(10) * (F.col("n_hash") + F.col("n_ellipsis")) < F.col("n_words")
+    f_alpha = F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_words")
+    f_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("sum_len").cast("double") / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        f_words.cast("int").alias("f_word_count"),
+        f_mean.cast("int").alias("f_mean_len"),
+        f_sym.cast("int").alias("f_symbol"),
+        f_alpha.cast("int").alias("f_alpha"),
+        f_stop.cast("int").alias("f_stopwords"),
+        (f_words & f_mean & f_sym & f_alpha & f_stop).cast("int").alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "perplexity_unigram",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_DD_TOKS}) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+    SELECT tf.doc_id,
+           round(SUM(tf.c * ln(tot.n / CAST(vocab.cnt AS DOUBLE)))
+                 / SUM(tf.c), 6) AS nats_per_token
+    FROM tf JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus's own unigram LM
+    (nats/token) — the CCNet-style (Wenzek et al. 2020) LM quality
+    signal with the n-gram model degenerated to unigrams so both
+    engines can replicate it exactly: score(d) = Σ_w tf·ln(N/cnt_w) / Σ_w tf.
+    High scores = rare-token-heavy docs (gibberish, boilerplate IDs);
+    low = stopword soup. Used as a mixture/filtering feature next to
+    quality_gopher's hard rules.
+
+    Scale shape: one explode feeds BOTH aggregations — (doc_id, word)
+    term frequencies and the corpus vocabulary — so the token stream is
+    shuffled once per agg, both partial-agg'd. The score join is keyed
+    on word against the VOCAB (not the corpus): Catalyst broadcasts it
+    at fixture scale, and at 100 TB a 100M-row vocabulary falls back to
+    a sort-merge join on the already-word-partitioned tf side. The
+    total-token scalar is a separate narrow scan (sum of token counts,
+    no explode) — bounded O(1) driver value, same sanction as the
+    centroid collects. Rounded to 6: term-sum reorder noise is ~1e-14
+    relative, 8 orders below the rounding grain."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens("text", r"\s+")).alias("w")
+    )
+    total = float(
+        docs.select(
+            F.sum(F.size(X.tokens("text", r"\s+"))).alias("n")
+        ).first()["n"]
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    return (
+        tf.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("c") * F.log(F.lit(total) / F.col("cnt").cast("double"))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("nats_per_token")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mixture_sample_temperature",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    q AS (
+      SELECT source,
+             CAST(round(200.0 * sqrt(CAST(n_s AS DOUBLE))
+                  / (SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) FROM n), 0) AS BIGINT)
+               AS quota
+      FROM n
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+    WHERE rn <= quota ORDER BY doc_id
+    """,
+)
+def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual-training
+    recipe, e.g. mT5/XLM-R: sample source s with probability ∝ n_s^α,
+    α = 0.5): per-source quotas q_s = round(T·√n_s / Σ√n), filled
+    deterministically by content-independent hash order (md5(doc_id)),
+    so the drawn sample is stable under re-ingestion and shard order —
+    the same reproducibility contract as train_split_hash.
+
+    Determinism at the float boundary: √ is IEEE-correctly-rounded in
+    both engines and the quota uses ROUND (both half-up for positives),
+    whose .5 boundary is unreachable from the ~1-ulp noise of the
+    small Σ√n sum — unlike FLOOR, which sits exactly at the integer the
+    uniform-source case produces.
+
+    Scale shape: quotas come from a source-cardinality agg (tiny,
+    partial-agg'd; the empty-partition window runs on that tiny frame
+    only) broadcast back onto the scan. Rank-by-hash then uses the
+    salted two-phase exact top-K from sample_per_lang_topk — per
+    (source, salt) local top-q_s, then top-q_s of the ≤16·q_s
+    survivors — so no corpus-sized single-task-per-source sort exists
+    at any scale. Exact: the global per-source top-q_s is always a
+    subset of the union of per-salt top-q_s."""
+    from pyspark.sql import Window
+
+    T, S = 200, 16
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    u = F.sqrt(F.col("n_s").cast("double"))
+    tot = F.sum(u).over(Window.partitionBy())
+    quotas = counts.select(
+        "source",
+        F.round(F.lit(float(T)) * u / tot, 0).cast("long").alias("quota"),
+    )
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(S)).alias("_salt"),
+    ).join(F.broadcast(quotas), "source")
+    w1 = Window.partitionBy("source", "_salt").orderBy("_h", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("_h", "doc_id")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= F.col("quota"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
