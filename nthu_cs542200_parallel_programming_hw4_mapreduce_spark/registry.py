@@ -80,9 +80,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_framesample", "asof_cogroup_pandas",
     "streaming_dedup", "streaming_incremental_dedup",
     "event_hopping_window", "streaming_hopping",
+    # --- new this round: oracle-backed on arrival, checked immediately ---
+    "substring_dup_rate", "dedup_semdedup", "quality_gopher",
+    "perplexity_unigram", "mixture_sample_temperature",
     # --- once-checked (r1-only) family representatives ---
-    "filter_pred", "join_equi", "distinct_dedup", "topk", "window_rank",
-    "scalar_text", "set_union", "sql_api_subquery", "quantile_price",
+    "filter_pred", "join_equi", "window_rank", "sql_api_subquery",
 )
 
 
