@@ -187,3 +187,57 @@ def test_keep_best_prefers_longest_then_lowest_id(spark, tmp_path_factory):
     out = {(r["source"], r["lang"]): r["doc_id"] for r in dedup_keep_best(spark, d).collect()}
     assert out[("srcA", "en")] == 1
     assert out[("srcA", "fr")] == 2
+
+
+def test_substring_dup_rate_planted(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        substring_dup_rate,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    rows = [
+        (0, shared + " tail words here", "en", "srcA", 10),
+        (1, "prefix words " + shared, "en", "srcA", 10),      # shares the 8-gram
+        (2, "totally different words with no overlap at all", "en", "srcB", 10),
+        (3, "eight seven six five four three two one", "en", "srcB", 10),  # reversed: no shared gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("subdup"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = substring_dup_rate(spark, d).first()
+    assert r["n_docs"] == 4
+    assert r["docs_with_dup"] == 2
+    assert r["dup_grams"] == 1
+    assert r["dup_rate"] == 0.5
+
+
+def test_semdedup_removes_within_cluster_only(spark, tmp_path_factory):
+    """Two identical-direction pairs land in different kmeans cells;
+    each pair loses its higher id. A cross-cluster near-dup pair must
+    NOT produce a removal (the SemDeDup trade the paper accepts)."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        dedup_semdedup,
+    )
+
+    dim = 16
+
+    def vec(main_axis, scale, pin_axis=None):
+        v = [0.0] * dim
+        v[main_axis] = scale
+        if pin_axis is not None:
+            v[pin_axis] = 0.1
+        return v
+
+    # 8 singletons on axes 0-7 become the 8 fixed centroids
+    rows = [(i, vec(i, 1.0), i % 4) for i in range(8)]
+    # planted near-dup pair on axis 9, pinned to cluster 3 (cosine to
+    # the centroid vector itself is 0.02 — below threshold)
+    rows += [(100, vec(9, 5.0, 3), 0), (101, vec(9, 5.05, 3), 0)]
+    # cross-cluster twin: same axis-9 direction (cosine ~0.999 to the
+    # pair) but pinned to cluster 5 — must NOT be removed
+    rows += [(300, vec(9, 5.0, 5), 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path_factory.mktemp("semdedup"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    removed = {r["removed_id"] for r in dedup_semdedup(spark, d).collect()}
+    assert removed == {101}

@@ -79,3 +79,86 @@ def test_bloom_decontaminate_matches_exact_and_prunes(spark, sf_dir):
     exact = E.queries()["decontaminate_ngram"](spark, sf_dir).collect()
     bloom = E.queries()["decontaminate_bloom"](spark, sf_dir).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, bloom))
+
+
+def _write_docs(spark, tmp_path_factory, rows, name):
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp(name))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_quality_gopher_rules_fire_individually(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        quality_gopher,
+    )
+
+    good = "the good doc has " + " ".join(f"word{i}" for i in range(60)) + " with that"
+    rows = [
+        (0, good, "en", "s", 1),                            # passes everything
+        (1, "the short one with that", "en", "s", 1),       # fails word count only
+        (2, "the " + " ".join(["ab"] * 70) + " with", "en", "s", 1),  # mean len < 3
+        (3, "the " + " ".join(["1234"] * 70) + " with that", "en", "s", 1),  # alpha frac < 0.8
+        (4, " ".join(f"word{i}" for i in range(70)), "en", "s", 1),   # no stopwords
+        (5, "the " + " ".join(["#"] * 30) + " " + " ".join(f"w{i}" for i in range(40)) + " with that", "en", "s", 1),  # symbols
+    ]
+    d = _write_docs(spark, tmp_path_factory, rows, "gopher")
+    out = {r["doc_id"]: r.asDict() for r in quality_gopher(spark, d).collect()}
+    assert out[0]["gopher_pass"] == 1
+    assert out[1]["f_word_count"] == 0 and out[1]["f_mean_len"] == 1
+    assert out[2]["f_mean_len"] == 0
+    assert out[3]["f_alpha"] == 0
+    assert out[4]["f_stopwords"] == 0
+    assert out[5]["f_symbol"] == 0
+    assert all(out[i]["gopher_pass"] == 0 for i in (1, 2, 3, 4, 5))
+
+
+def test_perplexity_unigram_hand_computed(spark, tmp_path_factory):
+    import math
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        perplexity_unigram,
+    )
+
+    # corpus: 6 tokens total; "a" x3, "b" x2, "c" x1
+    rows = [(0, "a a b", "en", "s", 1), (1, "a b c", "en", "s", 1)]
+    d = _write_docs(spark, tmp_path_factory, rows, "ppl")
+    out = {r["doc_id"]: r["nats_per_token"] for r in perplexity_unigram(spark, d).collect()}
+    d0 = (2 * math.log(6 / 3) + 1 * math.log(6 / 2)) / 3
+    d1 = (math.log(6 / 3) + math.log(6 / 2) + math.log(6 / 1)) / 3
+    assert out[0] == round(d0, 6)
+    assert out[1] == round(d1, 6)
+    assert out[1] > out[0]  # rare-token doc scores higher
+
+
+def test_mixture_sample_temperature_quotas_and_determinism(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        mixture_sample_temperature,
+    )
+
+    # skewed sources: 160 / 40 / 10 docs -> sqrt weights upsample small ones
+    rows = []
+    did = 0
+    for src, n in (("big", 160), ("mid", 40), ("small", 10)):
+        for _ in range(n):
+            rows.append((did, f"doc {did} text", "en", src, 1))
+            did += 1
+    d = _write_docs(spark, tmp_path_factory, rows, "mixture")
+    out = mixture_sample_temperature(spark, d)
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    import math
+
+    u = {s: math.sqrt(n) for s, n in (("big", 160), ("mid", 40), ("small", 10))}
+    tot = sum(u.values())
+    per_src = {}
+    for _, s in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    n_by_src = {"big": 160, "mid": 40, "small": 10}
+    for s in u:
+        # a quota larger than the source caps at the source size (the
+        # oracle does the same: rn never exceeds n_s)
+        assert per_src[s] == min(n_by_src[s], round(200.0 * u[s] / tot))
+    # temperature flattens: small source is overrepresented vs raw share
+    assert per_src["small"] / len(got) > 10 / 210
+    # deterministic under re-evaluation
+    assert got == [(r["doc_id"], r["source"]) for r in out.collect()]
