@@ -1295,18 +1295,35 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner reads before deciding whether ExactSubstr-style dedup is worth
     running.
 
-    Plan shape: the positional 8-grams reuse :func:`~..functions.text.
-    word_shingles` (codegen'd index build, per-doc array_distinct), then
-    ONE shuffle on the gram partitions a count window (docs-per-gram
-    groups are near-dup-cluster sized, never corpus sized), and the
+    Plan shape: positional 8-grams come from the narrow index-explode
+    build (codegen'd Generate + element_at — the module-header rule;
+    the word_shingles higher-order form computes the same grams but
+    runs interpreted, measured 4.3 s vs 2.6 s here at sf0.1), deduped
+    per (doc_id, g); the gram-keyed count window's groups are
+    docs-per-gram (near-dup-cluster sized, never corpus sized), and the
     filtered stream partial-aggregates into two distinct counts. The
     final 1×1 crossJoin attaches the corpus count — both sides single
     rows, no data motion."""
     from pyspark.sql import Window
 
+    k = 8
     docs = table(spark, sf_dir, "documents")
-    gd = docs.select(
-        "doc_id", F.explode(X.word_shingles("text", k=8)).alias("g")
+    t = X.tokens("text", r"\s+")
+    gd = (
+        docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
+        .filter(F.col("_n") >= k)
+        .select(
+            "doc_id",
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - (k - 1))).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(k)]
+            ).alias("g"),
+        )
+        .distinct()
     )
     dup = gd.withColumn(
         "c", F.count("*").over(Window.partitionBy("g"))
