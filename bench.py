@@ -66,6 +66,13 @@ HEADLINE = [
     # Lloyd assignment round (totals across rounds compare on shared sets)
     "decontaminate_bloom",
     "kmeans_assign",
+    # r3 additions (second batch): corpus duplication metrics, SemDeDup,
+    # Gopher rules, unigram-LM scoring, temperature mixture sampling
+    "substring_dup_rate",
+    "dedup_semdedup",
+    "quality_gopher",
+    "perplexity_unigram",
+    "mixture_sample_temperature",
 ]
 
 
