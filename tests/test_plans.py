@@ -298,3 +298,50 @@ def test_bloom_bits_ride_broadcast_not_plan(spark, sf_dir):
     assert len(plan) < 50_000, f"plan string is {len(plan)} chars — literal bloat?"
     # exactness is still restored by the broadcast semi-join on grams
     assert "LeftSemi" in plan
+
+
+def test_substring_dup_rate_no_join_no_hof(spark, sf_dir):
+    """The duplication diagnostic must build grams with the narrow
+    index-explode (no interpreted higher-order ArrayTransform) and
+    reach its counts without any corpus join — the only join is the
+    final 1x1 crossJoin stitching two scalar aggregates."""
+    plan = plan_of(spark, sf_dir, "substring_dup_rate", mode="simple")
+    assert "ArrayTransform" not in plan
+    # the only joins are broadcast-nested-loop over single-row sides
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_quality_gopher_single_shuffle_no_expand(spark, sf_dir):
+    """Gopher flags: one explode -> one partial-agg'd groupBy. A
+    distinct aggregate would plan an Expand over the token stream; the
+    per-stopword MAX flags must keep it out."""
+    plan = plan_of(spark, sf_dir, "quality_gopher", mode="simple")
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    # one agg exchange + the presentation sort's range exchange
+    assert plan.count("Exchange") <= 2
+    assert "partial_" in plan  # map-side combine before the doc shuffle
+
+
+def test_perplexity_join_is_vocab_keyed(spark, sf_dir):
+    """The LM-score join keys on the word (vocab side), never shuffles
+    the documents table's text column, and both aggs are partial."""
+    plan = plan_of(spark, sf_dir, "perplexity_unigram", mode="simple")
+    assert "partial_count" in plan
+    # no full-text column crosses a shuffle: text is consumed by the
+    # explode before any Exchange
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_mixture_sample_is_two_phase_with_broadcast_quotas(spark, sf_dir):
+    """Quotas broadcast onto the scan (no corpus shuffle for the join)
+    and the rank fill is the salted two-phase top-K: two window sorts,
+    the first keyed on (source, salt)."""
+    plan = plan_of(spark, sf_dir, "mixture_sample_temperature", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "_salt" in plan
