@@ -128,3 +128,42 @@ def test_orc_roundtrip_and_pushdown(spark, docs, tmp_path):
     plan = buf.getvalue()
     pushed = plan.split("PushedFilters")[1].splitlines()[0]
     assert "doc_id" in pushed
+
+
+def test_training_shard_writer_contract(spark, docs, tmp_path):
+    """Shard files: exactly n, membership = pmod(xxhash64(key), n),
+    in-file order ascending, byte-stable across re-runs."""
+    from pyspark.sql import functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.sinks import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    n = 8
+    paths = write_training_shards(docs, out, n, key="doc_id")
+    assert [p.rsplit("/", 1)[1] for p in paths] == [
+        f"shard-{i:05d}.parquet" for i in range(n)
+    ]
+
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(n)).cast("int").alias("s")
+        ).collect()
+    }
+    total = 0
+    for i, p in enumerate(paths):
+        rows = spark.read.parquet(p).select("doc_id").collect()
+        ids = [r["doc_id"] for r in rows]
+        total += len(ids)
+        assert ids == sorted(ids), f"shard {i} not ordered"
+        assert all(expected[d] == i for d in ids), f"shard {i} membership"
+    assert total == docs.count()
+
+    # determinism: a second run reproduces identical bytes per shard
+    out2 = str(tmp_path / "shards2")
+    paths2 = write_training_shards(docs, out2, n, key="doc_id")
+    for p1, p2 in zip(paths, paths2):
+        with open(p1, "rb") as a, open(p2, "rb") as b:
+            assert a.read() == b.read()
