@@ -1424,10 +1424,22 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [np.asarray(e, dtype=np.float64) for e in pdf["embedding"].iloc[order]]
         )
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sim = mat @ mat.T
-        lo, hi = np.triu_indices(len(ids), k=1)
-        removed = np.unique(hi[sim[lo, hi] >= threshold])
-        return pd.DataFrame({"removed_id": ids[removed]})
+        # blocked upper-triangle matmul: a skewed cluster of c vectors
+        # must not allocate the full c×c sim matrix (25k vectors would
+        # be 5 GB); B-row strips bound kernel memory at B·c doubles
+        # while keeping the compare in BLAS.
+        B = 512
+        n = len(ids)
+        hit = np.zeros(n, dtype=bool)
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            if s + 1 >= n:
+                break
+            sim = mat[s:e] @ mat[s + 1 :].T
+            rows, cols = np.nonzero(sim >= threshold)
+            i_idx, j_idx = rows + s, cols + s + 1
+            hit[j_idx[j_idx > i_idx]] = True  # strictly upper triangle
+        return pd.DataFrame({"removed_id": ids[hit]})
 
     return (
         assigned.groupBy("cluster")
