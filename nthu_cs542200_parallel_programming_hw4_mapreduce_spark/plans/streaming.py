@@ -504,3 +504,57 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_count(
         spark, f"{sf_dir}/events.parquet", window="1 hour", slide="30 minutes"
     )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - sv / n)
+                 / sqrt((svv - (sv * sv) / n) / (n - 1)), 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((value - sv / n)
+              / sqrt((svv - (sv * sv) / n) / (n - 1))) > 3.0
+    ORDER BY event_id
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection: events whose ``value`` is more than 3
+    sample standard deviations from their event-type mean — the batch
+    twin of a monitoring alert (the streaming version is this aggregate
+    per window; see ``event_window``).
+
+    Determinism across engines: mean/stddev are derived from DECIMAL
+    sums (Σv, Σv² accumulate exactly, so partial-agg combine order
+    cannot perturb them — the repo's standard float-agg idiom, cf.
+    ``streaming_hopping``'s oracle), converted to double once, then
+    sigma = sqrt((Σv² - (Σv)²/n) / (n-1)) in identical double ops on
+    both sides. Scale shape: per-type stats are a tiny partial-agg'd
+    groupBy (|event_type| keys), broadcast back — the event scan is
+    never shuffled."""
+    ev = table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(d).cast("double").alias("sv"),
+        F.sum(d * d).cast("double").alias("svv"),
+    )
+    mu = F.col("sv") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("svv") - (F.col("sv") * F.col("sv")) / F.col("n"))
+        / (F.col("n") - F.lit(1))
+    )
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )

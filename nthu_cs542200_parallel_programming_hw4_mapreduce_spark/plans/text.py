@@ -640,6 +640,61 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(ws[i:i + 3], ' ') AS g
+      FROM toks, UNNEST(range(1, len(ws) - 2)) AS r(i)
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_grams,
+             count(*) FILTER (
+               WHERE g IN (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+             ) AS n_hit
+      FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(n_hit / n_grams, 6) AS overlap_frac
+    FROM agg ORDER BY doc_id
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SCORING — the graded complement to the binary
+    ``decontaminate_ngram`` gate: for every training document, the
+    fraction of its word 4-grams that appear in the eval set
+    (``doc_id % 97 = 0``). The GPT-3/PaLM appendices report exactly this
+    per-document overlap statistic to pick a quarantine threshold; the
+    binary filter is this query with ``overlap_frac > 0``.
+
+    Same scale shape as the binary gate: the eval side's distinct grams
+    broadcast (benchmarks are MBs); the train side takes a broadcast
+    LEFT join (hit = matched marker, counted per doc), so the only
+    corpus-sized shuffle is the per-doc aggregate. n_hit/n_grams is a
+    single long/long division — no accumulation-order float risk."""
+    docs = table(spark, sf_dir, "documents")
+    grams = _contamination_grams(docs)
+    ev = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hit"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap_frac"),
+    ).orderBy("doc_id")
+
+
+@query(
     "sample_per_lang_topk",
     oracle="""
     SELECT doc_id, lang FROM (

@@ -217,3 +217,27 @@ def test_windows_py_watermark_matches_batch_minus_late(spark, tmp_path):
     assert got == expected
     # and the late row's value is visibly absent from its window
     assert got[("a", t(10, 0))] == (2, 3.0)
+
+
+def test_anomaly_zscore_flags_only_outliers(spark, tmp_path):
+    import math
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        anomaly_zscore,
+    )
+
+    # 20 unit-ish values + one far outlier per type; only it exceeds 3 sigma
+    rows = [(i, "click", float(10 + (i % 3))) for i in range(20)]
+    rows.append((20, "click", 1000.0))
+    rows += [(100 + i, "view", 5.0 + (i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = anomaly_zscore(spark, d).collect()
+    assert [r["event_id"] for r in out] == [20]
+    vals = [v for _i, t, v in rows if t == "click"]
+    n = len(vals)
+    mu = sum(vals) / n
+    sigma = math.sqrt(sum((v - mu) ** 2 for v in vals) / (n - 1))
+    assert out[0]["z"] == round((1000.0 - mu) / sigma, 6)

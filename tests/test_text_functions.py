@@ -162,3 +162,28 @@ def test_mixture_sample_temperature_quotas_and_determinism(spark, tmp_path_facto
     assert per_src["small"] / len(got) > 10 / 210
     # deterministic under re-evaluation
     assert got == [(r["doc_id"], r["source"]) for r in out.collect()]
+
+
+def test_contamination_overlap_hand_computed(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        contamination_overlap,
+    )
+
+    # doc 0 (0 % 97 == 0) is the eval doc; grams are word 4-grams
+    rows = [
+        (0, "a b c d e", "en", "s", 1),        # eval grams: "a b c d", "b c d e"
+        (1, "a b c d e", "en", "s", 1),        # 2/2 grams contaminated
+        (2, "x a b c d y", "en", "s", 1),      # 1/3 grams ("a b c d")
+        (3, "p q r s t", "en", "s", 1),        # 0/2
+        (4, "one two three", "en", "s", 1),    # <4 tokens: no grams, absent
+    ]
+    d = _write_docs(spark, tmp_path_factory, rows, "contam")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["overlap_frac"])
+        for r in contamination_overlap(spark, d).collect()
+    }
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (3, 1, round(1 / 3, 6)),
+        3: (2, 0, 0.0),
+    }
