@@ -466,3 +466,85 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_PQ_M = 8               # subspaces
+_PQ_K = 16              # codes per subspace (codebook = 16 lowest vec_ids)
+_PQ_SUBDIM = _DIM // _PQ_M
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_PQ_K}) s
+    ),
+    d AS (
+      SELECT e.vec_id, m.m, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+               i -> (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
+                     - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
+                  * (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
+                     - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
+             )) AS d2
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(range(0, {_PQ_M})) AS m) m
+      CROSS JOIN cb
+    ),
+    r AS (
+      SELECT vec_id, m, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           {", ".join(f"max(code) FILTER (WHERE m = {j}) AS code_{j}"
+                      for j in range(_PQ_M))}
+    FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al., PAMI 2011): split the
+    64-dim embedding into 8 subspaces of 8 dims and
+    store, per subspace, the index of the nearest codebook centroid —
+    8 bytes instead of 64 floats per vector (32x
+    compression). PQ is what makes billion-to-trillion-vector ANN fit in
+    memory at all; IVF cells (``ann_ivf_topk``) plus these codes is the
+    standard IVF-PQ layout.
+
+    The codebook here is fixed (the 16 lowest vec_ids) so the
+    encode step is oracle-checkable; a production codebook comes from
+    per-subspace Lloyd rounds — exactly ``kmeans_lloyd`` run on
+    ``slice(embedding)`` columns — and swaps in without changing this
+    plan.
+
+    Scale shape (same as ``kmeans_assign``): the k x d codebook is a
+    bounded collect + broadcast; the corpus streams through ONE narrow
+    mapInPandas scan whose Arrow batches compute per-subspace
+    (batch x k) distance matrices in numpy and emit only (vec_id,
+    8 codes) — no corpus shuffle (the orderBy is presentation-
+    only). Explicit sum-of-squared-diffs keeps term-parity with the
+    oracle; argmin ties break to the lowest code on both engines."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def encode(batches):
+        mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            codes = {}
+            for m in range(_PQ_M):
+                sl = slice(m * _PQ_SUBDIM, (m + 1) * _PQ_SUBDIM)
+                d2 = ((x[:, None, sl] - mat[None, :, sl]) ** 2).sum(axis=2)
+                codes[f"code_{m}"] = np.argmin(d2, axis=1).astype("int64")
+            yield pdf[["vec_id"]].assign(**codes)
+
+    schema = "vec_id long, " + ", ".join(f"code_{m} long" for m in range(_PQ_M))
+    return emb.mapInPandas(encode, schema=schema).orderBy("vec_id")

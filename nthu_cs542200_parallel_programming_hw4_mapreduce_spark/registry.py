@@ -83,8 +83,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round: oracle-backed on arrival, checked immediately ---
     "substring_dup_rate", "dedup_semdedup", "quality_gopher",
     "perplexity_unigram", "mixture_sample_temperature",
-    # --- once-checked (r1-only) family representatives ---
-    "filter_pred", "join_equi", "window_rank", "sql_api_subquery",
+    # (third batch — these took the four once-checked family-
+    # representative slots, per window policy rule 3 > rule 4;
+    # anomaly_zscore waits for round 4, the window is full)
+    "bm25_topk", "dsir_importance", "contamination_overlap", "pq_encode",
 )
 
 

@@ -59,3 +59,18 @@ def test_kmeans_lloyd_inertia_monotone(spark, sf_dir):
     summary = E.queries()["kmeans_lloyd"](spark, sf_dir).collect()
     assert 1 <= len(summary) <= 8
     assert sum(r["n"] for r in summary) == n
+
+
+def test_pq_encode_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """Each codebook vector's nearest centroid in every subspace is
+    itself (distance 0), so vec_ids 0..15 must encode to their own
+    codebook index in all 8 subspaces."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        _PQ_K,
+        _PQ_M,
+        pq_encode,
+    )
+
+    rows = pq_encode(spark, sf_dir).limit(_PQ_K).collect()
+    for r in rows:
+        assert all(r[f"code_{m}"] == r["vec_id"] for m in range(_PQ_M)), r
