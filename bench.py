@@ -73,6 +73,13 @@ HEADLINE = [
     "quality_gopher",
     "perplexity_unigram",
     "mixture_sample_temperature",
+    # r3 additions (third batch): retrieval, data selection, contamination
+    # scoring, PQ compression, anomaly detection
+    "bm25_topk",
+    "dsir_importance",
+    "contamination_overlap",
+    "pq_encode",
+    "anomaly_zscore",
 ]
 
 

@@ -345,3 +345,49 @@ def test_mixture_sample_is_two_phase_with_broadcast_quotas(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "_salt" in plan
+
+
+def test_bm25_single_corpus_agg_and_takeordered(spark, sf_dir):
+    """BM25: per-term tfs ride ONE conditional-count hash aggregate (no
+    posting-list self-join), corpus stats broadcast, and the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, sf_dir, "bm25_topk", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # only the 1-row stats BNLJ
+    assert "partial_count" in plan
+
+
+def test_dsir_joins_stay_broadcast(spark, sf_dir):
+    """DSIR: the B-row log-weight table must broadcast onto the gram
+    stream; a sort-merge join here would shuffle the corpus by hash
+    bucket for no reason."""
+    plan = plan_of(spark, sf_dir, "dsir_importance", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_contamination_overlap_broadcasts_eval_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "contamination_overlap", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_zscore_no_window_no_event_shuffle(spark, sf_dir):
+    """Per-type stats join back via broadcast — the event scan itself is
+    never hash-partitioned, and no Window operator (which would sort
+    every partition) appears."""
+    plan = plan_of(spark, sf_dir, "anomaly_zscore", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert " Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_single_python_stage_no_shuffle(spark, sf_dir):
+    """PQ encoding is one Arrow-batched python stage over the scan; the
+    only exchange is the presentation sort's range partitioning."""
+    plan = plan_of(spark, sf_dir, "pq_encode", mode="simple")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
