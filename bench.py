@@ -80,6 +80,11 @@ HEADLINE = [
     "contamination_overlap",
     "pq_encode",
     "anomaly_zscore",
+    # r3 additions (fourth batch): corpus association mining + event
+    # analytics (funnel / retention)
+    "pmi_collocations",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

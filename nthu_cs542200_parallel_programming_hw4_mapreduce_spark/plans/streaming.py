@@ -558,3 +558,106 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_v,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_c,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_p
+      FROM events GROUP BY user_id
+    ), f AS (
+      SELECT count(t_v) AS n_view,
+             count(*) FILTER (WHERE t_c >= t_v) AS n_click,
+             count(*) FILTER (WHERE t_c >= t_v AND t_p >= t_c) AS n_purchase
+      FROM pu
+    )
+    SELECT n_view, n_click, n_purchase,
+           round(n_click / nullif(n_view, 0), 6) AS r_click,
+           round(n_purchase / nullif(n_click, 0), 6) AS r_purchase
+    FROM f
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) with first-touch
+    ordering: a user advances a stage only if their FIRST click is at
+    or after their first view, and their first purchase at or after
+    that click — the standard product-analytics conversion query.
+
+    One pass: per-user first-occurrence times are three conditional
+    MINs in a single partial-agg'd groupBy(user_id) (no self-join, no
+    window sort); the funnel itself is a singleton aggregate over that
+    user table. Comparisons run on integral microseconds, so both
+    engines agree exactly; null stage times fail the >= predicates on
+    both sides identically."""
+    ev = table(spark, sf_dir, "events")
+    # Spark 4 reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP.
+    # The session is pinned UTC, so the cast is value-preserving.
+    m = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, m))
+
+    pu = ev.groupBy("user_id").agg(
+        first("view").alias("t_v"),
+        first("click").alias("t_c"),
+        first("purchase").alias("t_p"),
+    )
+    advanced = F.col("t_c") >= F.col("t_v")
+    full = advanced & (F.col("t_p") >= F.col("t_c"))
+    f = pu.agg(
+        F.count("t_v").alias("n_view"),
+        F.count(F.when(advanced, True)).alias("n_click"),
+        F.count(F.when(full, True)).alias("n_purchase"),
+    )
+    return f.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.nullif(F.col("n_view"), F.lit(0)), 6).alias("r_click"),
+        F.round(F.col("n_purchase") / F.nullif(F.col("n_click"), F.lit(0)), 6).alias("r_purchase"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    )
+    SELECT date_trunc('week', t0) AS cohort_week,
+           CAST(floor(date_diff('day',
+                                CAST(date_trunc('week', t0) AS DATE),
+                                CAST(date_trunc('week', ts) AS DATE)) / 7)
+                AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week they first
+    appeared, counted distinct in each subsequent activity week — the
+    table every growth dashboard draws as the retention triangle.
+
+    Scale shape: first-seen is one partial-agg'd groupBy(user_id); the
+    join back to events is user-keyed (co-partitioned sort-merge at
+    corpus scale — both sides shuffle on the same key once, and AQE
+    broadcasts the user table when it fits). Week arithmetic happens on
+    week-TRUNCATED dates, so the day-difference is an exact multiple of
+    7 and the integer division agrees across engines."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    wk = lambda c: F.to_date(F.date_trunc("week", F.col(c)))  # noqa: E731
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.date_trunc("week", F.col("t0")).alias("cohort_week"),
+            F.floor(F.datediff(wk("ts"), wk("t0")) / 7).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1341,3 +1341,85 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH d AS (
+      SELECT {_DD_TOKS} AS ws FROM documents
+    ), uc AS (
+      SELECT w, count(*) AS c FROM (SELECT UNNEST(ws) AS w FROM d) GROUP BY w
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c_ab FROM (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(ws))) AS r(i)
+      ) GROUP BY w1, w2
+    ), tot AS (
+      SELECT sum(len(ws)) AS nt,
+             sum(greatest(len(ws) - 1, 0)) AS nb
+      FROM d
+    )
+    SELECT w1, w2, c_ab,
+           round(ln((c_ab / nb) / ((u1.c / nt) * (u2.c / nt))), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w, tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over adjacent word pairs with
+    count ≥ 5 — the classic distributed-corpus association measure
+    (phrase mining, tokenizer-merge candidates, stopword diagnostics).
+
+    Plan shape: unigram and bigram counts are two partial-agg'd
+    groupBys over narrow index-explodes of one token-array scan; the
+    corpus totals (Σ tokens, Σ bigrams) come from a SINGLETON aggregate
+    over the same scan — not from re-aggregating the vocab tables, and
+    not from a whole-vocab window (which would single-partition a
+    10M-row vocabulary at web scale). The two vocab joins key on the
+    same unigram table, so its exchange is built once and reused; the
+    final top-k is TakeOrdered. Probabilities divide exact integer
+    counts in identical expression order on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(X.tokens("text", r"\s+").alias("ws"))
+    uc = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bc = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i")
+        )
+        .select(
+            F.element_at("ws", F.col("i")).alias("w1"),
+            F.element_at("ws", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    tot = d.agg(
+        F.sum(F.size("ws")).alias("nt"),
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("nb"),
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("nb"))
+        / ((F.col("c1") / F.col("nt")) * (F.col("c2") / F.col("nt")))
+    )
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_ab") >= 5)
+        .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

@@ -391,3 +391,30 @@ def test_pq_encode_single_python_stage_no_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_pmi_reuses_vocab_exchange_and_takeordered(spark, sf_dir):
+    """PMI: top-k must be TakeOrdered; totals must come from a singleton
+    agg (no whole-vocab Window, which would single-partition a web-scale
+    vocabulary)."""
+    plan = plan_of(spark, sf_dir, "pmi_collocations", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert " Window" not in plan
+
+
+def test_funnel_is_two_aggregates_no_join(spark, sf_dir):
+    """First-touch funnel: conditional MINs per user then a singleton
+    agg — any Join or Window here means a self-join crept in."""
+    plan = plan_of(spark, sf_dir, "funnel_conversion", mode="simple")
+    assert "Join" not in plan
+    assert " Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_retention_join_is_user_keyed(spark, sf_dir):
+    """Cohorts: the events⋈first_seen join must key on user_id (broadcast
+    at fixture scale, co-partitioned sort-merge beyond), never a
+    nested-loop."""
+    plan = plan_of(spark, sf_dir, "retention_cohorts", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

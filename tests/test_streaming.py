@@ -241,3 +241,67 @@ def test_anomaly_zscore_flags_only_outliers(spark, tmp_path):
     mu = sum(vals) / n
     sigma = math.sqrt(sum((v - mu) ** 2 for v in vals) / (n - 1))
     assert out[0]["z"] == round((1000.0 - mu) / sigma, 6)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_funnel_conversion_first_touch_ordering(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        funnel_conversion,
+    )
+
+    t = lambda h: dt(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase, in order (full funnel)
+        (0, t(1), 1, "view", 1.0), (1, t(2), 1, "click", 1.0), (2, t(3), 1, "purchase", 1.0),
+        # user 2: click BEFORE first view -> does not advance
+        (3, t(1), 2, "click", 1.0), (4, t(2), 2, "view", 1.0),
+        # user 3: view then click, purchase before click -> stage 2 only
+        (5, t(1), 3, "view", 1.0), (6, t(3), 3, "click", 1.0), (7, t(2), 3, "purchase", 1.0),
+        # user 4: view only
+        (8, t(1), 4, "view", 1.0),
+        # user 5: never viewed -> not in funnel at all
+        (9, t(1), 5, "purchase", 1.0),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    r = funnel_conversion(spark, d).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (4, 2, 1)
+    assert r["r_click"] == 0.5 and r["r_purchase"] == 0.5
+
+
+def test_retention_cohorts_triangle(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        retention_cohorts,
+    )
+
+    # weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
+    rows = [
+        # user 1 first in wk0, active wk0 and wk2
+        (0, dt(2024, 1, 2), 1, "view", 1.0), (1, dt(2024, 1, 16), 1, "view", 1.0),
+        # user 2 first in wk0 only
+        (2, dt(2024, 1, 3), 2, "view", 1.0),
+        # user 3 first in wk1, active wk1 and wk2
+        (3, dt(2024, 1, 9), 3, "view", 1.0), (4, dt(2024, 1, 17), 3, "view", 1.0),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r["cohort_week"].date().isoformat(), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(spark, d).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }

@@ -187,3 +187,25 @@ def test_contamination_overlap_hand_computed(spark, tmp_path_factory):
         2: (3, 1, round(1 / 3, 6)),
         3: (2, 0, 0.0),
     }
+
+
+def test_pmi_collocations_hand_computed(spark, tmp_path_factory):
+    import math
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        pmi_collocations,
+    )
+
+    # "aa bb" always adjacent (perfect collocation); "cc" background noise
+    rows = [(i, "aa bb cc cc cc", "en", "s", 1) for i in range(5)]
+    d = _write_docs(spark, tmp_path_factory, rows, "pmi")
+    out = {(r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+           for r in pmi_collocations(spark, d).collect()}
+    # per doc: tokens aa bb cc cc cc (nt=25), bigrams (aa,bb),(bb,cc),(cc,cc)x2 (nb=20)
+    nt, nb = 25.0, 20.0
+    exp_aabb = round(math.log((5 / nb) / ((5 / nt) * (5 / nt))), 6)
+    exp_cccc = round(math.log((10 / nb) / ((15 / nt) * (15 / nt))), 6)
+    assert out[("aa", "bb")] == (5, exp_aabb)
+    assert out[("cc", "cc")] == (10, exp_cccc)
+    # the deterministic collocation outranks the frequent background pair
+    assert out[("aa", "bb")][1] > out[("cc", "cc")][1]
