@@ -661,3 +661,34 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query("hll_user_reach")  # rows-only: DataSketches HLL has no DuckDB twin
+def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: an HLL sketch of the user
+    population per event type, plus the UNION of those sketches for
+    total reach — without rescanning raw events for the total.
+
+    This is the 100 TB idiom for COUNT(DISTINCT): store per-partition /
+    per-day sketch tables (bytes per cell, built in one partial-agg'd
+    pass) and answer any rollup by merging sketches; exact distinct
+    over a trillion-row fact would shuffle every key, and re-counting
+    the union from raw data would re-scan the corpus per rollup.
+    ``approx_agg`` covers the one-shot approx_count_distinct form; this
+    query exercises the MERGEABLE form (sketch_agg → union_agg →
+    estimate), which is what makes sketches composable across tables
+    and time. Estimates are engine-specific (Apache DataSketches HLL),
+    hence rows-only; the unit test bounds the error against exact
+    counts and checks union consistency."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("~all").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per.unionAll(total).orderBy("event_type")

@@ -27,6 +27,7 @@ def test_registry_alignment():
         "dedup_minhash_mllib",
         "dedup_simhash_pairs",
         "kmeans_lloyd",
+        "hll_user_reach",
         "dedup_embedding_cosine_bucketed",
         "multimodal_embed_ann",
         "multimodal_features",

@@ -305,3 +305,24 @@ def test_retention_cohorts_triangle(spark, tmp_path):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_hll_user_reach_bounds_and_union_consistency(spark, sf_dir):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        hll_user_reach,
+    )
+    import pyspark.sql.functions as F
+
+    got = {r["event_type"]: r["est_users"] for r in hll_user_reach(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["~all"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+    # union of per-type sketches can never exceed the sum of parts
+    assert got["~all"] <= sum(v for k, v in got.items() if k != "~all") + 1e-6
