@@ -85,6 +85,11 @@ HEADLINE = [
     "pmi_collocations",
     "funnel_conversion",
     "retention_cohorts",
+    # r3 additions (fifth batch): content-addressed media dedup, RANGE-frame
+    # windows, Z-order layout keys
+    "multimodal_dedup",
+    "window_range_frame",
+    "zorder_layout",
 ]
 
 

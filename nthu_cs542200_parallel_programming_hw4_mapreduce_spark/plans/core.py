@@ -2119,3 +2119,103 @@ def delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_Z_BITS = 16  # bits per dimension interleaved into the Z-value
+
+
+def zvalue(a, b):
+    """Morton/Z-order key: interleave the low 16 bits of two nonnegative
+    integer columns (bit i of a → bit 2i, bit i of b → bit 2i+1). Rows
+    sorted by this key cluster in BOTH dimensions at once, which is what
+    makes parquet min/max skipping work for predicates on either column
+    — the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, expressed
+    as a plain column so any writer can ``repartitionByRange`` on it."""
+    zx, zy = F.pmod(a, F.lit(1 << _Z_BITS)), F.pmod(b, F.lit(1 << _Z_BITS))
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        # Column.__or__ is boolean OR; bitwiseOR is the integer one.
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(zx, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(zy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _z_sql(a: str, b: str) -> str:
+    # DuckDB/Postgres give <<, >>, &, | ONE precedence level (left-
+    # assoc), so every term must be fully parenthesized — otherwise
+    # `x << 2 | y << 4` parses as `((x << 2) | y) << 4`.
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((({a} % 65536) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b} % 65536) >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(l_orderkey) AS omin, max(l_orderkey) AS omax,
+             min(l_partkey) AS pmin, max(l_partkey) AS pmax
+      FROM lineitem
+    ), sc AS (
+      SELECT l_orderkey, l_partkey,
+             ((l_orderkey - omin) * 65535) // greatest(omax - omin, 1) AS sx,
+             ((l_partkey - pmin) * 65535) // greatest(pmax - pmin, 1) AS sy
+      FROM lineitem, st
+    )
+    SELECT l_orderkey, l_partkey,
+           CAST({_z_sql("sx", "sy")} AS BIGINT) AS z
+    FROM sc
+    ORDER BY z, l_orderkey, l_partkey
+    LIMIT 100
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_orderkey, l_partkey) —
+    the first 100 rows of the interleaved-bit layout order.
+
+    Both keys are min/max-scaled to the full 16-bit domain BEFORE
+    interleaving (what OPTIMIZE ZORDER's range-ranking does): raw keys
+    of different magnitudes put their top bits at different interleave
+    positions, and the wider key's high bits then dominate the sort —
+    i.e. unscaled Z-order silently degenerates to single-key order
+    (caught by the skipping test below when this query used raw keys).
+    The scaling stats are one singleton agg, broadcast back; integer
+    floor-division keeps both engines exact.
+
+    Why it matters at 100 TB: range-partitioning the write by this key
+    gives every output file a TIGHT min/max envelope in BOTH join/filter
+    columns, so scans with a predicate on EITHER column skip most files
+    via parquet footer stats alone (measured in
+    tests/test_bucketing.py::test_zorder_layout_skips_both_dimensions:
+    the per-file second-key span drops to <75% of the single-key
+    layout's). The Z-value itself is 32 codegen'd bit ops."""
+    li = table(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+    )
+    sc = li.crossJoin(F.broadcast(st)).select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(
+            "((l_orderkey - omin) * 65535) div greatest(omax - omin, 1)"
+        ).alias("sx"),
+        F.expr(
+            "((l_partkey - pmin) * 65535) div greatest(pmax - pmin, 1)"
+        ).alias("sy"),
+    )
+    return (
+        sc.select(
+            "l_orderkey",
+            "l_partkey",
+            zvalue(F.col("sx"), F.col("sy")).alias("z"),
+        )
+        .orderBy("z", "l_orderkey", "l_partkey")
+        .limit(100)
+    )

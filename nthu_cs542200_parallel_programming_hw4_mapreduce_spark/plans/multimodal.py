@@ -210,3 +210,47 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", F.round("_raw", 5).alias("cos"))
         .orderBy("q_id", "n_id")
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_fp,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id,
+           min(octet_length(CAST(text AS BLOB))) AS n_bytes
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY payload_fp
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup: byte-exact fingerprint groups over
+    the BINARY payload column — the storage-dedup step a multimodal
+    pipeline runs before any decode (identical blobs re-crawled under
+    different URLs are the common case; hashing bytes costs one scan,
+    decoding costs CPU per copy).
+
+    The Spark side hashes the BinaryType payload itself; the oracle
+    hashes ``text`` directly, which is the SAME bytes because fixture
+    payloads are the UTF-8 encoding of text (module docstring) and
+    md5(string) is defined over UTF-8 bytes on both engines (DuckDB's
+    md5 takes VARCHAR only — a real blob fixture would use hex(blob)
+    digests instead). One partial-agg'd shuffle on the 16-byte
+    fingerprint; no skew (md5-uniform keys)."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.select(
+            F.md5(payload).alias("payload_fp"),
+            F.octet_length(payload).alias("_len"),
+            "doc_id",
+        )
+        .groupBy("payload_fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.min("_len").alias("n_bytes"),
+        )
+        .orderBy("payload_fp")
+    )

@@ -692,3 +692,48 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     return per.unionAll(total).orderBy("event_type")
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER w AS n_in_window,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: per user, the count and value-sum
+    of their events in the trailing 10 minutes — the time-based frame
+    (``RANGE BETWEEN interval PRECEDING``) that ROWS frames cannot
+    express when event spacing is irregular (fraud velocity checks,
+    rate limiting, rolling exposure).
+
+    The frame bound is integral MICROSECONDS on both engines (epoch_us
+    ordering), so peer-row grouping at equal timestamps and the
+    600-second cutoff agree exactly; the sum accumulates in DECIMAL
+    (the repo's float-agg idiom). One shuffle on user_id; frame
+    evaluation is a per-partition ordered sweep — no self-join, which
+    is what a naive "events within 10 minutes" range join would cost
+    (cf. ``range_join_follow`` for the pair-listing variant)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_in_window"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sv"),
+    ).orderBy("event_id")

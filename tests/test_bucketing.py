@@ -56,3 +56,54 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, warehouse):
         .count()
     )
     assert bucketed == plain
+
+
+def test_zorder_layout_skips_both_dimensions(spark, sf_dir, tmp_path):
+    """Writing range-partitioned by the Z-value gives every file a tight
+    min/max envelope in BOTH interleaved keys, so footer-stats skipping
+    works for predicates on either column; a single-key layout leaves the
+    second column's per-file span near the full range. Measured on real
+    parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.core import zvalue
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # scale both keys to the 16-bit domain before interleaving, as the
+    # declared query does (unscaled keys degenerate to single-key order)
+    import pyspark.sql.functions as SF
+    st = li.agg(
+        SF.min("l_orderkey").alias("omin"), SF.max("l_orderkey").alias("omax"),
+        SF.min("l_partkey").alias("pmin"), SF.max("l_partkey").alias("pmax"))
+    with_z = li.crossJoin(SF.broadcast(st)).select(
+        "l_orderkey", "l_partkey",
+        zvalue(
+            SF.expr("((l_orderkey - omin) * 65535) div greatest(omax - omin, 1)"),
+            SF.expr("((l_partkey - pmin) * 65535) div greatest(pmax - pmin, 1)"),
+        ).alias("z"))
+    a = str(tmp_path / "by_z")
+    b = str(tmp_path / "by_orderkey")
+    with_z.repartitionByRange(8, "z").write.parquet(a)
+    with_z.repartitionByRange(8, "l_orderkey").write.parquet(b)
+
+    def mean_span(path, col):
+        spans, lo, hi = [], [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+            maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+            spans.append(max(maxs) - min(mins))
+            lo.append(min(mins)); hi.append(max(maxs))
+        return sum(spans) / len(spans) / max(1, (max(hi) - min(lo)))  # span as fraction of full range
+
+    # partkey skipping: z-layout files cover a strict subset of the range;
+    # orderkey-layout files each cover essentially all of it
+    frac_z = mean_span(a, "l_partkey")
+    frac_1d = mean_span(b, "l_partkey")
+    assert frac_1d > 0.9, frac_1d
+    assert frac_z < 0.75 * frac_1d, (frac_z, frac_1d)
+    # and the z-layout still bounds orderkey too (both dims cluster)
+    assert mean_span(a, "l_orderkey") < 0.75, mean_span(a, "l_orderkey")

@@ -418,3 +418,24 @@ def test_retention_join_is_user_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "retention_cohorts", mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_dedup_is_one_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "multimodal_dedup", mode="simple")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_window_range_frame_single_user_shuffle(spark, sf_dir):
+    """RANGE frame: one hash exchange on user_id + the per-partition
+    ordered sweep — a self-join here would be the quadratic plan the
+    frame exists to avoid."""
+    plan = plan_of(spark, sf_dir, "window_range_frame", mode="simple")
+    assert "Join" not in plan
+    assert " Window" in plan
+
+
+def test_zorder_is_scan_side_with_broadcast_stats(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zorder_layout", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # stats ride a 1-row broadcast
