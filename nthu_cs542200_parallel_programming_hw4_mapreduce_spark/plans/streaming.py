@@ -518,10 +518,10 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, e.event_type, value,
            round((value - sv / n)
-                 / sqrt((svv - (sv * sv) / n) / (n - 1)), 6) AS z
+                 / sqrt((svv - (sv * sv) / n) / nullif(n - 1, 0)), 6) AS z
     FROM events e JOIN s USING (event_type)
     WHERE abs((value - sv / n)
-              / sqrt((svv - (sv * sv) / n) / (n - 1))) > 3.0
+              / sqrt((svv - (sv * sv) / n) / nullif(n - 1, 0))) > 3.0
     ORDER BY event_id
     """,
 )
@@ -547,9 +547,12 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d * d).cast("double").alias("svv"),
     )
     mu = F.col("sv") / F.col("n")
+    # nullif: a single-event type has no sample stddev (n-1 = 0); the
+    # null sigma drops the row via the predicate instead of tripping
+    # ANSI integer division-by-zero.
     sigma = F.sqrt(
         (F.col("svv") - (F.col("sv") * F.col("sv")) / F.col("n"))
-        / (F.col("n") - F.lit(1))
+        / F.nullif(F.col("n") - F.lit(1), F.lit(0))
     )
     z = (F.col("value") - mu) / sigma
     return (

@@ -87,3 +87,82 @@ def test_mapreduce_recovers_from_stale_staging(spark, sf_dir, tmp_path):
     run_job(spark, cfg)
     assert os.path.exists(out_dir / "j-1.out")
     assert not os.path.exists(out_dir / "_j_parts")
+
+
+@pytest.fixture(scope="module")
+def empty_tables(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_fixture"))
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_text_operators_on_empty_corpus(spark, empty_tables):
+    """Corpus-stat denominators (avgdl, gram totals, PMI totals) must
+    null out, not divide-by-zero, when the corpus is empty."""
+    for name in ("bm25_topk", "dsir_importance", "pmi_collocations",
+                 "contamination_overlap"):
+        assert E.queries()[name](spark, empty_tables).count() == 0, name
+
+
+def test_event_operators_on_empty_events(spark, empty_tables):
+    assert E.queries()["retention_cohorts"](spark, empty_tables).count() == 0
+    assert E.queries()["anomaly_zscore"](spark, empty_tables).count() == 0
+    r = E.queries()["funnel_conversion"](spark, empty_tables).collect()[0]
+    assert (r["n_view"], r["n_click"], r["n_purchase"]) == (0, 0, 0)
+    assert r["r_click"] is None and r["r_purchase"] is None  # nullif guard
+
+
+def test_anomaly_zscore_single_event_per_type(spark, tmp_path):
+    """n=1 makes the sample stddev undefined (n-1=0): the row must drop
+    silently (null predicate), never raise or emit NaN."""
+    from datetime import datetime as dt
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        anomaly_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [(0, dt(2024, 1, 1), 1, "click", 5.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    assert anomaly_zscore(spark, str(tmp_path)).count() == 0
+
+
+def test_pq_encode_with_tiny_codebook(spark, tmp_path):
+    """Fewer vectors than the codebook size: codes stay in-range and
+    every vector still encodes (no crash on the short collect)."""
+    import random
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        pq_encode,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)], "l") for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = pq_encode(spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    assert all(0 <= r[f"code_{m}"] < 5 for r in out for m in range(8))
+
+
+def test_zvalue_is_bijective_on_the_bit_grid(spark):
+    """Interleaving must hit every cell exactly once: 256 distinct
+    (a,b) pairs on a 16x16 grid -> 256 distinct z-values within 8 bits."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.core import zvalue
+
+    grid = spark.range(16).selectExpr("id AS a").crossJoin(
+        spark.range(16).selectExpr("id AS b")
+    )
+    z = grid.select(zvalue(F.col("a"), F.col("b")).alias("z"))
+    assert z.distinct().count() == 256
+    assert z.agg(F.max("z")).first()[0] < 256
