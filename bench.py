@@ -90,6 +90,9 @@ HEADLINE = [
     "multimodal_dedup",
     "window_range_frame",
     "zorder_layout",
+    # r3 additions (sixth batch): incremental view maintenance + robust stats
+    "incremental_rollup",
+    "winsorized_stats",
 ]
 
 

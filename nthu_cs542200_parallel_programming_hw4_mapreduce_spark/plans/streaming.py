@@ -740,3 +740,104 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sv"),
     ).orderBy("event_id")
+
+
+@query(
+    "incremental_rollup",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the hourly rollup is maintained as
+    a MERGE of a pre-aggregated base table and a new-arrivals delta
+    (simulated here as an 80/20 split on event_id), never by rescanning
+    base raw data — the pattern that keeps a 100 TB fact's rollup fresh
+    at delta cost (aggregate states are decomposable: count and DECIMAL
+    sum both merge associatively; avg/stddev derive from merged sums).
+
+    The ORACLE is the direct full recompute over all events — parity
+    here PROVES the incremental merge is exactly lossless, which is the
+    whole contract of view maintenance. DECIMAL accumulation makes the
+    proof independent of partial-agg combine order on both paths."""
+    ev = table(spark, sf_dir, "events")
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+
+    base = rollup(ev.filter(F.col("event_id") % 10 < 8))    # stored rollup
+    delta = rollup(ev.filter(F.col("event_id") % 10 >= 8))  # new arrivals
+    return (
+        base.unionAll(delta)
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("s").cast("double").alias("sv"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(p5, 4) AS p5r, round(p95, 4) AS p95r,
+           CAST(SUM(CAST(round(least(greatest(value, p5), p95), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS w_mean
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type, p5, p95
+    ORDER BY e.event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type mean with 5%/95% winsorization: tail values are
+    clamped to the exact percentiles before averaging — the standard
+    guard against a handful of corrupt meter readings dragging a
+    monitoring mean (cf. ``anomaly_zscore`` for flagging the outliers
+    themselves).
+
+    Determinism: percentiles interpolate identically (linear, both
+    engines — the ``quantile_price`` idiom), clamped values are rounded
+    to 1e-6 BEFORE the DECIMAL cast (round is the proven cross-engine
+    op; a raw double→DECIMAL cast would expose the engines' different
+    rounding modes), and the sum accumulates exactly in DECIMAL. Scale:
+    exact per-type percentiles sort within each type partition — at a
+    true 100 TB the drop-in substitute is percentile_approx (see
+    ``approx_agg``), same plan otherwise."""
+    ev = table(spark, sf_dir, "events")
+    pcts = F.expr("percentile(value, array(0.05D, 0.95D))")
+    p = ev.groupBy("event_type").agg(
+        pcts[0].alias("p5"), pcts[1].alias("p95")
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95")), 6
+    ).cast("decimal(18,6)")
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .groupBy("event_type", "p5", "p95")
+        .agg(
+            (F.sum(clipped).cast("double") / F.count("*")).alias("w_mean"),
+        )
+        .select(
+            "event_type",
+            F.round("p5", 4).alias("p5r"),
+            F.round("p95", 4).alias("p95r"),
+            "w_mean",
+        )
+        .orderBy("event_type")
+    )

@@ -326,3 +326,49 @@ def test_hll_user_reach_bounds_and_union_consistency(spark, sf_dir):
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
     # union of per-type sketches can never exceed the sum of parts
     assert got["~all"] <= sum(v for k, v in got.items() if k != "~all") + 1e-6
+
+
+def test_incremental_rollup_equals_direct_aggregate(spark, sf_dir):
+    """The merged base+delta rollup must be row-identical to the direct
+    full aggregate — the lossless-maintenance contract."""
+    import pyspark.sql.functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        incremental_rollup,
+    )
+
+    direct = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+        .orderBy("event_type", "h")
+    )
+    assert incremental_rollup(spark, sf_dir).collect() == direct.collect()
+
+
+def test_winsorized_mean_clamps_the_outlier(spark, tmp_path):
+    from datetime import datetime as dt
+
+    import numpy as np
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        winsorized_stats,
+    )
+
+    vals = [float(v) for v in range(19)] + [1000.0]
+    rows = [(i, dt(2024, 1, 1), 1, "click", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = winsorized_stats(spark, str(tmp_path)).collect()[0]
+    p5, p95 = np.percentile(vals, [5, 95], method="linear")
+    clipped = [round(min(max(v, p5), p95), 6) for v in vals]
+    assert r["p5r"] == round(p5, 4) and r["p95r"] == round(p95, 4)
+    assert abs(r["w_mean"] - sum(clipped) / len(clipped)) < 1e-9
+    # the raw mean (~57.4) is dragged by the outlier; winsorized is not
+    assert r["w_mean"] < 12
