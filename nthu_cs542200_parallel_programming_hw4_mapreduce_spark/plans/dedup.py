@@ -1446,3 +1446,124 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dedup_cluster, schema="removed_id long")
         .orderBy("removed_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level (C4-style) corpus dedup
+# ---------------------------------------------------------------------------
+
+_PARA_CHUNK = 12  # tokens per "paragraph" (fixture docs have no newlines)
+
+
+@query(
+    "paragraph_dedup",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / {_PARA_CHUNK}.0) AS BIGINT)))
+               AS idx
+      FROM d
+    ), ch AS (
+      SELECT doc_id, idx,
+             md5(array_to_string(
+               toks[(idx * {_PARA_CHUNK} + 1):(idx * {_PARA_CHUNK} + {_PARA_CHUNK})],
+               ' ')) AS h
+      FROM ex
+    ), firsts AS (
+      SELECT doc_id, idx FROM (
+        SELECT doc_id, idx,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ), keep AS (
+      SELECT doc_id, list_sort(list(idx)) AS kept FROM firsts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(array_to_string(
+             flatten(list_transform(COALESCE(kept, []),
+               i -> toks[(i * {_PARA_CHUNK} + 1):(i * {_PARA_CHUNK} + {_PARA_CHUNK})])),
+             ' '), '') AS clean_text,
+           CAST(ceil(len(toks) / {_PARA_CHUNK}.0) AS BIGINT)
+             - COALESCE(len(kept), 0) AS n_removed
+    FROM d LEFT JOIN keep USING (doc_id) ORDER BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level duplicated-paragraph removal:
+    split every document into fixed 12-token chunks ("paragraphs" — the
+    fixture corpus has no newlines), keep only the globally FIRST
+    occurrence of each distinct chunk (earliest (doc_id, idx)), and
+    rebuild each document from its surviving chunks.
+
+    This is the span-level counterpart of ``dedup_exact``: boilerplate
+    (headers, footers, license blocks) repeats across documents that are
+    NOT near-duplicates as wholes, and C4's three-sentence rule removes
+    it span-wise. Scale shape:
+
+    * Only (16-byte md5, doc_id, idx) rides the shuffles — chunk TEXT
+      never leaves the scan stage. The winner-per-chunk is a
+      groupBy(h).min(struct(doc_id, idx)) — a partial-aggregating
+      HashAggregate, skew-safe even for a chunk repeated millions of
+      times (the all-pairs window formulation would put every copy of a
+      hot chunk in one task).
+    * Survivor idx lists join BACK to the documents scan by doc_id
+      (sort-merge, corpus-sized both sides) and the text is re-sliced
+      from the original tokens there, so rebuild is scan-local.
+    * Per-doc state is ceil(tokens/12) longs — bounded by document
+      length, not corpus size.
+
+    The reference's tokenizer (hw4.cc:457-466) is the chunker's base;
+    everything above it is §2.2 surface the reference lacks.
+    """
+    c = _PARA_CHUNK
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text", r"\s+").alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / c).cast("long")
+    # guard: Spark's sequence(0, -1) auto-steps DOWN to [0, -1] — an
+    # all-whitespace doc (0 tokens) must yield zero chunks, not two.
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idxs,
+                lambda i: F.md5(F.array_join(F.slice("toks", i * c + 1, c), " ")),
+            )
+        ).alias("idx", "h"),
+    )
+    firsts = chunks.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+    kept = (
+        chunks.join(
+            firsts.select("h", "k.doc_id", "k.idx").hint("merge"),
+            ["h", "doc_id", "idx"],
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("idx").cast("long"))).alias("kept"))
+    )
+    return (
+        docs.join(kept.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.coalesce("kept", F.array().cast("array<long>")),
+                        lambda i: F.slice("toks", i * c + 1, c),
+                    )
+                ),
+                " ",
+            ).alias("clean_text"),
+            (n_chunks - F.coalesce(F.size("kept"), F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,127 @@
+"""Table-maintenance operators on planted fixtures: CDC diff, SCD-2
+history, compaction planning, expectations audit, paragraph dedup."""
+
+import datetime
+
+import pytest
+
+from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+    compaction_bins,
+    data_expectations,
+    scd2_history,
+    snapshot_diff,
+)
+
+_W = "w%d"
+
+
+def _chunk(tag: str) -> str:
+    """A distinct 12-token chunk: 'tag0 tag1 ... tag11'."""
+    return " ".join(f"{tag}{i}" for i in range(12))
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """documents-shaped table exercising every snapshot_diff class:
+    0 (removed AND %19 re-added), 13 (changed), 17 (removed),
+    19 (unchanged but %19 re-added), 1 (unchanged)."""
+    rows = [
+        (0, "alpha beta", "en", "s", 10),
+        (1, "gamma delta", "en", "s", 11),
+        (13, "epsilon zeta", "en", "s", 12),
+        (17, "eta theta", "en", "s", 9),
+        (19, "iota kappa", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("cdc"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_snapshot_diff_classifies_all_ops(spark, docs_dir):
+    got = {r["doc_id"]: r["op"] for r in snapshot_diff(spark, docs_dir).collect()}
+    assert got == {
+        0: "removed",  # % 17 == 0 → dropped in v2
+        13: "changed",  # % 13 == 0 → text updated
+        17: "removed",
+        1000000: "added",  # doc 0 re-added under +1e6 (% 19 == 0)
+        1000019: "added",
+    }
+    # unchanged docs (1, 19-as-itself) do not appear at all
+    assert 1 not in got and 19 not in got
+
+
+def test_scd2_collapses_consecutive_duplicates(spark, tmp_path_factory):
+    t = lambda m: datetime.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 7: A A B A → three versions (middle A run collapses)
+        (1, t(0), 7, "A", 1.0, "{}"),
+        (2, t(1), 7, "A", 1.0, "{}"),
+        (3, t(2), 7, "B", 1.0, "{}"),
+        (4, t(3), 7, "A", 1.0, "{}"),
+        # user 8: single state → one current row
+        (5, t(5), 8, "C", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("scd2"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = scd2_history(spark, d).collect()
+    u7 = [(r["state"], r["valid_from"].minute, r["valid_to"] and r["valid_to"].minute, r["is_current"]) for r in out if r["user_id"] == 7]
+    assert u7 == [("A", 0, 2, False), ("B", 2, 3, False), ("A", 3, None, True)]
+    u8 = [(r["state"], r["is_current"]) for r in out if r["user_id"] == 8]
+    assert u8 == [("C", True)]
+
+
+def test_compaction_bins_greedy_packing(spark, tmp_path_factory):
+    rows = [  # one source, sizes 3000/3000/3000 at target 4000
+        (0, "x", "en", "s", 3000),
+        (1, "y", "en", "s", 3000),
+        (2, "z", "en", "s", 3000),
+        (3, "q", "en", "other", 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("compact"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {(r["source"], r["bin"]): r for r in compaction_bins(spark, d).collect()}
+    # files 0,1 pack into bin 0 (prior 0, 3000); file 2 (prior 6000) → bin 1
+    assert out[("s", 0)]["n_files"] == 2 and out[("s", 0)]["bin_bytes"] == 6000
+    assert out[("s", 1)]["n_files"] == 1
+    assert out[("s", 0)]["first_doc"] == 0 and out[("s", 0)]["last_doc"] == 1
+    assert out[("other", 0)]["n_files"] == 1
+
+
+def test_data_expectations_names_and_verdicts(spark, sf_dir):
+    out = {r["constraint_name"]: r for r in data_expectations(spark, sf_dir).collect()}
+    assert len(out) == 7
+    # fixture invariants: orders PK is unique, FK closed, but docs DO
+    # exceed 500 chars — the audit must show both pass and fail rows
+    assert out["orders_pk_unique"]["violations"] == 0
+    assert out["orders_pk_unique"]["passed"] is True
+    assert out["orders_fk_customer"]["violations"] == 0
+    assert out["documents_nchars_le_500"]["violations"] > 0
+    assert out["documents_nchars_le_500"]["passed"] is False
+
+
+def test_paragraph_dedup_removes_repeated_chunks(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        paragraph_dedup,
+    )
+
+    a, b, c = _chunk("a"), _chunk("b"), _chunk("c")
+    rows = [
+        (0, f"{a} {b}", "en", "s", 100),  # first occurrence of a, b
+        (1, f"{b} {c}", "en", "s", 100),  # b is boilerplate → removed
+        (2, a, "en", "s", 100),  # whole doc already seen → emptied
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("para"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in paragraph_dedup(spark, d).collect()}
+    assert out[0]["clean_text"] == f"{a} {b}" and out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == c and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
