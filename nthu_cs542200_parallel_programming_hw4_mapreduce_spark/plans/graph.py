@@ -1,0 +1,180 @@
+"""Graph analytics over an interaction graph derived from ``events``.
+
+The engine's iterative-algorithm family (cf. ``kmeans_lloyd``,
+``dedup_clusters``' connected components) extended to the two classic
+distributed graph kernels: PageRank and triangle counting.
+
+The fixture has no explicit edge table, so one is DERIVED
+deterministically from events — src = user_id, dst = (event_id * 7919)
+mod (max_user + 1) — with identical arithmetic in the DuckDB oracle, so
+both engines build the same graph (the ``snapshot_diff`` v2-derivation
+trick). The reference (hw4.cc) has no graph surface; its shuffle
+(hw4.cc:200-263) is the ancestor of the per-iteration contribution
+exchange here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed edge list (src, dst), self-loops dropped,
+    distinct. event_id is cast to long BEFORE the multiply — at corpus
+    scale event_id * 7919 overflows int32."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    mx = ev.agg(F.max("user_id").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("event_id").cast("long") * 7919 % (F.col("m") + 1)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+    ev AS (SELECT user_id, event_id FROM events),
+    mx AS (SELECT MAX(user_id) AS m FROM ev),
+    edges AS (
+      SELECT DISTINCT user_id AS src,
+             (CAST(event_id AS BIGINT) * 7919) % (m + 1) AS dst
+      FROM ev, mx
+      WHERE user_id <> (CAST(event_id AS BIGINT) * 7919) % (m + 1)
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL."""
+    sql = f"""
+    WITH {_EDGES_SQL},
+    nodes AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT v, 1.0 / n AS r FROM nodes CROSS JOIN nn)
+    """
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS v, SUM(p.r / deg.d) AS c
+             FROM edges e JOIN {prev} p ON e.src = p.v
+             JOIN deg ON e.src = deg.src GROUP BY e.dst),
+    r{i} AS (SELECT nodes.v, {1 - _PR_DAMP} / n + {_PR_DAMP} * COALESCE(c{i}.c, 0) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.v = c{i}.v)
+        """
+        prev = f"r{i}"
+    return sql + f"""
+    SELECT v AS user_id, round(r, 6) AS rank FROM {prev} ORDER BY user_id
+    """
+
+
+@query("pagerank_events", oracle=_pagerank_oracle())
+def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 fixed iterations) over the derived follow
+    graph. Dangling-node mass is dropped, the common simplified form —
+    ranks are comparable, not a strict probability distribution.
+
+    Scale shape, the classic distributed PageRank discipline:
+
+    * out-degrees are joined into the edge list ONCE, outside the loop —
+      per-iteration work is exactly one (edges ⋈ ranks) join on src plus
+      one partial-aggregating groupBy(dst); both shuffles key on node id,
+      so a production run co-partitions edges by src and reuses that
+      partitioning every round (here AQE handles it).
+    * ranks/deg are node-sized, edges edge-sized: the join broadcasts
+      the rank side while nodes fit (billions of edges, millions of
+      nodes) and degrades to shuffled-hash beyond.
+    * each iteration ends in ``localCheckpoint`` (the ``dedup_clusters``
+      rule): without it round k's plan embeds rounds 1..k-1 and Catalyst
+      re-analysis dominates past ~5 rounds.
+    * rank arithmetic is spelled ``(1-d)/N + d * Σ`` in BOTH engines and
+      rounded to 6 dp — sum order across partitions is free, the
+      1e-16-scale reassociation drift is far below the rounding grain.
+    """
+    edges = _edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded: one long per distinct node, counted not collected
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # degree rides the edge list once; iterations never recompute it
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select("v", (F.lit(1.0) / n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.v)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(1 - _PR_DAMP) / n
+                    + F.lit(_PR_DAMP) * F.coalesce("c", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").alias("user_id"), F.round("r", 6).alias("rank")
+    ).orderBy("user_id")
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+    )
+    SELECT COUNT(*) AS triangles
+    FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3
+      ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the undirected derived graph.
+
+    Canonicalized (a < b) edges make each triangle appear exactly once
+    as a<b<c, so the count is two equi-joins — the standard formulation.
+    At scale the join fan-out is bounded by orienting every edge from
+    its lower-id endpoint (a proxy for the lower-DEGREE orientation that
+    production triangle counters use to cap wedge counts at
+    O(m^1.5)); both joins key on node ids and sort-merge. The wedge
+    join (e1.b = e2.a) is the volume driver — a degree-ordered
+    orientation would be the first upgrade if the derived graph were
+    skewed, and is noted rather than built because the fixture graph is
+    near-regular by construction (hash-derived dst).
+    """
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers — compute the scan once
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y").join(e3, ["x", "z"])
+        .agg(F.count("*").alias("triangles"))
+    )

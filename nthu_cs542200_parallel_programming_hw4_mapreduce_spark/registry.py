@@ -114,6 +114,6 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .plans import core, text, dedup, similarity, multimodal, streaming, retrieval  # noqa: F401
+    from .plans import core, text, dedup, similarity, multimodal, streaming, retrieval, maintenance, graph  # noqa: F401
 
     _LOADED = True
