@@ -841,3 +841,30 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS lag_min
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join: clicks joined to purchases by the same
+    user within 30 minutes, both sides readStream over the events
+    parquet with 1-hour watermarks, run to completion through an
+    append-mode memory sink (see streaming/joins.py for the state-
+    bounding discussion). Over a finite backfill the inner join equals
+    the batch inequality join — the oracle. The batch twin of this
+    topology is ``range_join_follow``'s bucketized equi-join; the
+    streaming runtime gets the same effect from watermark-evicted join
+    state instead of bucket keys."""
+    from ..streaming.joins import run_clicks_purchases_join
+
+    return run_clicks_purchases_join(spark, f"{sf_dir}/events.parquet")

@@ -1,0 +1,96 @@
+"""Stream-stream join topology (real Structured Streaming).
+
+Spark's stream-stream join buffers both sides in state keyed by the
+equi-join key and evicts rows once the watermark passes the time-range
+bound — the standard funnels/attribution topology (click → purchase
+within N minutes). On a cluster both sides are Kafka topics and state
+lives in RocksDB; here batch parquet drives both sides through the
+file source and ``processAllAvailable`` runs the backfill to
+completion, after which the inner-join result equals the batch
+inequality join (the unification property the declared-query oracle
+checks).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .windows import events_stream
+
+_sink_counter = itertools.count()
+
+
+def clicks_purchases_join_stream(
+    spark: SparkSession, path: str, horizon_minutes: int = 30
+) -> DataFrame:
+    """The unstarted topology: two readStreams over the same event log,
+    filtered to clicks / purchases, inner-joined on user_id with
+    purchase.ts in [click.ts, click.ts + horizon).
+
+    Both sides carry a watermark — that is what lets Spark BOUND the
+    join state: a buffered click can be dropped once the purchase-side
+    watermark passes click.ts + horizon, so state is O(events per
+    horizon window), not O(stream). Without the time-range condition
+    (or the watermarks) state would grow without bound and a 100 TB
+    backfill would OOM its state store.
+    """
+    clicks = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.user_id,
+            purchases.purchase_ts >= clicks.click_ts,
+            purchases.purchase_ts
+            < clicks.click_ts + F.expr(f"INTERVAL {horizon_minutes} MINUTES"),
+        ],
+    ).select(
+        clicks.user_id,
+        "click_id",
+        "purchase_id",
+        F.floor(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 60_000_000
+        ).alias("lag_min"),
+    )
+
+
+def run_clicks_purchases_join(
+    spark: SparkSession, path: str, horizon_minutes: int = 30
+) -> DataFrame:
+    """Run the topology to completion through an append-mode memory sink
+    (append is the only stream-stream-join output mode; matches emit as
+    soon as both sides arrive)."""
+    joined = clicks_purchases_join_stream(spark, path, horizon_minutes)
+    name = f"stream_join_{next(_sink_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("click_id", "purchase_id")

@@ -372,3 +372,37 @@ def test_winsorized_mean_clamps_the_outlier(spark, tmp_path):
     assert abs(r["w_mean"] - sum(clipped) / len(clipped)) < 1e-9
     # the raw mean (~57.4) is dragged by the outlier; winsorized is not
     assert r["w_mean"] < 12
+
+
+def test_stream_stream_join_planted(spark, tmp_path_factory):
+    """Inner stream-stream join matches inside the horizon only, and the
+    topology is a real StreamingSymmetricHashJoin with watermarks."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.streaming.joins import (
+        clicks_purchases_join_stream,
+        run_clicks_purchases_join,
+    )
+
+    t = lambda m: datetime.datetime(2026, 1, 1, 12, m)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "click", 1.0, "{}"),
+        (2, t(10), 7, "purchase", 1.0, "{}"),  # in horizon → match
+        (3, t(40), 7, "purchase", 1.0, "{}"),  # past 30 min → no match
+        (4, t(5), 8, "purchase", 1.0, "{}"),  # other user → no match
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("ssj"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = run_clicks_purchases_join(spark, f"{d}/events.parquet").collect()
+    assert [(r["click_id"], r["purchase_id"], r["lag_min"]) for r in out] == [
+        (1, 2, 10)
+    ]
+    # the unstarted topology really is a watermarked stream-stream join
+    topo = clicks_purchases_join_stream(spark, f"{d}/events.parquet")
+    assert topo.isStreaming
+    plan = topo._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
