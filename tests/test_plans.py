@@ -439,3 +439,66 @@ def test_zorder_is_scan_side_with_broadcast_stats(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "zorder_layout", mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan  # stats ride a 1-row broadcast
+
+
+def test_snapshot_diff_is_fingerprint_only_merge_join(spark, sf_dir):
+    """CDC: both corpus-sized fingerprint sides pinned sort-merge (a
+    broadcast guess here OOMs at 100 TB), text never past the scan."""
+    plan = plan_of(spark, sf_dir, "snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_scd2_single_user_exchange_two_windows(spark, sf_dir):
+    """SCD-2: both window passes must reuse ONE hashpartitioning(user_id)
+    exchange — a second exchange means the collapse/stamp passes
+    repartitioned and the plan shuffles the log twice."""
+    plan = plan_of(spark, sf_dir, "scd2_history", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count(" Window ") + plan.count("+- Window") >= 2
+
+
+def test_compaction_bins_one_shuffle_then_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "compaction_bins", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_data_expectations_checks_prune_and_push(spark, sf_dir):
+    """Every constraint reads only its own columns; range predicates
+    reach the parquet scan; the FK check is a real anti-join."""
+    plan = plan_of(spark, sf_dir, "data_expectations")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<n_chars:bigint>" in plan  # single-column scans
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan
+    assert "LeftAnti" in plan
+
+
+def test_paragraph_dedup_text_stays_scan_side(spark, sf_dir):
+    """Only (md5, doc_id, idx) ride the shuffles: the winner-per-chunk
+    agg is partial, and chunk text is re-sliced scan-side after a
+    doc_id-keyed merge join — never collected through the exchange."""
+    plan = plan_of(spark, sf_dir, "paragraph_dedup", mode="simple")
+    assert "partial_min" in plan and "partial_collect_list" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_plan_is_constant_size_across_iterations(spark, sf_dir):
+    """Each iteration localCheckpoints, so the FINAL plan must be a
+    checkpoint scan + project — if rounds 1..k leaked into it, Catalyst
+    re-analysis would grow per-iteration (the dedup_clusters rule)."""
+    plan = plan_of(spark, sf_dir, "pagerank_events", mode="simple")
+    assert "ExistingRDD" in plan
+    assert "Join" not in plan  # all joins happened before the checkpoint
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "triangle_count", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
