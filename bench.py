@@ -93,6 +93,16 @@ HEADLINE = [
     # r3 additions (sixth batch): incremental view maintenance + robust stats
     "incremental_rollup",
     "winsorized_stats",
+    # r3 additions (seventh batch): table maintenance + paragraph dedup
+    "snapshot_diff",
+    "scd2_history",
+    "compaction_bins",
+    "data_expectations",
+    "paragraph_dedup",
+    # r3 additions (eighth batch): graph kernels + stream-stream join
+    "pagerank_events",
+    "triangle_count",
+    "streaming_stream_join",
 ]
 
 
