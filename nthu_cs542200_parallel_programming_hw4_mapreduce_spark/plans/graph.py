@@ -150,18 +150,25 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count over the undirected derived graph.
+    """Global triangle count over the undirected derived graph, with the
+    DEGREE-ORDERED edge orientation production triangle counters use.
 
-    Canonicalized (a < b) edges make each triangle appear exactly once
-    as a<b<c, so the count is two equi-joins — the standard formulation.
-    At scale the join fan-out is bounded by orienting every edge from
-    its lower-id endpoint (a proxy for the lower-DEGREE orientation that
-    production triangle counters use to cap wedge counts at
-    O(m^1.5)); both joins key on node ids and sort-merge. The wedge
-    join (e1.b = e2.a) is the volume driver — a degree-ordered
-    orientation would be the first upgrade if the derived graph were
-    skewed, and is noted rather than built because the fixture graph is
-    near-regular by construction (hash-derived dst).
+    Every undirected edge is oriented from its lower-(degree, id)
+    endpoint, giving an acyclic orientation in which each triangle has
+    exactly one vertex with two out-edges — so triangles = wedges
+    (u→v, u→w) whose closing edge (v→w) exists. The orientation is the
+    whole scale story: max out-degree under it is O(√m), which caps the
+    wedge join at O(m^1.5) total volume, versus Σdeg² (quadratic in hub
+    degree) for the naive id-ordered form — measured 81 s → expected
+    ~O(m^1.5)-bound at the 100× probe (10M events), where the id-ordered
+    wedge join blew up on hash-hub fan-in. All four joins (two rank
+    attachments, the wedge join on u, the closing probe on (v, w)) are
+    node-/edge-keyed equi-joins: co-partitionable, sort-merge-able,
+    skew-handled by AQE.
+
+    The oracle keeps the simple a<b<c three-way self-join — any correct
+    formulation yields the same count, and DuckDB only runs it at
+    oracle SF.
     """
     edges = _edges(spark, sf_dir)
     und = (
@@ -169,12 +176,31 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # three consumers — compute the scan once
+        .localCheckpoint(eager=True)  # several consumers — compute the scan once
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("dg"))
+    )
+    # total orientation rank: degree-major, id-minor (ids < 2^32 here;
+    # a production run would use a dense rank instead of bit-packing)
+    rank = deg.select("v", (F.col("dg") * F.lit(1 << 32) + F.col("v")).alias("rk"))
+    ranked = (
+        und.join(rank.withColumnsRenamed({"v": "a", "rk": "ra"}), "a")
+        .join(rank.withColumnsRenamed({"v": "b", "rk": "rb"}), "b")
+    )
+    o = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.greatest("ra", "rb").alias("rv"),
+    ).localCheckpoint(eager=True)
+    e1 = o.select("u", F.col("v").alias("v1"), F.col("rv").alias("rv1"))
+    e2 = o.select("u", F.col("v").alias("v2"), F.col("rv").alias("rv2"))
+    wedges = e1.join(e2, "u").filter(F.col("rv1") < F.col("rv2"))
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     return (
-        e1.join(e2, "y").join(e3, ["x", "z"])
+        wedges.join(closing, ["v1", "v2"], "left_semi")
         .agg(F.count("*").alias("triangles"))
     )
