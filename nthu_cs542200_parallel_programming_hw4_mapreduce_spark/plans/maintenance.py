@@ -334,3 +334,85 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passed", F.col("violations") == 0).orderBy(
         "constraint_name"
     )
+
+
+# --------------------------------------------------------------------------
+# table_profile — per-column statistics profiling
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_linenumber", "l_linestatus", "l_returnflag", "l_shipdate")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(v) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE v IS NULL), 0) AS BIGINT)
+             AS null_count,
+           (SELECT v FROM g_{c} WHERE v IS NOT NULL
+            ORDER BY cnt DESC, v DESC LIMIT 1) AS top_value,
+           (SELECT cnt FROM g_{c} WHERE v IS NOT NULL
+            ORDER BY cnt DESC, v DESC LIMIT 1) AS top_count
+    FROM g_{c}
+    """
+
+
+@query(
+    "table_profile",
+    oracle="WITH "
+    + ", ".join(
+        f"g_{c} AS (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt "
+        f"FROM lineitem GROUP BY 1)"
+        for c in _PROFILE_COLS
+    )
+    + " UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS)
+    + " ORDER BY column_name",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profiler (the ANALYZE TABLE / data-catalog
+    pass): per column, exact distinct count, null count, and the most
+    frequent value with its count (ties break to the LARGEST value —
+    spelled max(struct(cnt, val)) here and ORDER BY cnt DESC, v DESC in
+    the oracle, so both engines agree).
+
+    Scale shape: each column profiles independently off its own PRUNED
+    single-column scan (ReadSchema shows exactly one column per
+    branch); the value histogram partial-aggregates map-side, so the
+    per-column shuffle carries |distinct values| rows, not rows. The
+    final union is |columns| rows. This exact profile is the
+    small-cardinality-column pass; a full-table profiler routes
+    high-cardinality columns to HLL sketches (``hll_user_reach``) and
+    quantile sketches (``approx_agg``) instead — composition over new
+    machinery.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    profiles = []
+    for c in _PROFILE_COLS:
+        g = (
+            li.select(F.col(c).cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("cnt"))
+        )
+        top = F.max(F.when(F.col("v").isNotNull(), F.struct("cnt", "v")))
+        profiles.append(
+            g.agg(
+                F.count("v").cast("long").alias("n_distinct"),
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("null_count"),
+                top.getField("v").alias("top_value"),
+                top.getField("cnt").alias("top_count"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_distinct",
+                "null_count",
+                "top_value",
+                "top_count",
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

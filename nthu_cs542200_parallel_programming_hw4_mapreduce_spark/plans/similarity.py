@@ -548,3 +548,87 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "vec_id long, " + ", ".join(f"code_{m} long" for m in range(_PQ_M))
     return emb.mapInPandas(encode, schema=schema).orderBy("vec_id")
+
+
+@query("pca_project")  # rows-only: eigendecomposition is not SQL-expressible
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA by covariance accumulation: project every
+    embedding onto the corpus's top-2 principal components (the
+    embedding-space map a curation pipeline draws before diversity
+    sampling or drift checks).
+
+    The scale decomposition is the whole point:
+
+    * **Pass 1** streams the corpus through one narrow ``mapInPandas``
+      that emits per-Arrow-batch moment partials (n, Σv, ΣvᵀV) — state
+      is d + d² doubles per batch REGARDLESS of corpus size (d=64 →
+      ~33 KB), the decomposable-aggregate property that makes
+      covariance a one-scan distributed computation.
+    * The partials (≤ batches × (d²+d+1) doubles) collect to the driver
+      — bounded by construction, the sanctioned collect of the
+      kmeans/ivf family — where the d×d eigendecomposition costs
+      microseconds (numpy ``eigh`` on a symmetric 64×64).
+    * **Pass 2** broadcasts the 2×d component matrix and projects in a
+      second narrow scan. Two corpus scans, zero shuffles.
+
+    Determinism: eigenvectors are sign-free, so each component is
+    canonicalized (its largest-|coefficient| entry made positive,
+    lowest index on ties) and projections round to 6 dp. No SQL oracle
+    — eigendecomposition isn't expressible in DuckDB SQL — so this is
+    a declared rows-only query; tests/test_similarity.py pins variance
+    ordering, component orthonormality, and cross-run determinism.
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].map(np.asarray))
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(m))],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        moments, schema="n double, s array<double>, g array<double>"
+    ).collect()  # bounded: one (1 + d + d*d)-double row per Arrow batch
+    n = sum(r["n"] for r in parts)
+    s = np.sum([r["s"] for r in parts], axis=0)
+    g = np.sum([r["g"] for r in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comp = vecs[:, [-1, -2]].T  # top-2 components, rows
+    for i in range(2):  # canonical sign: largest-|coef| entry positive
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    bc = spark.sparkContext.broadcast((mean, comp))
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        mu, c = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].map(np.asarray)) - mu
+            p = m @ c.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc1": np.round(p[:, 0], 6),
+                    "pc2": np.round(p[:, 1], 6),
+                }
+            )
+
+    return emb.mapInPandas(
+        project, schema="vec_id long, pc1 double, pc2 double"
+    ).orderBy("vec_id")

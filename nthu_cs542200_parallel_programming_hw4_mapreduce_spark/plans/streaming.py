@@ -868,3 +868,73 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import run_clicks_purchases_join
 
     return run_clicks_purchases_join(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+    ), a AS (
+      SELECT event_id, user_id, event_type, us,
+             max(CASE WHEN event_type = 'click'
+                      THEN {'us': us, 'eid': event_id} END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS lc
+      FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, lc.eid AS click_id,
+           (us - lc.us) // 60000000 AS lag_min
+    FROM a WHERE event_type = 'purchase' ORDER BY purchase_id
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the same user's most recent click within a trailing 7-day window
+    (NULL → organic). The marketing twin of ``asof_last_signup``, with
+    the horizon cap that real attribution requires.
+
+    Plan shape: ONE window pass over a user_id-partitioned,
+    microsecond-ordered sweep — max(struct(us, event_id)) over a RANGE
+    frame carries the candidate click alongside every event, and
+    purchases project it out. The naive formulation is a time-range
+    self-join (purchases × clicks per user — quadratic in events per
+    user); the frame form is linear per partition and needs no join at
+    all (the ``window_range_frame`` rule applied to attribution).
+    Clicks sharing the purchase's exact microsecond are peers of the
+    RANGE frame on both engines, and the struct tie-break (largest
+    event_id) is identical, so the engines agree exactly.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-604_800_000_000, Window.currentRow)
+    )
+    lc = F.max(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(us.alias("us"), F.col("event_id").alias("eid")),
+        )
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            us.alias("us"),
+            lc.alias("lc"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("lc.eid").alias("click_id"),
+            F.floor((F.col("us") - F.col("lc.us")) / 60_000_000).alias("lag_min"),
+        )
+        .orderBy("purchase_id")
+    )

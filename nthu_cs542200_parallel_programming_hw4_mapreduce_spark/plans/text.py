@@ -1423,3 +1423,161 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+_HH_TOPK = 10
+_HH_CAND_PER_PART = 256  # per-partition candidate budget (Misra-Gries style)
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    SELECT w AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_DD_TOKS}) AS w FROM documents)
+    GROUP BY w ORDER BY cnt DESC, tok LIMIT {_HH_TOPK}
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 most frequent tokens via the production two-phase
+    sketch-prune: a per-partition Misra-Gries-style candidate pass
+    (bounded to 256 counters per partition) followed by an exact count
+    restricted to the surviving candidates.
+
+    Why not just groupBy(token)? For WORDS the vocabulary is small and
+    the plain aggregate (``ngram_freq``) is right. This operator is for
+    the high-cardinality regime — URLs, hosts, shingles — where the
+    full key space dwarfs memory but only the head matters: the sketch
+    pass keeps the shuffle at |candidates| ≤ 256 × partitions rows
+    regardless of key cardinality, and the exact phase touches only
+    tokens that broadcast-semi-join the candidate set. Misra-Gries
+    guarantees any key with partition frequency > n_p/256 survives its
+    partition, so the global top-k (frequency ≥ N/256 by definition of
+    being heavy) is always in the candidate union and the final top-k
+    is EXACT — which is what lets a DuckDB full-aggregate oracle check
+    a sketch-based plan. Two corpus scans total (candidates, verify);
+    the verify scan's aggregate partial-combines map-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
+
+    def mg_candidates(batches):
+        # nested so it pickles by value (worker has no repo on sys.path)
+        from collections import Counter
+
+        import pandas as pd
+
+        budget = _HH_CAND_PER_PART
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf["tok"])
+            if len(counts) > 4 * budget:
+                # Misra-Gries decrement step, amortized: subtract the
+                # budget-th largest count from everyone and drop ≤ 0
+                floor = counts.most_common(budget)[-1][1]
+                counts = Counter(
+                    {t: c - floor for t, c in counts.items() if c > floor}
+                )
+        yield pd.DataFrame({"tok": [t for t, _ in counts.most_common(budget)]})
+
+    cands = toks.mapInPandas(mg_candidates, "tok string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_HH_TOPK)
+    )
+
+
+_BPE_ROUNDS = 5
+
+
+@query("bpe_merges")  # rows-only: iterative greedy merging isn't SQL-expressible
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (5 rounds) over the corpus —
+    the tokenizer-training kernel. Output: one row per learned merge
+    (round, left, right, pair_cnt), ties broken lexicographically.
+
+    Scale decomposition — the reason corpus-scale BPE training is
+    feasible at all: merges are learned on the WORD-FREQUENCY TABLE,
+    not the token stream. The corpus is scanned exactly once (token
+    explode → groupBy(word) count); every round after that works on
+    vocab-sized data (distinct words), which is millions of rows when
+    the corpus is trillions of tokens. Per round:
+
+    * adjacent-pair counts: index-explode over each word's symbol
+      sequence, weighted by word count, partial-agg'd groupBy — the
+      vocab-sized shuffle;
+    * best pair: a 1-row bounded collect (max count, lexicographic
+      tie-break);
+    * merge application: a greedy left-to-right fold (``F.aggregate``)
+      over each word's symbols — interpreted HOF, accepted here
+      because it runs on the VOCAB, never the corpus (the
+      ``udtf_tokenize`` scoping rule), and ``localCheckpoint`` keeps
+      round k's plan from embedding rounds 1..k-1 (the
+      ``dedup_clusters``/PageRank rule).
+
+    No SQL oracle — the greedy merge recurrence isn't expressible in
+    DuckDB SQL; tests/test_text_functions.py pins the merge table
+    against a pure-Python BPE hand-simulation on a planted corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens("text", r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cnt", F.filter(F.split("w", "(?!^)"), lambda c: c != "").alias("syms")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        npairs = F.size("syms") - 1
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    npairs >= 1,
+                    F.transform(
+                        F.sequence(F.lit(0), npairs - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pair_cnt"))
+            .orderBy(F.desc("pair_cnt"), "l", "r")
+            .limit(1)
+            .collect()  # bounded: exactly one row
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["pair_cnt"]
+        merges.append((rnd, l, r, c))
+        merged = l + r
+        vocab = vocab.select(
+            "cnt",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_cnt long"
+    ).orderBy("round")

@@ -125,3 +125,16 @@ def test_paragraph_dedup_removes_repeated_chunks(spark, tmp_path_factory):
     assert out[0]["clean_text"] == f"{a} {b}" and out[0]["n_removed"] == 0
     assert out[1]["clean_text"] == c and out[1]["n_removed"] == 1
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 1
+
+
+def test_table_profile_fixture_invariants(spark, sf_dir):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        table_profile,
+    )
+
+    out = {r["column_name"]: r for r in table_profile(spark, sf_dir).collect()}
+    assert set(out) == {"l_linenumber", "l_linestatus", "l_returnflag", "l_shipdate"}
+    assert out["l_returnflag"]["n_distinct"] == 3  # A / N / R
+    assert out["l_linestatus"]["n_distinct"] == 2  # O / F
+    for r in out.values():
+        assert r["null_count"] == 0 and r["top_count"] > 0

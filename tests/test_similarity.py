@@ -74,3 +74,43 @@ def test_pq_encode_codebook_vectors_encode_to_themselves(spark, sf_dir):
     rows = pq_encode(spark, sf_dir).limit(_PQ_K).collect()
     for r in rows:
         assert all(r[f"code_{m}"] == r["vec_id"] for m in range(_PQ_M)), r
+
+
+def test_pca_project_variance_order_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import pca_project
+
+    a = pca_project(spark, sf_dir).toPandas()
+    # pc1 captures at least as much variance as pc2, both centered
+    assert a["pc1"].var() >= a["pc2"].var() > 0
+    assert abs(a["pc1"].mean()) < 1e-6 and abs(a["pc2"].mean()) < 1e-6
+    # deterministic across runs (sign canonicalization + rounding)
+    b = pca_project(spark, sf_dir).toPandas()
+    assert np.array_equal(a.values, b.values)
+
+
+def test_pca_matches_local_numpy(spark, sf_dir):
+    """Distributed moment accumulation == single-machine numpy PCA."""
+    import numpy as np
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import pca_project
+
+    pdf = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    m = np.stack(pdf["embedding"].map(np.asarray))
+    m = m - m.mean(axis=0)
+    cov = (m.T @ m) / len(m)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, [-1, -2]].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    want = np.round(m @ comp.T, 5)
+
+    got = pca_project(spark, sf_dir).toPandas().sort_values("vec_id")
+    order = pdf["vec_id"].argsort()
+    assert np.allclose(
+        np.round(got[["pc1", "pc2"]].to_numpy(), 5), want[order], atol=1e-4
+    )

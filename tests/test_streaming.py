@@ -406,3 +406,33 @@ def test_stream_stream_join_planted(spark, tmp_path_factory):
     assert topo.isStreaming
     plan = topo._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_attribution_last_touch_planted(spark, tmp_path_factory):
+    """In-horizon click attributed; 8-day-old click → organic; later
+    click wins over earlier one."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        attribution_last_touch,
+    )
+
+    t = lambda d, m=0: datetime.datetime(2026, 1, d, 12, m)  # noqa: E731
+    rows = [
+        (1, t(1), 7, "click", 1.0, "{}"),
+        (2, t(10), 7, "click", 1.0, "{}"),
+        (3, t(10, 30), 7, "purchase", 1.0, "{}"),  # → click 2 (30 min)
+        (4, t(1), 8, "click", 1.0, "{}"),
+        (5, t(9, 1), 8, "purchase", 1.0, "{}"),  # click 8d old → organic
+        (6, t(3), 9, "purchase", 1.0, "{}"),  # no click ever → organic
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("attr"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = {r["purchase_id"]: r for r in attribution_last_touch(spark, d).collect()}
+    assert out[3]["click_id"] == 2 and out[3]["lag_min"] == 30
+    assert out[5]["click_id"] is None and out[5]["lag_min"] is None
+    assert out[6]["click_id"] is None

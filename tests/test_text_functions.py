@@ -209,3 +209,75 @@ def test_pmi_collocations_hand_computed(spark, tmp_path_factory):
     assert out[("cc", "cc")] == (10, exp_cccc)
     # the deterministic collocation outranks the frequent background pair
     assert out[("aa", "bb")][1] > out[("cc", "cc")][1]
+
+
+def test_bpe_merges_match_pure_python_simulation(spark, tmp_path_factory):
+    """The distributed merge table equals a from-scratch BPE hand
+    simulation on a planted corpus (the mapreduce quirk-test idiom)."""
+    from collections import Counter
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import bpe_merges
+
+    text = "low low low lower lowest new newer"
+    rows = [(0, text, "en", "s", len(text)), (1, "low new", "en", "s", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("bpe"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # pure-Python reference
+    vocab = Counter((text + " low new").split())
+    seqs = {w: list(w) for w in vocab}
+    expect = []
+    for rnd in range(1, 6):
+        pc = Counter()
+        for w, cnt in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        # max count, lexicographic tie-break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        expect.append((rnd, l, r, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_cnt"])
+        for r in bpe_merges(spark, d).collect()
+    ]
+    assert got == expect
+
+
+def test_heavy_hitters_exact_under_candidate_pruning(spark, tmp_path_factory):
+    """Vocabulary far above the per-partition candidate budget: the
+    sketch pass must prune yet still return the exact top-10."""
+    from collections import Counter
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import heavy_hitters
+
+    # 2000 distinct rare words (1×) + 12 planted heavy words
+    heavy = [f"hot{i}" for i in range(12)]
+    words = []
+    for i, w in enumerate(heavy):
+        words += [w] * (500 - 10 * i)
+    words += [f"rare{i}" for i in range(2000)]
+    text = " ".join(words)
+    rows = [(0, text, "en", "s", len(text))]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("hh"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    exact = Counter(words).most_common()
+    exact.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["tok"], r["cnt"]) for r in heavy_hitters(spark, d).collect()]
+    assert got == exact[:10]
