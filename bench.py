@@ -103,6 +103,13 @@ HEADLINE = [
     "pagerank_events",
     "triangle_count",
     "streaming_stream_join",
+    # r3 additions (ninth batch): profiling, sketch heavy-hitters,
+    # attribution, distributed PCA, BPE merge learning
+    "table_profile",
+    "heavy_hitters",
+    "attribution_last_touch",
+    "pca_project",
+    "bpe_merges",
 ]
 
 
