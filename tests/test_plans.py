@@ -502,3 +502,34 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_table_profile_prunes_each_column_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "table_profile")
+    assert "ReadSchema: struct<l_returnflag:string>" in plan
+    assert "ReadSchema: struct<l_linestatus:string>" in plan
+    assert "partial_count" in plan
+
+
+def test_heavy_hitters_semi_joins_broadcast_candidates(spark, sf_dir):
+    """The verify scan must filter tokens by a BROADCAST semi-join on
+    the sketch candidates, then TakeOrdered — never a full-vocab sort."""
+    plan = plan_of(spark, sf_dir, "heavy_hitters", mode="simple")
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan  # the sketch pass
+
+
+def test_attribution_single_window_sweep_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "attribution_last_touch", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert " Window" in plan or "+- Window" in plan
+
+
+def test_pca_project_is_shuffle_free(spark, sf_dir):
+    """Both PCA passes are narrow mapInPandas scans — any hash exchange
+    means a shuffle crept into a zero-shuffle pipeline."""
+    plan = plan_of(spark, sf_dir, "pca_project", mode="simple")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
