@@ -204,3 +204,54 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         wedges.join(closing, ["v1", "v2"], "left_semi")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+_REACH_SEED = 0
+_REACH_MAX_HOPS = 3
+
+
+@query(
+    "reachability_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL.strip().rstrip(')')}
+    ),
+    walk(v, hop) AS (
+      SELECT dst, 1 FROM edges WHERE src = {_REACH_SEED}
+      UNION ALL
+      SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.v
+      WHERE w.hop < {_REACH_MAX_HOPS}
+    )
+    SELECT v AS user_id, MIN(hop) AS hops
+    FROM walk GROUP BY v ORDER BY user_id
+    """,
+)
+def reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth reachability from a seed node (min-hop BFS to 3
+    hops) — via Spark 4's native ``WITH RECURSIVE``, exercising the SQL
+    surface DuckDB shares, over the same derived edge graph as
+    ``pagerank_events``.
+
+    Spark plans the recursion as an iterative union-loop of equi-joins
+    (each level joins the frontier to the edge list on src — the same
+    per-round shape as the hand-rolled PageRank loop, but entirely
+    inside the SQL engine). The hop bound caps path enumeration; the
+    closing GROUP BY collapses the path multiset to min-hops. For
+    unbounded-depth closures at 100 TB the hand-rolled loop with
+    per-round ``localCheckpoint`` and frontier dedup
+    (``dedup_clusters``' connected components) remains the production
+    path — path-multiset recursion grows multiplicatively with hop
+    count; this operator documents the bounded-depth SQL form.
+    """
+    _edges(spark, sf_dir).createOrReplaceTempView("edges_view")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(v, hop) AS (
+          SELECT dst, 1 FROM edges_view WHERE src = {_REACH_SEED}
+          UNION ALL
+          SELECT e.dst, w.hop + 1 FROM walk w JOIN edges_view e ON e.src = w.v
+          WHERE w.hop < {_REACH_MAX_HOPS}
+        )
+        SELECT v AS user_id, MIN(hop) AS hops
+        FROM walk GROUP BY v ORDER BY user_id
+        """
+    )

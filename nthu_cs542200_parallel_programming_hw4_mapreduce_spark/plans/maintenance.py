@@ -416,3 +416,55 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# k_anonymity_suppress — privacy gate for data publishing
+# --------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_suppress",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < {_K_ANON} AS suppressed,
+           CASE WHEN COUNT(*) >= {_K_ANON}
+                THEN CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                          AS DOUBLE) END AS acctbal_sum
+    FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity publishing gate: aggregate customers by the
+    quasi-identifier pair (nation, market segment) and SUPPRESS the
+    statistics of any group smaller than k=5 — small groups re-identify
+    individuals, so their aggregate is withheld (NULL) while the group
+    size itself remains (the auditor needs it to see WHAT was
+    suppressed).
+
+    This is the release-gate a pipeline runs before publishing derived
+    statistics. One partial-agg'd groupBy on the quasi-identifier —
+    the DECIMAL sum accumulates exactly so the engines agree bit-wise,
+    and suppression is a post-aggregation CASE, costing nothing. Scale:
+    output is |quasi-identifier combinations| rows, independent of
+    customer count; skewed quasi-groups partial-aggregate map-side
+    like any other key.
+    """
+    cust = table(spark, sf_dir, "customer")
+    n = F.count("*")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            n.cast("long").alias("group_size"),
+            (n < _K_ANON).alias("suppressed"),
+            F.when(
+                n >= _K_ANON,
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast(
+                    "double"
+                ),
+            ).alias("acctbal_sum"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

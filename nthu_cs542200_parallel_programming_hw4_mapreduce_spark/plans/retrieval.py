@@ -263,3 +263,136 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@10 retrieval evaluation
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+# gain spelled identically in both engines: (2^rel - 1) / log2(pos + 1)
+_GAIN_SQL = "(pow(2.0, rel) - 1.0) / (ln(pos + 1.0) / ln(2.0))"
+
+
+@query(
+    "ndcg_at_10",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+    ), pd AS (
+      SELECT doc_id, len(ws) AS dl,
+             {", ".join(f"len(list_filter(ws, t -> t = '{t}')) AS tf_{i}"
+                        for i, t in enumerate(_BM25_TERMS))}
+      FROM d WHERE len(ws) > 0
+    ), st AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             {", ".join(f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+                        for i in range(len(_BM25_TERMS)))}
+      FROM pd
+    ), scored AS (
+      SELECT doc_id,
+             {", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))},
+             {" + ".join(f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END"
+                         for i in range(len(_BM25_TERMS)))} AS rel,
+             round({" + ".join(_bm25_term_sql(i)
+                               for i in range(len(_BM25_TERMS)))}, 6) AS score
+      FROM pd, st
+    ), ranked AS (
+      SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+      FROM scored
+      WHERE greatest({", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))}) > 0
+    ), dcg_t AS (
+      SELECT SUM({_GAIN_SQL}) AS dcg FROM ranked WHERE pos <= {_NDCG_K}
+    ), ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM scored
+    ), idcg_t AS (
+      SELECT SUM({_GAIN_SQL}) AS idcg FROM ideal WHERE pos <= {_NDCG_K}
+    )
+    SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(dcg / idcg, 6) AS ndcg
+    FROM dcg_t, idcg_t
+    """,
+)
+def ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded relevance labels
+    (rel = number of distinct query terms a document contains, 0-4) —
+    the retrieval-evaluation half of the ``bm25_topk`` story, run the
+    way an offline eval sweep scores a ranker change.
+
+    Plan shape: identical corpus pass to ``bm25_topk`` (one explode →
+    per-doc aggregate, singleton stats broadcast back); then BOTH
+    rankings — actual (by score) and ideal (by relevance) — are top-10
+    TakeOrdered selections, so the position windows run over 10 rows,
+    never the corpus. Gains are spelled with the same double ops in
+    both engines and the three outputs round to 6 dp (the PageRank
+    reassociation rule)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("w"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, True)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, True)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        norm = tf + F.lit(1.2) * (
+            F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+        )
+        return idf * (tf * F.lit(2.2)) / norm
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    rel = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(_BM25_TERMS))
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        *[f"tf_{i}" for i in range(len(_BM25_TERMS))],
+        rel.alias("rel"),
+        F.round(score, 6).alias("score"),
+    )
+
+    from pyspark.sql import Window
+
+    def gain():
+        return (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / (
+            F.log(F.col("pos") + F.lit(1.0)) / F.log(F.lit(2.0))
+        )
+
+    top = (
+        scored.filter(
+            F.greatest(*[F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))]) > 0
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_NDCG_K)  # TakeOrdered: 10 rows reach the window below
+        .withColumn("pos", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")))
+    )
+    dcg = top.agg(F.sum(gain()).alias("dcg"))
+    ideal = (
+        scored.orderBy(F.desc("rel"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("pos", F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id")))
+    )
+    idcg = ideal.agg(F.sum(gain()).alias("idcg"))
+    return dcg.crossJoin(idcg).select(
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

@@ -1581,3 +1581,73 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_cnt long"
     ).orderBy("round")
+
+
+_DICT_RANGE_PARTS = 8
+
+
+@query(
+    "dictionary_encode",
+    oracle=f"""
+    WITH v AS (
+      SELECT w AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_DD_TOKS}) AS w FROM documents) GROUP BY w
+    )
+    SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id, cnt
+    FROM v ORDER BY tok
+    """,
+)
+def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dictionary encoding: assign every distinct token a dense,
+    lexicographically-ordered id — the columnar-encoding primitive
+    (string columns → int ids + a dictionary table).
+
+    A global rank is the textbook single-task trap: ``row_number() OVER
+    (ORDER BY tok)`` with no PARTITION BY plans ONE window task holding
+    the whole vocabulary. This operator uses the scalable two-phase
+    form instead (the distributed zipWithIndex pattern):
+
+    1. range-repartition the vocab by token (each range bucket sorts
+       independently, in parallel);
+    2. count per bucket → a #buckets-sized bounded collect → exclusive
+       prefix offsets;
+    3. id = bucket offset + intra-bucket row_number (the window
+       partitions by bucket id, so every bucket ranks in its own task).
+
+    The ids are invariant to where the range boundaries fall (offsets +
+    local ranks always compose to the global rank), which is what makes
+    the sampled RangePartitioner safe under a deterministic-output
+    contract. The oracle uses the naive global window — same answer,
+    DuckDB's problem is oracle-sized.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bucketed = vocab.repartitionByRange(_DICT_RANGE_PARTS, "tok").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in bucketed.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }  # bounded: one row per range bucket
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )  # bounded literal map: #buckets entries
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("pid").orderBy("tok")
+    return (
+        bucketed.select(
+            "tok",
+            (off[F.col("pid")] + F.row_number().over(local)).cast("long").alias("id"),
+            "cnt",
+        )
+        .orderBy("tok")
+    )

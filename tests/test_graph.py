@@ -43,3 +43,13 @@ def test_pagerank_uniform_on_cycle(spark, cycle_dir):
 def test_triangle_count_on_cycle(spark, cycle_dir):
     """The undirected 3-cycle is exactly one triangle."""
     assert triangle_count(spark, cycle_dir).first()["triangles"] == 1
+
+
+def test_reachability_bfs_min_hops_on_cycle(spark, cycle_dir):
+    """From seed 0 on the 3-cycle: 1 is 1 hop, 2 is 2, back to 0 in 3."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.graph import (
+        reachability_bfs,
+    )
+
+    out = {r["user_id"]: r["hops"] for r in reachability_bfs(spark, cycle_dir).collect()}
+    assert out == {0: 3, 1: 1, 2: 2}

@@ -138,3 +138,24 @@ def test_table_profile_fixture_invariants(spark, sf_dir):
     assert out["l_linestatus"]["n_distinct"] == 2  # O / F
     for r in out.values():
         assert r["null_count"] == 0 and r["top_count"] > 0
+
+
+def test_k_anonymity_suppresses_small_groups(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        k_anonymity_suppress,
+    )
+
+    rows = [(i, f"c{i}", 1, 100.0, "SEG_A") for i in range(6)]  # big group
+    rows += [(10, "c10", 2, 50.0, "SEG_B")]  # singleton → suppressed
+    df = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    d = str(tmp_path_factory.mktemp("kanon"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+
+    out = {(r["c_nationkey"], r["c_mktsegment"]): r
+           for r in k_anonymity_suppress(spark, d).collect()}
+    big, small = out[(1, "SEG_A")], out[(2, "SEG_B")]
+    assert not big["suppressed"] and big["acctbal_sum"] == 600.0
+    assert small["suppressed"] and small["acctbal_sum"] is None
+    assert small["group_size"] == 1  # size stays visible for the audit

@@ -533,3 +533,29 @@ def test_pca_project_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pca_project", mode="simple")
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dictionary_encode_window_is_bucket_partitioned(spark, sf_dir):
+    """The rank window must partition by the range-bucket id — an
+    unpartitioned row_number() is the single-task global-sort trap this
+    operator exists to avoid."""
+    plan = plan_of(spark, sf_dir, "dictionary_encode", mode="extended")
+    assert "windowspecdefinition(pid" in plan
+
+
+def test_ndcg_rankings_are_takeordered(spark, sf_dir):
+    """Both ranking selections must TakeOrdered 10 rows before any
+    window — the position windows run over k rows, never the corpus."""
+    plan = plan_of(spark, sf_dir, "ndcg_at_10", mode="simple")
+    assert plan.count("TakeOrderedAndProject") == 2
+
+
+def test_reachability_uses_native_recursion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "reachability_bfs", mode="simple")
+    assert "UnionLoop" in plan
+
+
+def test_k_anonymity_is_one_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "k_anonymity_suppress", mode="simple")
+    assert "Join" not in plan
+    assert "partial_count" in plan

@@ -118,3 +118,29 @@ def test_dsir_two_corpus_passes_only(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 4  # 2 passes (AQE prints each twice)
+
+
+def test_ndcg_is_one_when_bm25_ranking_is_ideal(spark, tmp_path_factory):
+    """Docs where BM25 order equals relevance order → NDCG@10 == 1."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.retrieval import ndcg_at_10
+
+    rows = [
+        (0, "spark query join data", "en", "s", 22),   # rel 4, highest score
+        (1, "spark query join x x x", "en", "s", 22),  # rel 3
+        (2, "spark query x x x x x x", "en", "s", 24), # rel 2
+        (3, "spark x x x x x x x x x", "en", "s", 24), # rel 1
+        (4, "nothing relevant here at all", "en", "s", 28),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("ndcg"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    r = ndcg_at_10(spark, d).first()
+    assert r["ndcg"] == 1.0 and r["dcg"] == r["idcg"] > 0
+
+
+def test_ndcg_fixture_bounds(spark, sf_dir):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.retrieval import ndcg_at_10
+
+    r = ndcg_at_10(spark, sf_dir).first()
+    assert 0.0 < r["ndcg"] <= 1.0

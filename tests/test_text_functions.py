@@ -281,3 +281,18 @@ def test_heavy_hitters_exact_under_candidate_pruning(spark, tmp_path_factory):
     exact.sort(key=lambda kv: (-kv[1], kv[0]))
     got = [(r["tok"], r["cnt"]) for r in heavy_hitters(spark, d).collect()]
     assert got == exact[:10]
+
+
+def test_dictionary_encode_ids_are_global_sort_ranks(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        dictionary_encode,
+    )
+
+    text = "delta alpha charlie bravo alpha alpha bravo"
+    rows = [(0, text, "en", "s", len(text))]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("dict"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = [(r["tok"], r["id"], r["cnt"]) for r in dictionary_encode(spark, d).collect()]
+    assert out == [("alpha", 1, 3), ("bravo", 2, 2), ("charlie", 3, 1), ("delta", 4, 1)]
