@@ -110,6 +110,12 @@ HEADLINE = [
     "attribution_last_touch",
     "pca_project",
     "bpe_merges",
+    # r3 additions (tenth batch): recursive SQL, dictionary encoding,
+    # privacy gate, retrieval evaluation
+    "reachability_bfs",
+    "dictionary_encode",
+    "k_anonymity_suppress",
+    "ndcg_at_10",
 ]
 
 
