@@ -116,6 +116,11 @@ HEADLINE = [
     "dictionary_encode",
     "k_anonymity_suppress",
     "ndcg_at_10",
+    # r3 additions (eleventh batch): MERGE apply, grouped regression,
+    # malformed-ingest quarantine
+    "merge_upsert",
+    "linreg_by_key",
+    "json_quarantine",
 ]
 
 

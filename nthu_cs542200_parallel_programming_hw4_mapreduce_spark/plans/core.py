@@ -2219,3 +2219,51 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("z", "l_orderkey", "l_partkey")
         .limit(100)
     )
+
+
+@query(
+    "json_quarantine",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0
+                  THEN substr(props, 1, length(props) - 2)
+                  ELSE props END AS payload
+      FROM events
+    ), parsed AS (
+      SELECT event_id,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(payload ->> '$.k' AS BIGINT) END AS k
+      FROM raw
+    )
+    SELECT CAST(COUNT(k) AS BIGINT) AS n_valid,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_quarantined,
+           CAST(SUM(k) AS BIGINT) AS k_sum
+    FROM parsed
+    """,
+)
+def json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on semi-structured ingest: parse the
+    events' JSON payload with a typed schema, route unparseable rows to
+    quarantine counts instead of failing the job — the PERMISSIVE-mode
+    contract every production ingest needs (a corrupted Kafka record
+    must never kill a 100 TB backfill).
+
+    A deterministic corruption (event_id % 11 → truncated JSON) is
+    applied identically in both engines, so the quarantine rate is
+    checkable. Spark side: ``from_json`` with an explicit schema —
+    malformed input yields a NULL struct, making 'quarantined' a null
+    test, all inside codegen (no Python). Scale: scan-bound single
+    aggregate; the quarantined rows would stream to a dead-letter sink
+    via the same null predicate."""
+    ev = table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 11 == 0,
+        F.expr("substr(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    k = F.from_json(payload, "k BIGINT")["k"]
+    return ev.select(k.alias("k")).agg(
+        F.count("k").cast("long").alias("n_valid"),
+        (F.count("*") - F.count("k")).cast("long").alias("n_quarantined"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )

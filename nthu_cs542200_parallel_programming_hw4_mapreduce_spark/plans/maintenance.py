@@ -468,3 +468,81 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# merge_upsert — row-level MERGE (upsert + delete) application
+# --------------------------------------------------------------------------
+
+# Deterministic change feed derived from the base table (the
+# snapshot_diff trick): c_custkey % 7 == 0 → DELETE; else % 10 == 0 →
+# UPDATE (acctbal + 100); % 13 == 0 → INSERT under key + 1_000_000.
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(c_acctbal + 100 AS DOUBLE) AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', CAST(c_acctbal AS DOUBLE)
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+           CASE WHEN u.op = 'U' THEN u.new_bal
+                WHEN u.op = 'I' THEN u.new_bal
+                ELSE b.c_acctbal END AS c_acctbal
+    FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    WHERE u.op IS NULL OR u.op <> 'D'
+    ORDER BY c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE: apply a change feed (updates, deletes, inserts)
+    to a base table in ONE pass — the batch formulation of
+    ``MERGE INTO`` that a lakehouse executes during CDC apply
+    (``snapshot_diff`` DETECTS the feed; this operator APPLIES it).
+
+    Scale shape: one full-outer sort-merge join keyed on the primary
+    key — both sides corpus-scale, so no broadcast guess — then pure
+    CASE routing: update rows take the feed's value, deletes drop via a
+    post-join filter, inserts survive as feed-only rows, untouched base
+    rows pass through. In production the feed is orders of magnitude
+    smaller than the base and the join prunes to changed FILES first
+    (Delta/Iceberg merge-on-read); the row-level apply is this exact
+    plan either way.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = (
+        cust.filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 10 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.col("c_acctbal") + 100).cast("double").alias("new_bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("I").alias("op"),
+                F.col("c_acctbal").cast("double").alias("new_bal"),
+            )
+        )
+    )
+    b = cust.withColumnsRenamed({"c_acctbal": "base_bal"})
+    return (
+        b.join(upd.hint("merge"), "c_custkey", "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(F.col("base_bal"))
+            .alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -938,3 +938,68 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "linreg_by_key",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(18,6))
+                      * CAST(hour(ts) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m ORDER BY event_type
+    """,
+)
+def linreg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (value ~ hour-of-day, per event
+    type): slope, intercept, and r² from closed-form normal equations —
+    the fit-a-trend-per-key primitive of metric monitoring.
+
+    The whole fit decomposes into six DECIMAL moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) that partial-aggregate map-side and combine
+    associatively — one scan, one |keys|-row shuffle, no iteration
+    (closed form beats gradient descent wherever d is tiny). DECIMAL
+    accumulation makes the sums bit-exact regardless of combine order
+    (the ``anomaly_zscore`` idiom), and the slope/intercept/r²
+    arithmetic is spelled with identical double ops in both engines,
+    rounded to 6 dp."""
+    ev = table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("decimal(18,6)")
+    y = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")

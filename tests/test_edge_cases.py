@@ -166,3 +166,26 @@ def test_zvalue_is_bijective_on_the_bit_grid(spark):
     z = grid.select(zvalue(F.col("a"), F.col("b")).alias("z"))
     assert z.distinct().count() == 256
     assert z.agg(F.max("z")).first()[0] < 256
+
+
+def test_json_quarantine_routes_malformed(spark, tmp_path_factory):
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.core import (
+        json_quarantine,
+    )
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [
+        (0, t, 1, "m", 1.0, '{"k": 5}'),   # % 11 == 0 → corrupted in-query
+        (1, t, 1, "m", 1.0, '{"k": 7}'),
+        (2, t, 1, "m", 1.0, '{"k": 9}'),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("jsonq"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    r = json_quarantine(spark, d).first()
+    assert (r["n_valid"], r["n_quarantined"], r["k_sum"]) == (2, 1, 16)

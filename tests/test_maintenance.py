@@ -159,3 +159,25 @@ def test_k_anonymity_suppresses_small_groups(spark, tmp_path_factory):
     assert not big["suppressed"] and big["acctbal_sum"] == 600.0
     assert small["suppressed"] and small["acctbal_sum"] is None
     assert small["group_size"] == 1  # size stays visible for the audit
+
+
+def test_merge_upsert_applies_all_ops(spark, tmp_path_factory):
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        merge_upsert,
+    )
+
+    rows = [(1, "a", 0, 10.0, "S"), (7, "b", 0, 20.0, "S"),
+            (10, "c", 0, 30.0, "S"), (13, "d", 0, 40.0, "S")]
+    df = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    d = str(tmp_path_factory.mktemp("merge"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+
+    out = {r["c_custkey"]: r["c_acctbal"] for r in merge_upsert(spark, d).collect()}
+    assert out == {
+        1: 10.0,        # untouched passthrough
+        10: 130.0,      # % 10 → updated
+        13: 40.0,       # source of an insert, itself unchanged
+        1000013: 40.0,  # % 13 → inserted under new key
+    }  # 7 deleted

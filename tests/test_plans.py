@@ -559,3 +559,21 @@ def test_k_anonymity_is_one_partial_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "k_anonymity_suppress", mode="simple")
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_merge_upsert_is_pk_keyed_sort_merge(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "merge_upsert")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_linreg_single_partial_agg_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "linreg_by_key", mode="simple")
+    assert "Join" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_json_quarantine_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "json_quarantine", mode="simple")
+    assert "EvalPython" not in plan  # from_json is codegen, not a UDF
+    assert "partial_count" in plan

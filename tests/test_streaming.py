@@ -436,3 +436,25 @@ def test_attribution_last_touch_planted(spark, tmp_path_factory):
     assert out[3]["click_id"] == 2 and out[3]["lag_min"] == 30
     assert out[5]["click_id"] is None and out[5]["lag_min"] is None
     assert out[6]["click_id"] is None
+
+
+def test_linreg_recovers_exact_line(spark, tmp_path_factory):
+    """y = 2*hour + 1 exactly → slope 2, intercept 1, r² 1."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        linreg_by_key,
+    )
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1, h), 1, "m", float(2 * h + 1), "{}")
+        for i, h in enumerate([1, 3, 5, 9])
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("linreg"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    r = linreg_by_key(spark, d).first()
+    assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 1.0, 1.0)
