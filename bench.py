@@ -121,6 +121,10 @@ HEADLINE = [
     "merge_upsert",
     "linreg_by_key",
     "json_quarantine",
+    # r3 additions (twelfth batch): streaming top-k + UDF/null contracts
+    "streaming_topk",
+    "arrow_udf_reverse",
+    "null_semantics",
 ]
 
 

@@ -2267,3 +2267,78 @@ def json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("k")).cast("long").alias("n_quarantined"),
         F.sum("k").cast("long").alias("k_sum"),
     )
+
+
+@query(
+    "arrow_udf_reverse",
+    oracle="""
+    SELECT doc_id, reverse(text) AS rev FROM documents
+    WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def arrow_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (``useArrow=True``) —
+    completes the UDF-surface matrix (row-Python UDTF: udtf_tokenize;
+    Pandas UDAF: pandas_udaf_mean; mapInPandas: the dedup/PCA kernels;
+    this: the Arrow-batched scalar path, ~10× the pickle path's serde
+    throughput).
+
+    Extension-point PROOF, deliberately scoped to 50 docs (the
+    ``udtf_tokenize`` rule): string reverse has a builtin
+    (``F.reverse``) that any production plan should use — the point is
+    the Arrow serde contract, checked against DuckDB's builtin, not the
+    transform. The UDF is nested so it pickles by value."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def rev(s: str) -> str:
+        return s[::-1]
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", rev("text").alias("rev"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 3 END AS v
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS eq_one,
+           CAST(COUNT(*) FILTER (WHERE v <> 1) AS BIGINT) AS ne_one,
+           CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS is_null,
+           CAST(COUNT(*) FILTER (WHERE v IS NOT DISTINCT FROM NULL) AS BIGINT)
+             AS nullsafe_null,
+           CAST(COUNT(v) AS BIGINT) AS count_v,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM t
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic contract, pinned: ``v = 1`` and ``v <> 1``
+    both EXCLUDE nulls (eq_one + ne_one + is_null = total), aggregates
+    skip nulls (COUNT(v), SUM(v)), and the null-safe comparator
+    (Spark ``<=>`` ≡ SQL ``IS NOT DISTINCT FROM``) treats NULL as a
+    comparable value. An engine that gets any of this wrong corrupts
+    every outer-join-fed aggregate downstream, so the contract is a
+    declared query, not a unit test. Scan-bound single aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    v = F.when(F.col("doc_id") % 5 != 0, F.col("doc_id") % 3)
+    t = docs.select(v.alias("v"))
+    return t.agg(
+        F.count("*").cast("long").alias("total"),
+        F.count(F.when(F.col("v") == 1, True)).cast("long").alias("eq_one"),
+        F.count(F.when(F.col("v") != 1, True)).cast("long").alias("ne_one"),
+        F.count(F.when(F.col("v").isNull(), True)).cast("long").alias("is_null"),
+        F.count(F.when(F.col("v").eqNullSafe(F.lit(None).cast("long")), True))
+        .cast("long")
+        .alias("nullsafe_null"),
+        F.count("v").cast("long").alias("count_v"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )

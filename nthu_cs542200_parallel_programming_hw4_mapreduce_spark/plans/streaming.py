@@ -1003,3 +1003,47 @@ def linreg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_topk",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT h, event_type, cnt,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM w
+    )
+    SELECT h, event_type, cnt, rnk FROM r WHERE rnk <= 3 ORDER BY h, rnk
+    """,
+)
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k: the 3 busiest event types per hour, maintained
+    over a REAL readStream — the live-leaderboard topology (trending
+    queries, hottest skus).
+
+    Ranking is not an incremental streaming aggregate, so the
+    production pattern is exactly what runs here: the WINDOWED COUNTS
+    are the streaming state (complete-mode window agg — same state as
+    ``streaming_window``), and the rank is computed over that
+    hour-keyed, |types|-sized RESULT table each emission, never over
+    events. State and rank input are both O(hours × types); the event
+    stream itself is touched once by the count aggregate. Over the
+    finite backfill the result equals the batch window+rank — the
+    unification property, same as every streaming twin here.
+    """
+    from ..streaming.windows import run_windowed_count
+    from pyspark.sql import Window
+
+    counts = run_windowed_count(spark, f"{sf_dir}/events.parquet")
+    rnk = F.row_number().over(
+        Window.partitionBy("h").orderBy(F.desc("cnt"), "event_type")
+    )
+    return (
+        counts.select("h", "event_type", "cnt", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("h", "rnk")
+    )

@@ -458,3 +458,55 @@ def test_linreg_recovers_exact_line(spark, tmp_path_factory):
 
     r = linreg_by_key(spark, d).first()
     assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 1.0, 1.0)
+
+
+def test_streaming_checkpoint_recovery_across_restart(spark, tmp_path_factory):
+    """Kill-and-restart contract: a windowed aggregate restarted from
+    its checkpoint must NOT recount old files — the recovered state
+    plus the new file equals the batch aggregate over everything."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.streaming.windows import (
+        windowed_count_stream,
+    )
+
+    t = lambda h, m: datetime.datetime(2026, 1, 1, h, m)  # noqa: E731
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = [(1, t(0, 5), 1, "click", 1.0, "{}"), (2, t(0, 10), 1, "view", 2.0, "{}")]
+    batch2 = [(3, t(0, 20), 1, "click", 3.0, "{}"), (4, t(1, 5), 1, "click", 4.0, "{}")]
+
+    root = tmp_path_factory.mktemp("ckpt")
+    src, ck = str(root / "events.parquet"), str(root / "checkpoint")
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("append").parquet(src)
+
+    def run_to_completion(name):
+        agg = windowed_count_stream(spark, src)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["event_type"], r["h"]): (r["cnt"], r["sv"])
+            for r in spark.table(name).collect()
+        }
+
+    first = run_to_completion("ckpt_run1")
+    assert first[("click", t(0, 0))] == (1, 1.0)
+
+    # "crash", new data lands, restart from the same checkpoint
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(src)
+    second = run_to_completion("ckpt_run2")
+    assert second == {
+        ("click", t(0, 0)): (2, 4.0),  # recovered 1 + new 1, not recounted
+        ("view", t(0, 0)): (1, 2.0),
+        ("click", t(1, 0)): (1, 4.0),
+    }
