@@ -35,6 +35,8 @@ def test_registry_alignment():
         "pandas_udaf_mean",
         "streaming_incremental_dedup",
         "streaming_stateful",
+        "pca_project",
+        "bpe_merges",
     }
 
 

@@ -74,6 +74,10 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         # the documented case where mapInPandas IS the fast path
         "udtf_tokenize",  # Python UDTF BY DESIGN — the extension-point demo,
         # scoped to 50 docs; JVM tokenization is what real queries use
+        "arrow_udf_reverse",  # Arrow scalar UDF BY DESIGN — same rule,
+        # completes the UDF-surface matrix, scoped to 50 docs
+        "heavy_hitters",  # the Misra-Gries candidate pass is the sketch
+        # (mapInPandas by design); the exact verify phase stays JVM-side
     }
     for name in sorted(E.oracle_sql()):
         if name in deliberate_python:
