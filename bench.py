@@ -125,6 +125,7 @@ HEADLINE = [
     "streaming_topk",
     "arrow_udf_reverse",
     "null_semantics",
+    "encode_corpus",
 ]
 
 

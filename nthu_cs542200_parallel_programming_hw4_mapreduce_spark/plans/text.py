@@ -1651,3 +1651,76 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+@query(
+    "encode_corpus",
+    oracle=f"""
+    WITH v AS (
+      SELECT w AS tok, row_number() OVER (ORDER BY w) AS id
+      FROM (SELECT DISTINCT unnest({_DD_TOKS}) AS w FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, {_DD_TOKS} AS ws FROM documents)
+    )
+    SELECT e.doc_id, array_to_string(list(v.id ORDER BY e.pos), ' ') AS ids,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex e JOIN v ON e.tok = v.tok
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+)
+def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the global dictionary to the corpus: every document becomes
+    its token-id sequence (``array<long>``) — the string→int encoding
+    step before numeric tokenizer/model pipelines, paired with
+    ``dictionary_encode`` (which BUILDS the dictionary this applies).
+
+    Plan shape: the dictionary rebuilds via the same two-phase ranking,
+    then the corpus explodes to (doc_id, pos, token), equi-joins the
+    dictionary (broadcast while the vocab fits — MBs for word vocabs —
+    degrading to sort-merge for open vocabs like URLs), and re-collects
+    per document. Order is restored by sorting (pos, id) STRUCTS inside
+    the aggregate, not by trusting collect_list order — Spark's
+    collect order is partition-arrival nondeterministic, the classic
+    wrong-answer trap this plan avoids; the per-doc state is the
+    document's own length."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
+        .distinct()
+        .repartitionByRange(_DICT_RANGE_PARTS, "tok")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in vocab.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }  # bounded: one row per range bucket
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("pid").orderBy("tok")
+    dictionary = vocab.select(
+        "tok", (off[F.col("pid")] + F.row_number().over(local)).cast("long").alias("id")
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "tok")
+    )
+    return (
+        ex.join(F.broadcast(dictionary), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"],
+                ),
+                " ",
+            ).alias("ids"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("doc_id")
+    )

@@ -296,3 +296,24 @@ def test_dictionary_encode_ids_are_global_sort_ranks(spark, tmp_path_factory):
 
     out = [(r["tok"], r["id"], r["cnt"]) for r in dictionary_encode(spark, d).collect()]
     assert out == [("alpha", 1, 3), ("bravo", 2, 2), ("charlie", 3, 1), ("delta", 4, 1)]
+
+
+def test_encode_corpus_roundtrips_ids(spark, tmp_path_factory):
+    """Decoding each doc's id sequence through the dictionary must
+    reproduce the original token stream."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        dictionary_encode,
+        encode_corpus,
+    )
+
+    rows = [(0, "bravo alpha bravo", "en", "s", 17), (1, "alpha", "en", "s", 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("enc"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    id2tok = {r["id"]: r["tok"] for r in dictionary_encode(spark, d).collect()}
+    out = {r["doc_id"]: r for r in encode_corpus(spark, d).collect()}
+    assert out[0]["n"] == 3
+    decoded = " ".join(id2tok[int(i)] for i in out[0]["ids"].split())
+    assert decoded == "bravo alpha bravo"
+    assert out[1]["ids"] == str(min(id2tok))  # 'alpha' is rank 1
