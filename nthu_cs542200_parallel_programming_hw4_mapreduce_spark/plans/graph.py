@@ -110,6 +110,8 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # bounded: one long per distinct node, counted not collected
+    if n == 0:  # degenerate: no edges (empty event log) → empty ranking
+        return spark.createDataFrame([], "user_id long, rank double")
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # degree rides the edge list once; iterations never recompute it
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)

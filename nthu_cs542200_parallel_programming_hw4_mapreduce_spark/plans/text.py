@@ -1633,6 +1633,8 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["pid"]: r["n"]
         for r in bucketed.groupBy("pid").agg(F.count("*").alias("n")).collect()
     }  # bounded: one row per range bucket
+    if not sizes:  # degenerate: empty corpus → empty dictionary
+        return spark.createDataFrame([], "tok string, id long, cnt long")
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
@@ -1695,6 +1697,8 @@ def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["pid"]: r["n"]
         for r in vocab.groupBy("pid").agg(F.count("*").alias("n")).collect()
     }  # bounded: one row per range bucket
+    if not sizes:  # degenerate: empty corpus → nothing to encode
+        return spark.createDataFrame([], "doc_id long, ids string, n long")
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc

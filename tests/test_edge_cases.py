@@ -189,3 +189,37 @@ def test_json_quarantine_routes_malformed(spark, tmp_path_factory):
 
     r = json_quarantine(spark, d).first()
     assert (r["n_valid"], r["n_quarantined"], r["k_sum"]) == (2, 1, 16)
+
+
+def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
+    """Every batch-7..13 operator must return an empty (or
+    zero-row-derived) result on empty inputs, never raise — the
+    degenerate-input discipline of the earlier batches."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
+
+    d = str(tmp_path_factory.mktemp("degen"))
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+
+    qs = registry.all_queries()
+    expected_rows = {"triangle_count": 1, "json_quarantine": 1}  # singleton aggs
+    for name in [
+        "snapshot_diff", "scd2_history", "compaction_bins", "paragraph_dedup",
+        "pagerank_events", "triangle_count", "reachability_bfs",
+        "attribution_last_touch", "heavy_hitters", "dictionary_encode",
+        "encode_corpus", "bpe_merges", "k_anonymity_suppress", "merge_upsert",
+        "linreg_by_key", "json_quarantine", "streaming_topk",
+        "streaming_stream_join",
+    ]:
+        assert qs[name](spark, d).count() == expected_rows.get(name, 0), name
