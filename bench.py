@@ -126,6 +126,10 @@ HEADLINE = [
     "arrow_udf_reverse",
     "null_semantics",
     "encode_corpus",
+    # r3 additions (fourteenth batch): oracle-backed footholds for the
+    # rows-only PCA and BPE pipelines (the kmeans_assign pattern)
+    "embedding_covariance",
+    "bpe_first_merge",
 ]
 
 

@@ -632,3 +632,71 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         project, schema="vec_id long, pc1 double, pc2 double"
     ).orderBy("vec_id")
+
+
+_COV_DIMS = 8  # leading block of the covariance matrix (full d=64 in pca_project)
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH e AS (
+      SELECT embedding FROM embeddings
+    ), n_t AS (SELECT COUNT(*) AS n FROM e),
+    cells AS (
+      SELECT i.range AS i, j.range AS j,
+             CAST(embedding[i.range + 1] AS DOUBLE) AS xi,
+             CAST(embedding[j.range + 1] AS DOUBLE) AS xj
+      FROM e, range({_COV_DIMS}) i, range({_COV_DIMS}) j
+      WHERE i.range <= j.range
+    )
+    SELECT i, j,
+           round(SUM(xi * xj) / (SELECT n FROM n_t)
+                 - (SUM(xi) / (SELECT n FROM n_t))
+                   * (SUM(xj) / (SELECT n FROM n_t)), 6) AS cov
+    FROM cells GROUP BY i, j ORDER BY i, j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding's leading 8×8 block —
+    the ORACLE-BACKED foothold for ``pca_project`` (same moment
+    arithmetic Σxy/n − (Σx/n)(Σy/n), SQL-checkable because it stops
+    before the eigendecomposition; the ``kmeans_assign``-for-Lloyd
+    pattern).
+
+    Plan shape: one scan explodes each vector's leading block to
+    (i, j, xi·xj) upper-triangle cells and partial-aggregates — the
+    shuffle carries d(d+1)/2 keys (36 here), independent of corpus
+    size, which is the same decomposability ``pca_project`` exploits
+    in Arrow batches. Full-matrix production runs use the batched
+    mapInPandas form; this column-expression form is the checkable
+    contract."""
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    pairs = [(i, j) for i in range(_COV_DIMS) for j in range(_COV_DIMS) if i <= j]
+    cells = emb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(j).alias("j"),
+                        F.element_at("embedding", i + 1).cast("double").alias("xi"),
+                        F.element_at("embedding", j + 1).cast("double").alias("xj"),
+                    )
+                    for i, j in pairs
+                ]
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.xi", "c.xj")
+    n = emb.count()  # bounded scalar (matches the oracle's COUNT(*) subquery)
+    return (
+        cells.groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("xi") * F.col("xj")) / n
+                - (F.sum("xi") / n) * (F.sum("xj") / n),
+                6,
+            ).alias("cov")
+        )
+        .orderBy("i", "j")
+    )

@@ -1728,3 +1728,62 @@ def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bpe_first_merge",
+    oracle=f"""
+    WITH v AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_DD_TOKS}) AS w FROM documents) GROUP BY w
+    ), ch AS (
+      SELECT cnt, string_split(w, '') AS cs FROM v
+    ), ix AS (
+      SELECT cnt, cs, unnest(range(len(cs) - 1)) AS p FROM ch
+    ), pr AS (
+      SELECT cnt, cs[p + 1] AS l, cs[p + 2] AS r FROM ix
+    )
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+    FROM pr GROUP BY l, r ORDER BY pair_cnt DESC, l, r LIMIT 10
+    """,
+)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE pair statistics, oracle-backed: the top-10 weighted
+    adjacent character pairs over the word-frequency table — the
+    SQL-checkable foothold for ``bpe_merges`` (whose greedy multi-round
+    recurrence is not SQL-expressible), exactly the ``kmeans_assign``
+    pattern that gave Lloyd's loop an oracle anchor.
+
+    Same scale property as the full trainer: the corpus is scanned once
+    for word counts; pair counting runs on the VOCAB (distinct words),
+    so the pair shuffle is alphabet²-keyed regardless of corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens("text", r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select("cnt", F.filter(F.split("w", "(?!^)"), lambda c: c != "").alias("cs"))
+    )
+    npairs = F.size("cs") - 1
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.when(
+                npairs >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), npairs - 1),
+                    lambda i: F.struct(
+                        F.element_at("cs", i + 1).alias("l"),
+                        F.element_at("cs", i + 2).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("pair_cnt"))
+        .orderBy(F.desc("pair_cnt"), "l", "r")
+        .limit(10)
+    )

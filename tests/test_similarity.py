@@ -114,3 +114,24 @@ def test_pca_matches_local_numpy(spark, sf_dir):
     assert np.allclose(
         np.round(got[["pc1", "pc2"]].to_numpy(), 5), want[order], atol=1e-4
     )
+
+
+def test_embedding_covariance_matches_pca_moments(spark, sf_dir):
+    """The oracle-backed covariance block equals numpy's population
+    covariance of the same dims — tying pca_project's distributed
+    moment pass to a checkable contract."""
+    import numpy as np
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        embedding_covariance,
+    )
+
+    m = np.stack(
+        table(spark, sf_dir, "embeddings")
+        .select("embedding").toPandas()["embedding"].map(np.asarray)
+    )[:, :8]
+    want = np.cov(m, rowvar=False, bias=True)
+    got = embedding_covariance(spark, sf_dir).collect()
+    for r in got:
+        assert abs(r["cov"] - round(want[r["i"], r["j"]], 6)) <= 1e-6

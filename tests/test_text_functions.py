@@ -317,3 +317,18 @@ def test_encode_corpus_roundtrips_ids(spark, tmp_path_factory):
     decoded = " ".join(id2tok[int(i)] for i in out[0]["ids"].split())
     assert decoded == "bravo alpha bravo"
     assert out[1]["ids"] == str(min(id2tok))  # 'alpha' is rank 1
+
+
+def test_bpe_first_merge_agrees_with_full_trainer(spark, sf_dir):
+    """The oracle-backed round-1 statistics must rank the SAME winning
+    pair the iterative trainer merges first."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        bpe_first_merge,
+        bpe_merges,
+    )
+
+    top = bpe_first_merge(spark, sf_dir).first()
+    r1 = bpe_merges(spark, sf_dir).filter("round = 1").first()
+    assert (top["l"], top["r"], top["pair_cnt"]) == (
+        r1["left"], r1["right"], r1["pair_cnt"]
+    )
