@@ -54,7 +54,27 @@ def _image_decoder():
                         "decoder": "pil",
                     }
             except Exception:
-                pass  # not a decodable image — deterministic fake below
+                pass  # not a decodable image — try BMP, then fake below
+        # Pure-stdlib BMP decode (uncompressed BITMAPINFOHEADER): the
+        # container format is simple enough to parse without any codec
+        # library, so at least one REAL image format decodes in this
+        # jar-free, PIL-free environment.
+        if len(payload) >= 30 and payload[:2] == b"BM":
+            import struct
+
+            try:
+                width, height = struct.unpack_from("<ii", payload, 18)
+                bpp = struct.unpack_from("<H", payload, 28)[0]
+                mode = {8: "L", 24: "RGB", 32: "RGBA"}.get(bpp)
+                if mode is not None and width > 0:
+                    return {
+                        "width": int(width),
+                        "height": abs(int(height)),  # negative = top-down
+                        "mode": mode,
+                        "decoder": "bmp",
+                    }
+            except struct.error:
+                pass
         return {
             "width": 16 + (payload[0] % 64) if payload else 0,
             "height": 16 + (payload[-1] % 64) if payload else 0,

@@ -112,3 +112,26 @@ def test_binary_parquet_roundtrip_and_featurize(spark, tmp_path):
         assert out[i]["n_bytes"] == len(p)
         assert out[i]["width"] == exp["width"]
         assert out[i]["height"] == exp["height"]
+
+
+def test_decode_image_really_decodes_bmp(spark, tmp_path_factory):
+    """A real (tiny, hand-packed) BMP payload must decode via the
+    stdlib BMP branch — width/height/mode from the actual header, not
+    the deterministic fake."""
+    import struct
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.multimodal import (
+        decode_image,
+    )
+
+    w, h = 3, 2
+    row = b"\x00\x00\xff" * w + b"\x00" * ((4 - (w * 3) % 4) % 4)  # padded
+    pixels = row * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    bmp = header + info + pixels
+
+    meta = decode_image(bmp)
+    assert meta == {"width": 3, "height": 2, "mode": "RGB", "decoder": "bmp"}
+    # non-BMP bytes still fall back to the deterministic fake
+    assert decode_image(b"not an image")["decoder"] == "fake"
