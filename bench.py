@@ -130,6 +130,7 @@ HEADLINE = [
     # rows-only PCA and BPE pipelines (the kmeans_assign pattern)
     "embedding_covariance",
     "bpe_first_merge",
+    "pit_state_at_event",
 ]
 
 

@@ -546,3 +546,82 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# pit_state_at_event — point-in-time join against the SCD-2 history
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pit_state_at_event",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ), tagged AS (
+      SELECT user_id, ts, event_id, 0 AS kind, state FROM changes
+      UNION ALL
+      SELECT user_id, ts, event_id, 1, NULL FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_id, kind,
+             last_value(state IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id, kind
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS state
+      FROM tagged
+    )
+    SELECT event_id, user_id, state
+    FROM carried WHERE kind = 1 ORDER BY event_id
+    """,
+)
+def pit_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: annotate every event with the SCD-2
+    state version that was valid AT that event's timestamp — the
+    feature-store lookup contract (training-serving skew dies exactly
+    here: a naive latest-state join leaks the future).
+
+    The naive plan is an inequality join (events ⋈ history ON
+    valid_from <= ts < valid_to) — per-user cross products at scale.
+    This is the union-carry formulation instead (the
+    ``asof_cogroup_pandas`` family): version-boundary rows and event
+    rows union into ONE stream, one user-keyed window carries the last
+    opened version forward (``last_value IGNORE NULLS``), and event
+    rows project out. One shuffle, linear per partition, no join at
+    all. Boundary tie-break: a version opening at ts applies to events
+    at the same (ts, event_id) — kind orders changes before their own
+    event."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    tagged = changes.unionByName(
+        ev.select(
+            "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("state"),
+        )
+    )
+    carry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "state", F.last("state", ignorenulls=True).over(carry)
+        )
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "state")
+        .orderBy("event_id")
+    )

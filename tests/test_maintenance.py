@@ -181,3 +181,28 @@ def test_merge_upsert_applies_all_ops(spark, tmp_path_factory):
         13: 40.0,       # source of an insert, itself unchanged
         1000013: 40.0,  # % 13 → inserted under new key
     }  # 7 deleted
+
+
+def test_pit_state_matches_scd2_intervals(spark, sf_dir):
+    """Cross-operator contract: for a sample of events, the PIT state
+    equals the SCD-2 version whose [valid_from, valid_to) contains the
+    event timestamp."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        pit_state_at_event,
+        scd2_history,
+    )
+
+    hist = scd2_history(spark, sf_dir).collect()
+    pit = {r["event_id"]: r for r in pit_state_at_event(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events").orderBy("event_id").limit(50).collect()
+    for e in ev:
+        expect = [
+            h["state"]
+            for h in hist
+            if h["user_id"] == e["user_id"]
+            and h["valid_from"] <= e["ts"]
+            and (h["valid_to"] is None or e["ts"] < h["valid_to"])
+        ]
+        assert len(expect) == 1
+        assert pit[e["event_id"]]["state"] == expect[0]
