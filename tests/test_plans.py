@@ -581,3 +581,36 @@ def test_json_quarantine_stays_jvm_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "json_quarantine", mode="simple")
     assert "EvalPython" not in plan  # from_json is codegen, not a UDF
     assert "partial_count" in plan
+
+
+def test_encode_corpus_broadcasts_dictionary(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "encode_corpus", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_shuffle_is_cell_keyed(spark, sf_dir):
+    """The covariance shuffle carries d(d+1)/2 cell keys, never vectors:
+    the aggregate must partial-combine before its exchange."""
+    plan = plan_of(spark, sf_dir, "embedding_covariance", mode="simple")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_bpe_first_merge_is_vocab_sized_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bpe_first_merge", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+
+
+def test_pit_join_is_windowed_union_not_inequality_join(spark, sf_dir):
+    """The PIT lookup must plan as union + user-keyed window — any Join
+    node means the quadratic inequality formulation crept back."""
+    plan = plan_of(spark, sf_dir, "pit_state_at_event", mode="simple")
+    assert "Join" not in plan
+    assert "Union" in plan
+    # two user-keyed exchanges: one derives version boundaries (lag
+    # window), one re-partitions the union for the carry window. With a
+    # MATERIALIZED scd2 table the first disappears; what matters is no
+    # third shuffle and no join node.
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
