@@ -80,3 +80,50 @@ def write_training_shards(
     for leftover in glob.glob(os.path.join(staged, "*")) + [staged]:
         shutil.rmtree(leftover, ignore_errors=True)
     return paths
+
+
+def compact_files(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> list[str]:
+    """EXECUTE a small-file compaction: pack ``in_dir``'s parquet files
+    into ~``target_bytes`` output files (the OPTIMIZE half of
+    ``compaction_bins``, which only PLANS the packing).
+
+    The bin plan is pure manifest arithmetic — file sizes from the
+    directory listing, greedy exclusive-prefix-sum binning in
+    deterministic (filename) order, identical to the declared query's
+    rule — so the driver never touches row data. Each bin then rewrites
+    as ONE file via a per-bin read + coalesce(1): every bin is an
+    independent job, so a production compactor runs bins concurrently
+    and commits per bin (crash-safe incremental progress), and the
+    read side prunes to exactly the bin's files. Returns the output
+    paths in bin order.
+    """
+    files = sorted(
+        (e.name, e.stat().st_size)
+        for e in os.scandir(in_dir)
+        if e.name.endswith(".parquet") and e.is_file()
+    )
+    bins: list[list[str]] = []
+    acc = 0
+    for name, size in files:
+        bin_idx = acc // target_bytes  # exclusive prefix sum → greedy bin
+        if bin_idx >= len(bins):
+            bins.append([])
+        bins[bin_idx].append(os.path.join(in_dir, name))
+        acc += size
+    os.makedirs(out_dir, exist_ok=True)
+    paths: list[str] = []
+    for i, group in enumerate(bins):
+        staged = os.path.join(out_dir, f"_compact_staged_{i}")
+        spark.read.parquet(*group).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = sorted(glob.glob(os.path.join(staged, "part-*.parquet")))
+        assert len(part) == 1, f"bin {i}: coalesce(1) must yield one file"
+        final = os.path.join(out_dir, f"compact-{i:05d}.parquet")
+        os.replace(part[0], final)
+        shutil.rmtree(staged, ignore_errors=True)
+        paths.append(final)
+    return paths

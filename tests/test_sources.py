@@ -167,3 +167,37 @@ def test_training_shard_writer_contract(spark, docs, tmp_path):
     for p1, p2 in zip(paths, paths2):
         with open(p1, "rb") as a, open(p2, "rb") as b:
             assert a.read() == b.read()
+
+
+def test_compact_files_executes_the_bin_plan(spark, tmp_path):
+    """Six small files at a 2-file target → three output files, all rows
+    preserved, bin membership deterministic in filename order."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.sinks import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/tmp_{i}")
+    import glob as g
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    sizes = []
+    for i in range(6):
+        f = g.glob(f"{src}/tmp_{i}/part-*.parquet")[0]
+        os.replace(f, f"{src}/file_{i}.parquet")
+        sizes.append(os.path.getsize(f"{src}/file_{i}.parquet"))
+
+    target = sizes[0] * 2  # ≈ two source files per bin
+    out = str(tmp_path / "compacted")
+    paths = compact_files(spark, src, out, target_bytes=target)
+    assert len(paths) == 3
+    assert [p.split("/")[-1] for p in paths] == [
+        "compact-00000.parquet", "compact-00001.parquet", "compact-00002.parquet"
+    ]
+    total = spark.read.parquet(*paths).count()
+    assert total == 60
+    assert spark.read.parquet(paths[0]).count() == 20  # two files' rows per bin
