@@ -165,3 +165,63 @@ def test_chunk_overlap_matches_python_model(spark, texts):
         for c in range(k + 1):
             want.append((i, c, min(64, n - c * 48), toks[c * 48]))
     assert got == sorted(want)
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_paragraph_dedup_is_idempotent(spark, tmp_path_factory, texts):
+    """Running paragraph dedup on its own output removes nothing more —
+    the fixed-point property every dedup pass must satisfy."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        paragraph_dedup,
+    )
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    d = str(tmp_path_factory.mktemp("para_idem"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    once = paragraph_dedup(spark, d).collect()
+    d2 = str(tmp_path_factory.mktemp("para_idem2"))
+    spark.createDataFrame(
+        [(r["doc_id"], r["clean_text"], "en", "s", len(r["clean_text"])) for r in once],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    twice = paragraph_dedup(spark, d2).collect()
+    assert all(r["n_removed"] == 0 for r in twice)
+    assert [(r["doc_id"], r["clean_text"]) for r in twice] == [
+        (r["doc_id"], r["clean_text"]) for r in once
+    ]
+
+
+@given(sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=12))
+@SETTINGS
+def test_compaction_bins_conserve_files_and_bytes(spark, tmp_path_factory, sizes):
+    """Bin totals must equal input totals (nothing dropped or double-
+    counted) and every bin except possibly the last reaches the target
+    (greedy packing leaves no undersized interior bin)."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        _COMPACT_TARGET,
+        compaction_bins,
+    )
+
+    rows = [(i, "x", "en", "s", n) for i, n in enumerate(sizes)]
+    d = str(tmp_path_factory.mktemp("cb_prop"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = compaction_bins(spark, d).collect()
+    assert sum(r["n_files"] for r in out) == len(sizes)
+    assert sum(r["bin_bytes"] for r in out) == sum(sizes)
+    assert [r["bin"] for r in out] == sorted(r["bin"] for r in out)
+    # greedy rule: a bin index exists iff the exclusive prefix sum crossed
+    # that multiple of the target, so bin ids are the exact quotient set
+    import itertools
+
+    prefix = [0] + list(itertools.accumulate(sizes))[:-1]
+    expect_bins = sorted({p // _COMPACT_TARGET for p in prefix})
+    assert [r["bin"] for r in out] == expect_bins
+    starts = [r["first_doc"] for r in out]
+    assert starts == sorted(starts)
