@@ -131,6 +131,9 @@ HEADLINE = [
     "embedding_covariance",
     "bpe_first_merge",
     "pit_state_at_event",
+    # r3 additions (sixteenth batch): experimentation + sequence analytics
+    "ab_test_ztest",
+    "markov_transitions",
 ]
 
 

@@ -1047,3 +1047,140 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("h", "rnk")
     )
+
+
+@query(
+    "ab_test_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+                       > count(*) FILTER (WHERE event_type = 'click')
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(converted) AS DOUBLE) AS conv
+      FROM assign GROUP BY grp
+    ), w AS (
+      SELECT
+        (SELECT n FROM g WHERE grp = 0) AS n_a,
+        (SELECT conv FROM g WHERE grp = 0) AS c_a,
+        (SELECT n FROM g WHERE grp = 1) AS n_b,
+        (SELECT conv FROM g WHERE grp = 1) AS c_b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+           round(c_a / n_a - c_b / n_b, 6) AS lift,
+           round((c_a / n_a - c_b / n_b)
+                 / nullif(sqrt(((c_a + c_b) / (n_a + n_b))
+                        * (1.0 - (c_a + c_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z
+    FROM w
+    """,
+)
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users hash-split
+    into arms (user_id parity here; production uses the
+    ``train_split_hash`` bucketing), conversion = more purchases than clicks (a per-user rate contrast
+    that stays non-degenerate on the fixture), and
+    the pooled-variance z statistic decides significance — the
+    experimentation readout every product pipeline ships.
+
+    Scale shape: per-user conversion is one partial-agg'd groupBy
+    (users-sized shuffle), arm totals collapse to TWO rows, and the
+    z arithmetic is driver-trivial — spelled with identical double ops
+    in both engines and rounded (the PageRank reassociation rule).
+    Counts stay exact (integers), so the only float work is the final
+    closed form."""
+    ev = table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", True))
+            > F.count(F.when(F.col("event_type") == "click", True))
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn("grp", F.col("user_id") % 2)
+    g = assign.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    a = g.filter("grp = 0").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = g.filter("grp = 1").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    w = a.crossJoin(b)
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    diff = F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round(diff, 6).alias("lift"),
+        F.round(
+            diff
+            / F.nullif(
+                F.sqrt(
+                    pool * (F.lit(1.0) - pool)
+                    * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (
+      SELECT cur, SUM(cnt) AS t FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, c.cnt, round(c.cnt / t, 6) AS p
+    FROM c JOIN tot USING (cur) ORDER BY cur, nxt
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence model behind
+    next-action prediction and journey analysis.
+
+    One user-keyed window (lead) turns the log into transitions, then
+    a |types|²-keyed count with map-side combine; row-normalization
+    joins the |types|-sized totals back (broadcast-trivial). The
+    transition matrix is states²-sized regardless of event volume —
+    the same corpus-size-independence as ``embedding_covariance``.
+    DuckDB's ``cnt / t`` on BIGINT/HUGEINT divides as double, matched
+    by an explicit double division Spark-side, rounded to 6 dp."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("cur").agg(F.sum("cnt").alias("t"))
+    return (
+        c.join(tot, "cur")
+        .select(
+            "cur", "nxt", "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("t").cast("double"), 6)
+            .alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

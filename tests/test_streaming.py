@@ -510,3 +510,58 @@ def test_streaming_checkpoint_recovery_across_restart(spark, tmp_path_factory):
         ("view", t(0, 0)): (1, 2.0),
         ("click", t(1, 0)): (1, 4.0),
     }
+
+
+def test_markov_transitions_planted_chain(spark, tmp_path_factory):
+    """A→B→A→B for one user: P(B|A)=1 over 2 observations, P(A|B)=1."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        markov_transitions,
+    )
+
+    t = lambda m: datetime.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [(i, t(i), 1, s, 1.0, "{}") for i, s in enumerate("ABAB")]
+    d = str(tmp_path_factory.mktemp("markov"))
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = {(r["cur"], r["nxt"]): (r["cnt"], r["p"])
+           for r in markov_transitions(spark, d).collect()}
+    assert out == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_ab_test_detects_planted_lift(spark, tmp_path_factory):
+    """Arm 0 users convert (more purchases than clicks), arm 1 never →
+    lift 1.0 and a positive z; degenerate all-convert case yields NULL
+    z, not a crash."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        ab_test_ztest,
+    )
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        kind = "purchase" if u % 2 == 0 else "click"
+        rows.append((eid, t, u, kind, 1.0, "{}")); eid += 1
+    d = str(tmp_path_factory.mktemp("ab"))
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    r = ab_test_ztest(spark, d).first()
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (5, 5, 5, 0)
+    assert r["lift"] == 1.0 and r["z"] > 3
+
+    # degenerate: every user converts → zero pooled variance → NULL z
+    rows2 = [(i, t, i, "purchase", 1.0, "{}") for i in range(4)]
+    d2 = str(tmp_path_factory.mktemp("ab2"))
+    spark.createDataFrame(
+        rows2, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/events.parquet")
+    r2 = ab_test_ztest(spark, d2).first()
+    assert r2["lift"] == 0.0 and r2["z"] is None
