@@ -223,3 +223,47 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         "streaming_stream_join",
     ]:
         assert qs[name](spark, d).count() == expected_rows.get(name, 0), name
+
+
+def test_results_deterministic_under_task_retry(tmp_path):
+    """Inject a one-time task failure into a scan→shuffle pipeline and
+    assert the retried run produces the exact non-injected result —
+    the determinism contract that lets a 1000-executor job survive
+    preemptions. Runs in a subprocess because retry budgets are fixed
+    at SparkContext creation (local[N, maxFailures])."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        spark = (SparkSession.builder.master("local[4, 3]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+        def flaky(batches):
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+                raise RuntimeError("injected failure (first attempt only)")
+            for pdf in batches:
+                yield pdf[["doc_id", "text"]]
+
+        injected = (docs.repartition(4).mapInPandas(flaky, "doc_id long, text string")
+                    .select(F.md5("text").alias("fp")).groupBy("fp").count())
+        plain = docs.select(F.md5("text").alias("fp")).groupBy("fp").count()
+        a = sorted(map(tuple, injected.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b, "retry changed the answer"
+        print("RETRY_OK", len(a))
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RETRY_OK" in out.stdout, out.stderr[-2000:]
