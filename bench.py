@@ -134,6 +134,9 @@ HEADLINE = [
     # r3 additions (sixteenth batch): experimentation + sequence analytics
     "ab_test_ztest",
     "markov_transitions",
+    # r3 additions (seventeenth batch): skew diagnostics + null-key joins
+    "skew_report",
+    "join_nullsafe_keys",
 ]
 
 

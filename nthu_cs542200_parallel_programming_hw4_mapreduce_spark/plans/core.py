@@ -2342,3 +2342,49 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").cast("long").alias("count_v"),
         F.sum("v").cast("long").alias("sum_v"),
     )
+
+
+@query(
+    "join_nullsafe_keys",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 7 END AS k
+      FROM documents WHERE doc_id < 100
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 7 END AS k
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS BIGINT)
+        AS eq_matches,
+      CAST((SELECT COUNT(*) FROM a JOIN b
+            ON a.k IS NOT DISTINCT FROM b.k) AS BIGINT)
+        AS nullsafe_matches
+    """,
+)
+def join_nullsafe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key join semantics, pinned: a plain equi-join DROPS
+    null-keyed rows (NULL = NULL is unknown), while the null-safe
+    comparator (Spark ``eqNullSafe`` ≡ SQL ``IS NOT DISTINCT FROM``)
+    matches them — the difference between the two counts is exactly
+    the null×null pair volume. Entity-resolution and SCD pipelines hit
+    this constantly (absent attributes as join keys), and the null-safe
+    form still plans as a HASH join (the comparator is an equality on
+    a null-tagged key), not a nested loop — which this query's gate
+    asserts. The ``null_semantics`` contract, extended to joins."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 != 0, F.col("doc_id") % 7).alias("k"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("doc_id") % 7).alias("k2"),
+    )
+    eq = a.join(b, a.k == b.k2).agg(F.count("*").alias("eq_matches"))
+    ns = a.join(b, a.k.eqNullSafe(b.k2)).agg(
+        F.count("*").alias("nullsafe_matches")
+    )
+    return eq.crossJoin(ns)

@@ -625,3 +625,68 @@ def pit_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "state")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# skew_report — shuffle-key skew diagnostics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM k
+    ), top AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk
+      FROM k
+    )
+    SELECT t.rnk, t.key, t.cnt,
+           round(t.cnt / (s.total / CAST(s.n_keys AS DOUBLE)), 6)
+             AS skew_factor
+    FROM top t CROSS JOIN s WHERE t.rnk <= 10 ORDER BY t.rnk
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the 10 heaviest join/aggregation
+    keys of ``orders.o_custkey`` with their skew factor (key count ÷
+    mean key count) — the report an engineer reads before choosing
+    salting (``join_skew_salted``) or relying on AQE skew-join splits.
+
+    Plan shape: one partial-agg'd key histogram (|keys| rows), a
+    singleton stats row broadcast back, and a TakeOrdered top-10 — the
+    report costs one aggregate over the fact table regardless of skew.
+    This is the diagnostic HALF of the skew story; the MITIGATION half
+    is ``join_skew_salted``'s salted two-phase join."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("total"),
+    )
+    top = (
+        k.orderBy(F.desc("cnt"), "key")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "key")))
+    )
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            "rnk", "key", "cnt",
+            F.round(
+                F.col("cnt") / (F.col("total") / F.col("n_keys").cast("double")), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy("rnk")
+    )

@@ -614,3 +614,23 @@ def test_pit_join_is_windowed_union_not_inequality_join(spark, sf_dir):
     # MATERIALIZED scd2 table the first disappears; what matters is no
     # third shuffle and no join node.
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_skew_report_is_one_histogram_plus_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "skew_report", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan  # stats ride a broadcast
+
+
+def test_nullsafe_join_still_hashes(spark, sf_dir):
+    """eqNullSafe must plan as a hash join on the null-tagged key —
+    a BroadcastNestedLoopJoin here means the comparator fell off the
+    equi-join path."""
+    plan = plan_of(spark, sf_dir, "join_nullsafe_keys", mode="simple")
+    # both the plain and null-safe joins hash; Catalyst rewrites the
+    # null-safe comparator to (coalesce(k, 0), isnull(k)) hash keys
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "coalesce(k" in plan and "isnull(k" in plan
+    # the only nested-loop node is the final 1-row x 1-row combine
+    assert plan.count("BroadcastNestedLoopJoin") == 1
