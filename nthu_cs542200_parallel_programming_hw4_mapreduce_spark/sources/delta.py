@@ -70,20 +70,30 @@ def _checkpoint_actions(log_dir: str) -> tuple[int, list[dict]]:
     return version, actions
 
 
-def _log_actions(path: str) -> list[dict]:
+def _log_actions(path: str, version: int | None = None) -> list[dict]:
     """All actions for the table, checkpoint first then JSON commits
-    after it, in version order."""
+    after it, in version order. ``version`` caps the replay (time
+    travel); it must not predate the checkpoint, whose actions are
+    already compacted."""
     log_dir = os.path.join(path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {path}")
     ckpt_version, actions = _checkpoint_actions(log_dir)
+    if version is not None and version < ckpt_version:
+        raise DeltaProtocolError(
+            f"version {version} predates the checkpoint ({ckpt_version}); "
+            "pre-checkpoint commits are compacted away"
+        )
     commits = sorted(
         f for f in os.listdir(log_dir)
         if f.endswith(".json") and f.split(".")[0].isdigit()
     )
     for name in commits:
-        if int(name.split(".")[0]) <= ckpt_version:
+        v = int(name.split(".")[0])
+        if v <= ckpt_version:
             continue
+        if version is not None and v > version:
+            break
         with open(os.path.join(log_dir, name)) as f:
             for line in f:
                 line = line.strip()
@@ -94,15 +104,32 @@ def _log_actions(path: str) -> list[dict]:
     return actions
 
 
-def read_delta_via_log(spark: SparkSession, path: str) -> DataFrame:
-    """Reconstruct the table's current snapshot from its transaction log
-    and scan it with Spark's native parquet reader (see module header
-    for scope)."""
+def table_version(path: str) -> int:
+    """Latest committed version (max numbered JSON commit)."""
+    log_dir = os.path.join(os.path.abspath(path), _LOG_DIR)
+    versions = [
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    ]
+    if not versions:
+        raise FileNotFoundError(f"empty Delta log: {path}")
+    return max(versions)
+
+
+def read_delta_via_log(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Reconstruct a snapshot of the table from its transaction log and
+    scan it with Spark's native parquet reader (see module header for
+    scope). ``version`` selects a historical snapshot (time travel):
+    the log replays only commits ≤ version, so the active-file set is
+    exactly that commit's — the Delta reader contract, no jar."""
     path = os.path.abspath(path)
     protocol = None
     metadata = None
     active: dict[str, dict] = {}
-    for a in _log_actions(path):
+    for a in _log_actions(path, version):
         if "protocol" in a:
             protocol = a["protocol"]
         elif "metaData" in a:
@@ -227,3 +254,70 @@ def write_delta_commit0(
         for a in actions:
             f.write(json.dumps(a) + "\n")
     return path
+
+
+def append_delta_commit(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Transactionally append ``df`` to an existing (non-partitioned)
+    jar-free Delta table: new uniquely-named data parquet files + one
+    commit JSON of add actions at version N+1. Returns the new version.
+
+    The commit file is written with ``O_CREAT | O_EXCL`` semantics
+    (``open(..., "x")``): if a concurrent writer claimed the same
+    version the open fails and the caller retries at N+2 — exactly
+    Delta's optimistic-concurrency protocol (mutual exclusion on the
+    commit file name is the whole transaction mechanism). Readers
+    replaying the log see either the old or the new snapshot, never a
+    torn one, because data files land before the commit that references
+    them. Partitioned appends are out of scope here (the fixture
+    writer's layout walk covers them at commit 0); the reference
+    connector is the production writer.
+    """
+    import uuid
+
+    path = os.path.abspath(path)
+    meta = None
+    for a in _log_actions(path):
+        if "metaData" in a:
+            meta = a["metaData"]
+    if meta is None:
+        raise FileNotFoundError(f"Delta log missing metaData: {path}")
+    if meta.get("partitionColumns"):
+        raise DeltaProtocolError(
+            "append_delta_commit supports non-partitioned tables only"
+        )
+
+    staged = os.path.join(path, f"_staged_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staged)
+    adds = []
+    import glob as _glob
+
+    for f in sorted(_glob.glob(os.path.join(staged, "part-*.parquet"))):
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(f, os.path.join(path, final))
+        adds.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(final),
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, final)),
+                    "modificationTime": int(
+                        os.path.getmtime(os.path.join(path, final)) * 1000
+                    ),
+                    "dataChange": True,
+                }
+            }
+        )
+    import shutil as _shutil
+
+    _shutil.rmtree(staged, ignore_errors=True)
+
+    log_dir = os.path.join(path, _LOG_DIR)
+    while True:
+        version = table_version(path) + 1
+        try:
+            with open(os.path.join(log_dir, f"{version:020d}.json"), "x") as f:
+                for a in adds:
+                    f.write(json.dumps(a) + "\n")
+            return version
+        except FileExistsError:
+            continue  # lost the race — retry at the next version

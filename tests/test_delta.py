@@ -173,3 +173,47 @@ def test_reader_version_guard(spark, tmp_path):
 def test_not_a_delta_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_delta_via_log(spark, str(tmp_path / "nope"))
+
+
+def test_delta_append_and_time_travel(spark, tmp_path):
+    """Append creates version 1; reading latest sees both commits,
+    reading version 0 sees only the original — the snapshot-isolation
+    contract from the log replay alone."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.delta import (
+        append_delta_commit,
+        read_delta_via_log,
+        table_version,
+        write_delta_commit0,
+    )
+
+    path = str(tmp_path / "tt")
+    write_delta_commit0(spark, spark.range(0, 10).toDF("id"), path)
+    assert table_version(path) == 0
+
+    v = append_delta_commit(spark, spark.range(100, 105).toDF("id"), path)
+    assert v == 1 and table_version(path) == 1
+
+    latest = sorted(r["id"] for r in read_delta_via_log(spark, path).collect())
+    assert latest == list(range(10)) + list(range(100, 105))
+    v0 = sorted(r["id"] for r in read_delta_via_log(spark, path, version=0).collect())
+    assert v0 == list(range(10))
+
+
+def test_delta_append_commit_race_bumps_version(spark, tmp_path):
+    """A pre-claimed commit file forces the optimistic writer to retry
+    at the next version instead of clobbering."""
+    import os
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.delta import (
+        append_delta_commit,
+        write_delta_commit0,
+    )
+
+    path = str(tmp_path / "race")
+    write_delta_commit0(spark, spark.range(3).toDF("id"), path)
+    # simulate a concurrent writer winning version 1
+    claimed = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(claimed, "w") as f:
+        f.write("")
+    v = append_delta_commit(spark, spark.range(10, 12).toDF("id"), path)
+    assert v == 2
