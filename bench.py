@@ -137,6 +137,7 @@ HEADLINE = [
     # r3 additions (seventeenth batch): skew diagnostics + null-key joins
     "skew_report",
     "join_nullsafe_keys",
+    "delta_time_travel",
 ]
 
 

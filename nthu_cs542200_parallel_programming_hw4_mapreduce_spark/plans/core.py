@@ -2388,3 +2388,56 @@ def join_nullsafe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("nullsafe_matches")
     )
     return eq.crossJoin(ns)
+
+
+@query(
+    "delta_time_travel",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 250) AS BIGINT)
+        AS v0_rows,
+      CAST((SELECT SUM(n_chars) FROM documents WHERE doc_id < 250) AS BIGINT)
+        AS v0_chars,
+      CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS latest_rows,
+      CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT) AS latest_chars
+    """,
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta time travel through the jar-free connector: a two-commit
+    table (commit 0 = doc_id < 250, commit 1 appends the rest)
+    materializes once per sf_dir, then version-0 and latest snapshots
+    read back via log replay (sources/delta.py:read_delta_via_log) and
+    aggregate side by side. The oracle runs the same splits on the
+    original parquet, so a green row proves BOTH snapshots are exact —
+    append isolation and historical reads, not just current-state
+    fidelity (``delta_scan``'s half).
+
+    Scale posture matches delta_scan: the log is driver-side metadata;
+    both snapshot scans are Spark's native parquet reader."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.delta import (
+        append_delta_commit,
+        read_delta_via_log,
+        write_delta_commit0,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_deltatt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(base, "_delta_log", f"{1:020d}.json")):
+        write_delta_commit0(spark, docs.filter(F.col("doc_id") < 250), base)
+        append_delta_commit(spark, docs.filter(F.col("doc_id") >= 250), base)
+    v0 = read_delta_via_log(spark, base, version=0).agg(
+        F.count("*").cast("long").alias("v0_rows"),
+        F.sum("n_chars").cast("long").alias("v0_chars"),
+    )
+    latest = read_delta_via_log(spark, base).agg(
+        F.count("*").cast("long").alias("latest_rows"),
+        F.sum("n_chars").cast("long").alias("latest_chars"),
+    )
+    return v0.crossJoin(latest)
