@@ -138,6 +138,7 @@ HEADLINE = [
     "skew_report",
     "join_nullsafe_keys",
     "delta_time_travel",
+    "quantile_normalize",
 ]
 
 

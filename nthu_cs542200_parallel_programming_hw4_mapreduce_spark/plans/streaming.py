@@ -1184,3 +1184,73 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+_QN_RANGE_PARTS = 8
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, value,
+             CAST(rank() OVER (ORDER BY value, event_id) - 1 AS DOUBLE)
+               / (COUNT(*) OVER () - 1) AS q
+      FROM events
+    )
+    SELECT event_id, value, round(q, 6) AS q FROM r
+    WHERE event_id < 5000 ORDER BY event_id
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of a numeric feature: map every
+    ``value`` to its empirical quantile in [0, 1] — the
+    outlier-immune feature transform (ML preprocessing, score
+    calibration).
+
+    A global rank is the ``dictionary_encode`` single-task trap on a
+    NUMERIC column; the same two-phase fix applies: range-repartition
+    by (value, event_id), count per bucket → bounded offsets collect,
+    then rank = offset + intra-bucket row_number with every bucket
+    ranking in its own task. q = (rank-1)/(N-1), rounded — ties are
+    broken by event_id identically in both engines, so q is exact, and
+    the ids are boundary-invariant (offsets + local ranks compose to
+    the global rank wherever the sampled range splits land). Output is
+    capped to event_id < 5000 to keep the driver compare bounded; the
+    transform itself is full-table."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.count()  # bounded scalar, matches the oracle's COUNT(*) OVER ()
+    # localCheckpoint pins the sampled range boundaries across the two
+    # jobs (offsets, output) — see dictionary_encode's boundary note;
+    # without it the bucketings can differ and ranks shift (measured
+    # max|Δq| ≈ 0.01 at sf0.01 before the pin).
+    bucketed = (
+        ev.repartitionByRange(_QN_RANGE_PARTS, "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in bucketed.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }  # bounded: one row per range bucket
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = Window.partitionBy("pid").orderBy("value", "event_id")
+    return (
+        bucketed.select(
+            "event_id",
+            "value",
+            F.round(
+                (off[F.col("pid")] + F.row_number().over(local) - 1).cast("double")
+                / (n - 1),
+                6,
+            ).alias("q"),
+        )
+        .filter(F.col("event_id") < 5000)
+        .orderBy("event_id")
+    )

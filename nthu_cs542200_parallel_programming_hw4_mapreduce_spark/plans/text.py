@@ -1626,8 +1626,15 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    bucketed = vocab.repartitionByRange(_DICT_RANGE_PARTS, "tok").withColumn(
-        "pid", F.spark_partition_id()
+    # localCheckpoint PINS the sampled range boundaries: repartitionByRange
+    # re-samples per job, so without materialization the offsets job and
+    # the output job could see DIFFERENT bucketings (caught live on the
+    # numeric twin, quantile_normalize) — ids must come from one concrete
+    # partitioning.
+    bucketed = (
+        vocab.repartitionByRange(_DICT_RANGE_PARTS, "tok")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["pid"]: r["n"]
@@ -1692,6 +1699,8 @@ def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .repartitionByRange(_DICT_RANGE_PARTS, "tok")
         .withColumn("pid", F.spark_partition_id())
+        # pinned partitioning — see dictionary_encode's boundary note
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["pid"]: r["n"]
