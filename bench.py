@@ -139,6 +139,11 @@ HEADLINE = [
     "join_nullsafe_keys",
     "delta_time_travel",
     "quantile_normalize",
+    # r3 additions (twentieth batch): Spark 4 feature surface — VARIANT,
+    # Python Data Source API, collations
+    "variant_shred",
+    "python_datasource_scan",
+    "collated_distinct",
 ]
 
 

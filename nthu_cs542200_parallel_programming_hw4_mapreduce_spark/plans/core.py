@@ -2441,3 +2441,154 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("latest_chars"),
     )
     return v0.crossJoin(latest)
+
+
+@query(
+    "variant_shred",
+    oracle="""
+    SELECT CAST(payload ->> '$.k' AS BIGINT) % 10 AS kb,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(payload ->> '$.k' AS BIGINT)) AS BIGINT) AS ks
+    FROM (SELECT props AS payload FROM events)
+    GROUP BY kb ORDER BY kb
+    """,
+)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: parse
+    the JSON payload once into a variant column (binary-encoded,
+    shredding-friendly), extract typed paths with
+    ``try_variant_get``, and aggregate — the open-schema ingestion
+    pattern that replaces rigid from_json structs when payloads evolve
+    (new keys appear without schema migrations).
+
+    VARIANT's point at scale: the binary encoding parses the JSON text
+    ONCE at ingestion, and every downstream path extraction is a
+    binary traversal (no re-parse per expression, which the
+    ``get_json_object``-per-column formulation pays). The oracle runs
+    DuckDB's JSON operators over the same payloads — same typed
+    values, so parse + extraction semantics match exactly."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("kb"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").cast("long").alias("ks"),
+        )
+        .orderBy("kb")
+    )
+
+
+@query(
+    "collated_distinct",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS s2
+      FROM documents
+    )
+    SELECT CAST(COUNT(DISTINCT s2) AS BIGINT) AS n_binary,
+           CAST(COUNT(DISTINCT lower(s2)) AS BIGINT) AS n_lcase
+    FROM s
+    """,
+)
+def collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation semantics (Spark 4): distinct counts under
+    binary vs case-insensitive (``UTF8_LCASE``) collation over a
+    mixed-case derived column. Collation-aware comparison is the
+    correct tool where ``lower()`` is only an ASCII approximation
+    (Turkish dotless-i, ß); on this ASCII fixture the two agree, which
+    is exactly what lets DuckDB's ``lower()`` oracle check the
+    collated aggregate. Collation changes COMPARISON, not storage —
+    the distinct aggregate hashes the collation key, still
+    partial-agg'd map-side."""
+    docs = table(spark, sf_dir, "documents")
+    s2 = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    return docs.select(s2.alias("s2")).agg(
+        F.count_distinct("s2").cast("long").alias("n_binary"),
+        F.count_distinct(F.collate("s2", "UTF8_LCASE")).cast("long").alias("n_lcase"),
+    )
+
+
+_PYDS_ROWS = 100_000
+_PYDS_PARTS = 8
+
+
+@query(
+    "python_datasource_scan",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((i * 2654435761) % 1000) AS BIGINT) AS sv,
+           CAST(MAX((i * 2654435761) % 1000) AS BIGINT) AS mx
+    FROM range({_PYDS_ROWS}) t(i)
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through Spark 4's PYTHON DATA SOURCE API: a
+    synthetic source registered as ``format("graft_synth")`` plans its
+    own input partitions (8 row-ranges) and streams tuples from pure
+    Python readers — the extension point for reading systems Spark has
+    no JVM connector for (internal services, bespoke formats), with
+    partition-parallel scans instead of a single-driver fetch.
+
+    The generator is the Knuth multiplicative hash ``(i * 2654435761)
+    % 1000``, replicated exactly in the DuckDB oracle over ``range()``
+    — so the parity row proves the source's partition planning loses,
+    duplicates, and reorders nothing. Classes are defined INSIDE this
+    function so cloudpickle ships them by value (workers don't have
+    the repo on sys.path — the repo-wide nested-closure rule).
+    sf_dir is unused by design: this query checks the CONNECTOR, not a
+    fixture table."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RangePart(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", _PYDS_ROWS))
+            self.parts = int(options.get("partitions", _PYDS_PARTS))
+
+        def partitions(self):
+            step = -(-self.rows // self.parts)
+            return [
+                RangePart(s, min(s + step, self.rows))
+                for s in range(0, self.rows, step)
+            ]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                yield (i, (i * 2654435761) % 1000)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "graft_synth"
+
+        def schema(self):
+            return "id bigint, value bigint"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)
+    df = (
+        spark.read.format("graft_synth")
+        .option("rows", _PYDS_ROWS)
+        .option("partitions", _PYDS_PARTS)
+        .load()
+    )
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("long").alias("sv"),
+        F.max("value").cast("long").alias("mx"),
+    )
