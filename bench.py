@@ -144,6 +144,10 @@ HEADLINE = [
     "variant_shred",
     "python_datasource_scan",
     "collated_distinct",
+    # r3 additions (twenty-first batch): XML round trip + Python
+    # streaming source
+    "xml_ingest",
+    "python_stream_source",
 ]
 
 

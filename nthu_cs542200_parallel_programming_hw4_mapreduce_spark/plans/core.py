@@ -2592,3 +2592,143 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("long").alias("sv"),
         F.max("value").cast("long").alias("mx"),
     )
+
+
+@query(
+    "xml_ingest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML round trip (Spark 4 ships the spark-xml connector
+    in-core): documents → XML files (``rowTag=doc``) → XML scan →
+    aggregate, with the oracle running on the ORIGINAL parquet — a
+    green row proves the writer/reader pair loses, duplicates, and
+    mistypes nothing (including XML escaping of the text payload).
+
+    Same materialize-once posture as ``delta_scan``. XML is the
+    slowest mainstream format (row-tag parsing, no pushdown, no
+    columnar batches — ``delta_scan``'s docstring economics in
+    reverse), so its role is INGEST: land once, convert to parquet;
+    this query is the fidelity check for that landing step."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_xml_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            docs.write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "doc")
+            .save(base)
+        )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .load(base)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PYSTREAM_ROWS = 5000
+_PYSTREAM_BATCH = 2000
+_PYSTREAM_SINKS = __import__("itertools").count()
+
+
+@query(
+    "python_stream_source",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((i * 2654435761) % 1000) AS BIGINT) AS sv
+    FROM range({_PYSTREAM_ROWS}) t(i)
+    """,
+)
+def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector through Spark 4's Python Data Source
+    API (``SimpleDataSourceStreamReader``): a pure-Python source emits
+    offset-tracked micro-batches (2000 rows each) until exhausted; the
+    streaming aggregate over it, run to completion through a
+    complete-mode memory sink, must equal the closed-form oracle — the
+    connector twin of ``python_datasource_scan``, proving offsets
+    advance without loss or replay across micro-batches.
+
+    This is the extension point for streaming systems Spark has no JVM
+    connector for (internal queues, vendor APIs): offsets are the
+    source's replay contract, and the same reader recovers from a
+    checkpoint by re-reading between committed offsets. Classes nested
+    → shipped by value (the repo-wide rule)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    total, step = _PYSTREAM_ROWS, _PYSTREAM_BATCH
+
+    class StreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def read(self, start):
+            s = start["offset"]
+            e = min(s + step, total)
+            rows = [(i, (i * 2654435761) % 1000) for i in range(s, e)]
+            return iter(rows), {"offset": e}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (i, (i * 2654435761) % 1000)
+                for i in range(start["offset"], end["offset"])
+            )
+
+    class StreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "graft_stream"
+
+        def schema(self):
+            return "id bigint, value bigint"
+
+        def simpleStreamReader(self, schema):
+            return StreamReader()
+
+    spark.dataSource.register(StreamSource)
+    agg = (
+        spark.readStream.format("graft_stream")
+        .load()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").cast("long").alias("sv"),
+        )
+    )
+    name = f"pystream_{next(_PYSTREAM_SINKS)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        # drain until the source is exhausted (offset stops advancing)
+        import time as _time
+
+        for _ in range(60):
+            q.processAllAvailable()
+            row = spark.table(name).collect()
+            if row and row[0]["n"] == total:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)
+

@@ -217,3 +217,50 @@ def test_delta_append_commit_race_bumps_version(spark, tmp_path):
         f.write("")
     v = append_delta_commit(spark, spark.range(10, 12).toDF("id"), path)
     assert v == 2
+
+
+def test_stream_foreachbatch_appends_delta_commits(spark, tmp_path):
+    """Composition proof: a real readStream drains into the jar-free
+    Delta table via foreachBatch + append_delta_commit — one commit per
+    micro-batch — and the final snapshot equals the batch source."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.delta import (
+        append_delta_commit,
+        read_delta_via_log,
+        table_version,
+        write_delta_commit0,
+    )
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.streaming.windows import (
+        events_stream,
+    )
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [(i, t, i % 3, "click", float(i), "{}") for i in range(20)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.parquet(f"{src}/events.parquet")
+
+    table_path = str(tmp_path / "delta_sink")
+    write_delta_commit0(
+        spark, spark.createDataFrame([], "event_id long, value double"), table_path
+    )
+
+    stream = events_stream(spark, f"{src}/events.parquet").select(
+        "event_id", "value"
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch_df, _bid: append_delta_commit(spark, batch_df, table_path)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert table_version(table_path) >= 1
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in read_delta_via_log(spark, table_path).collect()
+    )
+    assert got == [(i, float(i)) for i in range(20)]
