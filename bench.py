@@ -148,6 +148,9 @@ HEADLINE = [
     # streaming source
     "xml_ingest",
     "python_stream_source",
+    # r3 additions (twenty-second batch): record linkage + SQL LATERAL
+    "fuzzy_name_match",
+    "lateral_join_topn",
 ]
 
 

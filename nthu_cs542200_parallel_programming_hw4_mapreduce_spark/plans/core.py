@@ -2732,3 +2732,94 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return spark.table(name)
 
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey, lower(c_name) AS nm FROM customer
+      WHERE c_custkey < 150
+    )
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM s a JOIN s b
+      ON a.c_custkey < b.c_custkey
+     AND substr(a.nm, 1, 9) = substr(b.nm, 1, 9)
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    ORDER BY a_id, b_id
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution name matching: customer-name pairs within edit
+    distance 1, blocked on a shared 9-char prefix — the
+    blocking-then-scoring shape every record-linkage pipeline uses
+    (``dedup_lsh_jaccard_verified``'s candidates→verify discipline
+    applied to typo-distance instead of Jaccard).
+
+    The blocking key is the scale story: an unblocked all-pairs
+    levenshtein is O(n²·m²); the prefix equi-join keeps candidate
+    volume at Σ block² (production blocks on phonetic keys or q-gram
+    LSH — same plan, different key), and the quadratic scorer runs
+    only inside blocks. Both engines implement the identical DP edit
+    distance, so scores agree exactly; the driver-side sample bound
+    (c_custkey < 150) keeps the oracle's self-join oracle-sized. On
+    THIS fixture the synthetic names all share the prefix, so the block
+    is degenerate (one block — the plan shape is what's demonstrated);
+    real name distributions split into thousands of blocks."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select("c_custkey", F.lower("c_name").alias("nm"))
+    )
+    a = cust.select(F.col("c_custkey").alias("a_id"), F.col("nm").alias("na"))
+    b = cust.select(F.col("c_custkey").alias("b_id"), F.col("nm").alias("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("a_id") < F.col("b_id"))
+            & (F.substring("na", 1, 9) == F.substring("nb", 1, 9)),
+        )
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("a_id", "b_id", F.levenshtein("na", "nb").cast("long").alias("dist"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "lateral_join_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL surface): each customer's top-2
+    orders by price, written as the per-row subquery users port from
+    OLTP engines. Catalyst DECORRELATES it — the plan is the same
+    window/rank-per-key shape the DataFrame formulation produces
+    (``window_rank``), not N executions of the subquery; this query
+    pins that the lateral SYNTAX lands on the scalable plan. Filter
+    kept to custkey < 100 so the oracle's per-row lateral stays
+    oracle-sized."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
