@@ -151,6 +151,9 @@ HEADLINE = [
     # r3 additions (twenty-second batch): record linkage + SQL LATERAL
     "fuzzy_name_match",
     "lateral_join_topn",
+    # r3 additions (twenty-third batch): polymorphic UDTF + mapInArrow
+    "udtf_analyze_split",
+    "arrow_map_batches",
 ]
 
 

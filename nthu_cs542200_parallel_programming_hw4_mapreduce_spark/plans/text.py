@@ -1796,3 +1796,87 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_cnt"), "l", "r")
         .limit(10)
     )
+
+
+@query(
+    "udtf_analyze_split",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, {_DD_TOKS} AS ws FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, ws[1] AS col_0, ws[2] AS col_1, ws[3] AS col_2
+    FROM d ORDER BY doc_id
+    """,
+)
+def udtf_analyze_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` API): the output
+    schema is computed at PLAN time from the constant argument (n=3 →
+    columns col_0..col_2) — the table-function polymorphism that
+    fixed-schema UDTFs (``udtf_tokenize``) lack, and the mechanism
+    behind schema-on-demand connectors and generic unpivot/parse
+    helpers.
+
+    Extension-point proof, scoped to 50 docs (the ``udtf_tokenize``
+    rule — JVM ``split`` is the production path for this transform);
+    the UDTF class is nested so it ships by value."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    class SplitN:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"col_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in text.split() if t]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    split_n = udtf(SplitN)
+    spark.udtf.register("graft_split_n", split_n)
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 50).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT doc_id, s.* FROM udtf_docs_v, LATERAL graft_split_n(text, 3) s
+        ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "arrow_map_batches",
+    oracle="""
+    SELECT doc_id, n_chars * 2 AS dbl FROM documents ORDER BY doc_id
+    """,
+)
+def arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy RecordBatch execution path —
+    completes the Python-execution matrix (row UDF, Arrow UDF, Pandas
+    UDF/UDAF, mapInPandas, UDTF, and now raw Arrow batches). Compared
+    to mapInPandas it skips the pandas conversion entirely, which is
+    the right call when the kernel speaks Arrow natively (pyarrow
+    compute, DuckDB, polars).
+
+    The transform is deliberately trivial (n_chars × 2, checked
+    exactly by the oracle) — the contract under test is batch-level
+    fidelity: no row loss or reorder-with-loss across Arrow batch
+    boundaries. Kernel stays in pyarrow.compute; nested closure ships
+    by value."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def double(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pc.multiply(b.column("n_chars"), 2)],
+                names=["doc_id", "dbl"],
+            )
+
+    return docs.mapInArrow(double, schema="doc_id long, dbl long").orderBy("doc_id")
