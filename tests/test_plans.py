@@ -78,6 +78,13 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir):
         # completes the UDF-surface matrix, scoped to 50 docs
         "heavy_hitters",  # the Misra-Gries candidate pass is the sketch
         # (mapInPandas by design); the exact verify phase stays JVM-side
+        "udtf_analyze_split",  # polymorphic UDTF BY DESIGN (analyze API
+        # demo, scoped to 50 docs)
+        "arrow_map_batches",  # mapInArrow BY DESIGN — the batch-fidelity
+        # contract for the zero-copy Arrow path
+        "python_datasource_scan",  # Python Data Source BY DESIGN — the
+        # connector itself is the Python under test
+        "python_stream_source",  # Python streaming source BY DESIGN
     }
     for name in sorted(E.oracle_sql()):
         if name in deliberate_python:
