@@ -154,6 +154,11 @@ HEADLINE = [
     # r3 additions (twenty-third batch): polymorphic UDTF + mapInArrow
     "udtf_analyze_split",
     "arrow_map_batches",
+    # r3 additions (twenty-fourth batch): SQL UDFs, parameterized SQL,
+    # stream-static enrichment
+    "sql_udf_scoring",
+    "sql_parameterized",
+    "streaming_static_join",
 ]
 
 

@@ -2823,3 +2823,69 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@query(
+    "sql_udf_scoring",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(least(n_chars, 400) AS DOUBLE) / 400
+                 * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.8 END), 6) AS score
+    FROM documents ORDER BY doc_id
+    """,
+)
+def sql_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (``CREATE FUNCTION … RETURN expr``): a reusable
+    quality-scoring function defined in SQL and applied per row. Unlike
+    every Python UDF path, a SQL UDF INLINES into the plan at analysis
+    time — the scoring expression lands inside WholeStageCodegen with
+    zero serialization boundary, which makes it the right vehicle for
+    shared business logic (one definition, optimizer-visible
+    everywhere). The oracle spells the same arithmetic inline; a green
+    row proves the function body and its inlining are
+    semantics-preserving."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_doc_score(
+            n_chars BIGINT, lang STRING) RETURNS DOUBLE
+        RETURN CAST(least(n_chars, 400) AS DOUBLE) / 400
+               * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.8 END)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, round(graft_doc_score(n_chars, lang), 6) AS score
+        FROM documents ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_quantity >= 40 AND l_discount <= 0.05
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named ``:param`` binding): the
+    injection-safe way user-supplied values enter queries — parameters
+    bind as typed literals in the parser, never by string splicing, so
+    a hostile value cannot change query structure, and Catalyst still
+    constant-folds and PUSHES the bound predicates into the parquet
+    scan exactly like hand-written literals (gated below)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem WHERE l_quantity >= :minq AND l_discount <= :maxd
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        args={"minq": 40, "maxd": 0.05},
+    )

@@ -1254,3 +1254,58 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") < 5000)
         .orderBy("event_id")
     )
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+    SELECT user_id % 5 AS cohort, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (stream-to-dimension) join: the events stream
+    enriches against a STATIC dimension table (user → cohort) before
+    aggregating — the standard enrichment topology (clickstream ⋈ user
+    profile), distinct from the stream-stream join: the static side
+    needs no watermark or state, it broadcasts into every micro-batch
+    and re-snapshots per batch (which is how slowly-refreshing dims
+    stay current without restarting the query).
+
+    The dimension derives deterministically (cohort = user_id % 5) so
+    the batch oracle can fold the join away; the streaming path really
+    does plan a join per micro-batch. Complete-mode memory sink over
+    the finite backfill equals the batch aggregate — the unification
+    property."""
+    from ..streaming.windows import events_stream
+
+    ev_static = table(spark, sf_dir, "events")
+    dim = (
+        ev_static.select("user_id").distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    src = events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+    )
+    name = f"stream_static_{next(_STREAM_STATIC_SINKS)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("cohort")
+
+
+_STREAM_STATIC_SINKS = __import__("itertools").count()

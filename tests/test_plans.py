@@ -641,3 +641,19 @@ def test_nullsafe_join_still_hashes(spark, sf_dir):
     assert "coalesce(k" in plan and "isnull(k" in plan
     # the only nested-loop node is the final 1-row x 1-row combine
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_parameterized_sql_pushes_bound_predicates(spark, sf_dir):
+    """Named parameters must land in the parquet scan's PushedFilters
+    exactly like hand-written literals."""
+    plan = plan_of(spark, sf_dir, "sql_parameterized")
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """The SQL UDF body must inline — no UDF/EvalPython node, and the
+    scoring arithmetic visible in the plan's projection."""
+    plan = plan_of(spark, sf_dir, "sql_udf_scoring")
+    assert "EvalPython" not in plan
+    assert "least" in plan  # the inlined function body
