@@ -90,6 +90,73 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
+
+# Round-4 rotation pool: every declared query that has NEVER received a
+# driver CORRECTNESS row (not in CORRECTNESS_r01/r02 and not holding a
+# round-3 window slot). Round 4 should swap these into DRIVER_WINDOW
+# (41 rotating slots per round → two rounds clears the pool), keeping
+# the always-on regression core. Pinned against drift by
+# tests/test_registry.py::test_round4_pool_is_exactly_the_never_checked_set.
+ROUND4_ROTATION_POOL: tuple[str, ...] = (
+    "ab_test_ztest",
+    "anomaly_zscore",
+    "arrow_map_batches",
+    "arrow_udf_reverse",
+    "attribution_last_touch",
+    "bpe_first_merge",
+    "bpe_merges",
+    "collated_distinct",
+    "compaction_bins",
+    "data_expectations",
+    "delta_scan",
+    "delta_time_travel",
+    "dictionary_encode",
+    "embedding_covariance",
+    "encode_corpus",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "heavy_hitters",
+    "hll_user_reach",
+    "incremental_rollup",
+    "join_nullsafe_keys",
+    "json_quarantine",
+    "k_anonymity_suppress",
+    "lateral_join_topn",
+    "linreg_by_key",
+    "markov_transitions",
+    "merge_upsert",
+    "multimodal_dedup",
+    "ndcg_at_10",
+    "null_semantics",
+    "pagerank_events",
+    "paragraph_dedup",
+    "pca_project",
+    "pit_state_at_event",
+    "pmi_collocations",
+    "python_datasource_scan",
+    "python_stream_source",
+    "quantile_normalize",
+    "reachability_bfs",
+    "retention_cohorts",
+    "scd2_history",
+    "skew_report",
+    "snapshot_diff",
+    "sql_parameterized",
+    "sql_udf_scoring",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "streaming_topk",
+    "table_profile",
+    "triangle_count",
+    "udtf_analyze_split",
+    "variant_shred",
+    "window_range_frame",
+    "winsorized_stats",
+    "xml_ingest",
+    "zorder_layout",
+)
+
+
 def _ordered(names: dict[str, object]) -> list[str]:
     front = [n for n in DRIVER_WINDOW if n in names]
     rest = [n for n in names if n not in set(DRIVER_WINDOW)]

@@ -74,3 +74,16 @@ def test_doc_counts_match_registry():
         assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
             f"{doc} claims {m.group(0)!r}; registry has {n_q}/{n_o}"
         )
+
+
+def test_round4_pool_is_exactly_the_never_checked_set():
+    """The documented rotation pool must equal the recomputed set of
+    queries with no driver CORRECTNESS row in any prior round and no
+    current window slot — so the pool cannot silently rot as queries
+    are added."""
+    import json
+
+    r1 = set(json.load(open(REPO / "CORRECTNESS_r01.json")))
+    r2 = set(json.load(open(REPO / "CORRECTNESS_r02.json")))
+    never = set(registry.all_queries()) - r1 - r2 - set(registry.DRIVER_WINDOW)
+    assert set(registry.ROUND4_ROTATION_POOL) == never
