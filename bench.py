@@ -159,6 +159,10 @@ HEADLINE = [
     "sql_udf_scoring",
     "sql_parameterized",
     "streaming_static_join",
+    # r3 additions (twenty-fifth batch): bounded-state streaming dedup +
+    # schema evolution
+    "streaming_dedup_watermarked",
+    "schema_evolution_scan",
 ]
 
 

@@ -2889,3 +2889,61 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minq": 40, "maxd": 0.05},
     )
+
+
+@query(
+    "schema_evolution_scan",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(quality) AS BIGINT) AS with_quality,
+           CAST(SUM(quality) AS BIGINT) AS quality_sum
+    FROM (
+      SELECT lang, NULL::BIGINT AS quality FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, n_chars % 100 FROM documents WHERE doc_id % 2 = 1
+    ) GROUP BY lang ORDER BY lang
+    """,
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): generation-1 files
+    were written WITHOUT the ``quality`` column, generation-2 files
+    with it; one merged scan reads both generations, old rows
+    surfacing NULL — the additive-column evolution every long-lived
+    dataset goes through, without rewriting a byte of old data.
+
+    The two generations materialize once per sf_dir (even doc_ids =
+    gen-1, odd = gen-2 with quality = n_chars % 100), and the oracle
+    reconstructs the same union from the original parquet — a green
+    row proves the merged scan neither drops old files nor invents
+    non-null values for the missing column. Cost note: mergeSchema
+    reconciles footers at planning time; production tables pin the
+    merged schema in a catalog instead of re-deriving it per query."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(base):
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+            os.path.join(base, "gen=1")
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", (F.col("n_chars") % 100).alias("quality")
+        ).write.parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("quality").alias("with_quality"),
+            F.sum("quality").cast("long").alias("quality_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -1309,3 +1309,53 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_STATIC_SINKS = __import__("itertools").count()
+
+
+@query(
+    "streaming_dedup_watermarked",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_ingested
+    FROM events
+    """,
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: the event stream is deliberately
+    doubled (two readStreams unioned — an at-least-once source) and
+    deduplicated with ``dropDuplicatesWithinWatermark`` on event_id —
+    the production API for exactly-once semantics over at-least-once
+    transports (Kafka redeliveries), where plain ``dropDuplicates``
+    (``streaming_dedup``) keeps every key in state FOREVER and OOMs a
+    100 TB backfill; the watermark variant evicts keys older than the
+    delay, bounding state at O(events per watermark window).
+
+    Over the finite in-order backfill nothing is late, so the result
+    equals batch COUNT(DISTINCT event_id) — oracle-checkable, unlike
+    the rows-only plain variant. n_ingested pins that the doubled
+    input really was 2×."""
+    from ..streaming.windows import events_stream
+
+    src = events_stream(spark, f"{sf_dir}/events.parquet").select("event_id", "ts")
+    doubled = src.unionByName(
+        events_stream(spark, f"{sf_dir}/events.parquet").select("event_id", "ts")
+    )
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.agg(F.count("*").alias("n_unique"))
+    name = f"stream_dedup_wm_{next(_STREAM_STATIC_SINKS)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    total = table(spark, sf_dir, "events").count()
+    return spark.table(name).select(
+        F.col("n_unique").cast("long"),
+        F.lit(total * 2).cast("long").alias("n_ingested"),
+    )
