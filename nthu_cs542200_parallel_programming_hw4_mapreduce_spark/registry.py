@@ -139,10 +139,12 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "reachability_bfs",
     "retention_cohorts",
     "scd2_history",
+    "schema_evolution_scan",
     "skew_report",
     "snapshot_diff",
     "sql_parameterized",
     "sql_udf_scoring",
+    "streaming_dedup_watermarked",
     "streaming_static_join",
     "streaming_stream_join",
     "streaming_topk",
