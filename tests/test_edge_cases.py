@@ -267,3 +267,45 @@ def test_results_deterministic_under_task_retry(tmp_path):
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
     )
     assert "RETRY_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_wide_sort_and_agg_spill_in_small_heap(tmp_path):
+    """Spill-awareness proof: a TRUE global sort (sort → write, so the
+    optimizer cannot reduce it to TakeOrdered) and a 10M-distinct-key
+    aggregation both complete in a 600 MB heap — far below the data's
+    in-memory footprint — by spilling, with correct results. Subprocess
+    because heap size is fixed at JVM launch."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.driver.memory", "600m")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        n = 10_000_000
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 2654435761 % 1000003).alias("v"))
+        # true global sort: terminal write keeps the Sort in the plan
+        (df.orderBy("v", "id")
+           .write.format("noop").mode("overwrite").save())
+        # 10M-distinct-key hash aggregate → must spill, then be exact
+        agg = df.groupBy("id").agg(F.sum("v").alias("s"))
+        assert agg.count() == n
+        total = agg.agg(F.sum("s")).first()[0]
+        expect = sum(i * 2654435761 % 1000003 for i in range(0, n, 997)) 
+        # cheap spot integrity: sample-sum of every 997th key matches
+        sample = (agg.filter(F.col("id") % 997 == 0)
+                  .agg(F.sum("s")).first()[0])
+        assert sample == expect, (sample, expect)
+        print("SPILL_OK", total)
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=500
+    )
+    assert "SPILL_OK" in out.stdout, out.stderr[-2000:]
