@@ -163,6 +163,7 @@ HEADLINE = [
     # schema evolution
     "streaming_dedup_watermarked",
     "schema_evolution_scan",
+    "decayed_engagement",
 ]
 
 

@@ -1359,3 +1359,49 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique").cast("long"),
         F.lit(total * 2).cast("long").alias("n_ingested"),
     )
+
+
+@query(
+    "decayed_engagement",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events)
+    SELECT user_id,
+           round(SUM(value * exp(-(tmax - epoch_us(ts))
+                                 / 86400000000.0 / 7.0)), 6) AS score
+    FROM events CROSS JOIN mx
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user
+    (half-life-style recency weighting, τ = 7 days): the
+    recency-weighted popularity/engagement counter behind feeds,
+    trending ranks, and churn features — old activity decays smoothly
+    instead of falling off a window cliff.
+
+    Decayed sums are DECOMPOSABLE relative to a fixed reference time:
+    weight = exp(-(t_ref - t)/τ) is per-row arithmetic, so the
+    aggregate partial-combines map-side like any sum — one scan, one
+    user-keyed shuffle; on a stream the same identity lets the score
+    update incrementally (multiply the old state by the elapsed decay,
+    add the new batch — cf. ``incremental_rollup``). t_ref = max(ts)
+    is a singleton broadcast; the exp arithmetic is spelled
+    identically in both engines and rounded to 6 dp (reassociation
+    drift is ~1e-15 relative — the PageRank rule)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max(us).alias("tmax"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-(F.col("tmax") - us) / 86400000000.0 / 7.0)
+                ),
+                6,
+            ).alias("score")
+        )
+        .orderBy("user_id")
+    )

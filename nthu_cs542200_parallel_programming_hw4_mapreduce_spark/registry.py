@@ -108,6 +108,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "collated_distinct",
     "compaction_bins",
     "data_expectations",
+    "decayed_engagement",
     "delta_scan",
     "delta_time_travel",
     "dictionary_encode",
