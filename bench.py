@@ -164,6 +164,7 @@ HEADLINE = [
     "streaming_dedup_watermarked",
     "schema_evolution_scan",
     "decayed_engagement",
+    "sliding_distinct_users",
 ]
 
 

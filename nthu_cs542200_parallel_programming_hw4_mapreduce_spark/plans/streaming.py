@@ -1405,3 +1405,49 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    )
+    SELECT h.h, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS dau
+    FROM hours h JOIN events e
+      ON e.ts > h.h + INTERVAL 1 HOUR - INTERVAL 24 HOUR
+     AND e.ts <= h.h + INTERVAL 1 HOUR
+    GROUP BY h.h ORDER BY h.h
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct users, evaluated at every hour (the
+    rolling-DAU curve). Distinct counts do NOT decompose over sliding
+    windows — you cannot subtract the expiring hour from a running
+    distinct — so the exact form must re-associate events to windows.
+
+    The scalable shape used here: each event EXPLODES to the ≤24
+    hourly evaluation points it can influence (a bounded, structural
+    fan-out: window/slide ratio, the ``streaming_hopping`` state rule),
+    then one partial-agg'd distinct per (hour, user). Shuffle volume
+    is 24× events — linear, predictable — versus the naive
+    hours×events range join the ORACLE runs (fine at oracle scale,
+    quadratic-ish at 100 TB). Events in the fixture's first 23 hours
+    contribute to truncated windows, matching the oracle's join
+    semantics exactly; production rollouts that want HLL instead of
+    exact swap in ``hll_user_reach``'s sketch per cell."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    # evaluation points this event affects: its own hour + next 23
+    pts = F.sequence(hour, hour + F.expr("INTERVAL 23 HOURS"), F.expr("INTERVAL 1 HOUR"))
+    exploded = ev.select(
+        F.explode(pts).alias("h"), "user_id", F.col("ts")
+    )
+    # an evaluation point only exists if SOME event falls in its hour
+    hours = ev.select(hour.alias("h")).distinct()
+    return (
+        exploded.join(hours.hint("merge"), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.count_distinct("user_id").cast("long").alias("dau"))
+        .orderBy("h")
+    )

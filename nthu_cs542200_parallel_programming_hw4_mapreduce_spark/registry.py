@@ -142,6 +142,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "scd2_history",
     "schema_evolution_scan",
     "skew_report",
+    "sliding_distinct_users",
     "snapshot_diff",
     "sql_parameterized",
     "sql_udf_scoring",
