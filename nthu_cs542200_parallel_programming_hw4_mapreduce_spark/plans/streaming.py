@@ -1438,11 +1438,16 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact swap in ``hll_user_reach``'s sketch per cell."""
     ev = table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", "ts")
-    # evaluation points this event affects: its own hour + next 23
-    pts = F.sequence(hour, hour + F.expr("INTERVAL 23 HOURS"), F.expr("INTERVAL 1 HOUR"))
-    exploded = ev.select(
-        F.explode(pts).alias("h"), "user_id", F.col("ts")
+    # dedupe (event-hour, user) BEFORE the fan-out: a user active k
+    # times in one hour must not explode k×24 rows — on real traffic
+    # (many events per user-hour) this is the order that keeps the
+    # explode linear in ACTIVE user-hours, not events
+    pairs = ev.select(hour.alias("eh"), "user_id").distinct()
+    # evaluation points this user-hour affects: its own hour + next 23
+    pts = F.sequence(
+        F.col("eh"), F.col("eh") + F.expr("INTERVAL 23 HOURS"), F.expr("INTERVAL 1 HOUR")
     )
+    exploded = pairs.select(F.explode(pts).alias("h"), "user_id")
     # an evaluation point only exists if SOME event falls in its hour
     hours = ev.select(hour.alias("h")).distinct()
     return (
