@@ -165,6 +165,7 @@ HEADLINE = [
     "schema_evolution_scan",
     "decayed_engagement",
     "sliding_distinct_users",
+    "url_canonicalize",
 ]
 
 

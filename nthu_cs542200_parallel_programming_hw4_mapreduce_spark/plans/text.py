@@ -1880,3 +1880,98 @@ def arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInArrow(double, schema="doc_id long, dbl long").orderBy("doc_id")
+
+
+@query(
+    "url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.com:443/docs/'
+               || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+               || '&ref=tw#frag' AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             lower(string_split(string_split(url, '#')[1], '?')[1]) AS base,
+             string_split(string_split(url, '#')[1], '?')[2] AS qs
+      FROM raw
+    ), cleaned AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 rtrim(replace(base, ':443/', '/'), '/'),
+                 '^https://', ''),
+               '^www\\.', '')
+             || CASE WHEN array_to_string(
+                       list_sort(list_filter(string_split(qs, '&'),
+                                 p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%')),
+                       '&') = ''
+                     THEN ''
+                     ELSE '?' || array_to_string(
+                       list_sort(list_filter(string_split(qs, '&'),
+                                 p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%')),
+                       '&') END AS canon_url
+      FROM canon
+    )
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keep_id
+    FROM cleaned GROUP BY canon_url ORDER BY canon_url
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every web-crawl
+    pipeline: lowercase scheme/host, strip the fragment, default port,
+    trailing slash, and tracking parameters (utm_*, ref), SORT the
+    surviving query params, then group by canonical form keeping the
+    earliest doc. Re-crawls of the same page under tracking-decorated
+    URLs collapse here BEFORE any content hashing (``dedup_exact``
+    downstream is then content-level).
+
+    URLs derive deterministically from (source, doc_id) — the fixture
+    carries none — with doc_id % 50 as the surviving param so real
+    collapses occur (50 docs per source share a canonical URL). Every
+    step is codegen'd string/array ops spelled identically in both
+    engines; one partial-agg'd shuffle on the canonical key, same
+    shape as ``dedup_exact``."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.com:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&id="), (F.col("doc_id") % 50).cast("string"),
+        F.lit("&ref=tw#frag"),
+    )
+    defrag = F.split(url, "#")[0]
+    base = F.lower(F.split(defrag, r"\?")[0])
+    qs = F.split(defrag, r"\?")[1]
+    kept = F.sort_array(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: ~p.startswith("utm_") & ~p.startswith("ref="),
+        )
+    )
+    base_clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.replace(base, F.lit(":443/"), F.lit("/")), "/+$", ""
+            ),
+            "^https://", "",
+        ),
+        r"^www\.", "",
+    )
+    canon = F.concat(
+        base_clean,
+        F.when(F.size(kept) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ),
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("canon_url")
+    )

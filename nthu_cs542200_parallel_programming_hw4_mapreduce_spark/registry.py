@@ -153,6 +153,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "table_profile",
     "triangle_count",
     "udtf_analyze_split",
+    "url_canonicalize",
     "variant_shred",
     "window_range_frame",
     "winsorized_stats",
