@@ -166,6 +166,7 @@ HEADLINE = [
     "decayed_engagement",
     "sliding_distinct_users",
     "url_canonicalize",
+    "lsh_quality_eval",
 ]
 
 

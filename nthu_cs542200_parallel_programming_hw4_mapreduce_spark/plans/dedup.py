@@ -1567,3 +1567,67 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation (precision/recall vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+# Composed from the already-registered oracles so both engines evaluate
+# the IDENTICAL candidate and truth pipelines (in-package registry
+# access by design — the strings are this module's own, registered a
+# few hundred lines up).
+from ..registry import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
+
+_LSH_EVAL_TRUTH = 0.5  # exact-Jaccard threshold defining a true near-dup
+
+
+@query(
+    "lsh_quality_eval",
+    oracle=f"""
+    WITH lsh AS ({_REGISTERED_ORACLES["dedup_minhash_lsh"]}),
+    exact AS (
+      SELECT a_id, b_id FROM ({_REGISTERED_ORACLES["dedup_ngram_jaccard"]})
+      WHERE jaccard >= {_LSH_EVAL_TRUTH}
+    ), m AS (
+      SELECT
+        (SELECT COUNT(*) FROM lsh JOIN exact USING (a_id, b_id)) AS tp,
+        (SELECT COUNT(*) FROM lsh ANTI JOIN exact USING (a_id, b_id)) AS fp,
+        (SELECT COUNT(*) FROM exact ANTI JOIN lsh USING (a_id, b_id)) AS fn
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision_,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall_
+    FROM m
+    """,
+)
+def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit for the MinHash-LSH pipeline: its pair
+    set scored against exact bigram-Jaccard ≥ 0.5 ground truth —
+    precision (how many candidates are real near-dups) and recall (how
+    many real near-dups the bands caught). This is the measurement a
+    pipeline owner runs before changing band/row parameters, and it
+    reuses BOTH production pipelines verbatim (``dedup_minhash_lsh``
+    candidates, ``dedup_ngram_jaccard`` truth), so the audit can never
+    drift from what actually ships.
+
+    At corpus scale the truth side is the bounded one — exact Jaccard
+    runs on a SAMPLE in production (the inverted-index cost ceiling
+    documented on ``dedup_ngram_jaccard``); the set algebra is three
+    key-keyed joins over pair lists, trivially small."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= _LSH_EVAL_TRUTH)
+        .select("a_id", "b_id")
+    )
+    tp = lsh.join(exact, ["a_id", "b_id"]).count()
+    fp = lsh.join(exact, ["a_id", "b_id"], "left_anti").count()
+    fn = exact.join(lsh, ["a_id", "b_id"], "left_anti").count()
+    row = [(tp, fp, fn,
+            round(tp / (tp + fp), 6) if tp + fp else None,
+            round(tp / (tp + fn), 6) if tp + fn else None)]
+    return spark.createDataFrame(
+        row, "tp long, fp long, fn long, precision_ double, recall_ double"
+    )

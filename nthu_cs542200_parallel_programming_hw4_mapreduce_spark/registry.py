@@ -124,6 +124,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "k_anonymity_suppress",
     "lateral_join_topn",
     "linreg_by_key",
+    "lsh_quality_eval",
     "markov_transitions",
     "merge_upsert",
     "multimodal_dedup",
