@@ -167,6 +167,8 @@ HEADLINE = [
     "sliding_distinct_users",
     "url_canonicalize",
     "lsh_quality_eval",
+    "dup_cluster_histogram",
+    "anomaly_mad",
 ]
 
 

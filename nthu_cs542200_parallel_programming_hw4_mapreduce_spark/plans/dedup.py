@@ -1631,3 +1631,33 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         row, "tp long, fp long, fn long, precision_ double, recall_ double"
     )
+
+
+@query(
+    "dup_cluster_histogram",
+    oracle=f"""
+    SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT cluster, COUNT(*) AS csize
+      FROM ({_REGISTERED_ORACLES["dedup_clusters"]})
+      GROUP BY cluster
+    ) GROUP BY csize ORDER BY csize
+    """,
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters
+    have 1, 2, … members — THE corpus-health diagnostic (a fat tail
+    here predicts the quadratic pair-volume regimes documented on the
+    LSH probes, and drives the exact-collapse-first production
+    ordering). Composed verbatim on ``dedup_clusters``' connected
+    components, so the histogram measures exactly what the dedup
+    pipeline computes; two tiny aggregates on top of it (cluster-sized,
+    then size-sized — both shrink monotonically)."""
+    return (
+        dedup_clusters(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("csize"))
+        .groupBy("csize")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("csize")
+    )

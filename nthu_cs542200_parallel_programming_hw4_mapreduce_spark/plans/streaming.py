@@ -1456,3 +1456,54 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("dau"))
         .orderBy("h")
     )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, med,
+             quantile_cont(abs(value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - med) / (1.4826 * mad), 6) AS rscore
+    FROM events e JOIN mad USING (event_type)
+    WHERE abs((value - med) / (1.4826 * mad)) > 3.0
+    ORDER BY event_id
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: events
+    more than 3 robust standard deviations (1.4826·MAD) from their
+    type's MEDIAN — the robust twin of ``anomaly_zscore``, which a
+    single extreme outlier cannot blind (outliers inflate mean/stddev
+    and mask each other; median/MAD have a 50% breakdown point).
+
+    Two exact-percentile passes (type-keyed, the ``winsorized_stats``
+    idiom) whose tiny per-type results broadcast back onto one event
+    scan — the scan is never shuffled. Both engines use the same
+    interpolated percentile definition and identical double arithmetic,
+    rounded to 6 dp. The documented scale swap is percentile_approx
+    once per-type event volumes dwarf a task's sort budget."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    scored = ev.join(F.broadcast(mad), "event_type").withColumn(
+        "rscore", (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    )
+    return (
+        scored.filter(F.abs("rscore") > 3.0)
+        .select("event_id", "event_type", "value", F.round("rscore", 6).alias("rscore"))
+        .orderBy("event_id")
+    )

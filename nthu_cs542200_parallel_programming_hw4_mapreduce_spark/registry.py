@@ -99,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # tests/test_registry.py::test_round4_pool_is_exactly_the_never_checked_set.
 ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest",
+    "anomaly_mad",
     "anomaly_zscore",
     "arrow_map_batches",
     "arrow_udf_reverse",
@@ -112,6 +113,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "delta_scan",
     "delta_time_travel",
     "dictionary_encode",
+    "dup_cluster_histogram",
     "embedding_covariance",
     "encode_corpus",
     "funnel_conversion",
