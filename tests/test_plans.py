@@ -657,3 +657,39 @@ def test_sql_udf_inlines_into_codegen(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql_udf_scoring")
     assert "EvalPython" not in plan
     assert "least" in plan  # the inlined function body
+
+
+def test_decayed_engagement_single_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "decayed_engagement", mode="simple")
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan  # t_ref rides a 1-row broadcast
+
+
+def test_sliding_distinct_dedupes_before_fanout(spark, sf_dir):
+    """The ×24 explode must consume the DISTINCT (hour, user) pairs —
+    an explode directly over events fans out k×24 per active user-hour."""
+    plan = plan_of(spark, sf_dir, "sliding_distinct_users", mode="simple")
+    assert "Generate explode" in plan or "Generate" in plan
+    # the aggregate beneath the explode is the pair-dedupe
+    gen_at = plan.index("Generate")
+    assert "HashAggregate" in plan[gen_at:]
+
+
+def test_url_canonicalize_is_scan_plus_one_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "url_canonicalize", mode="simple")
+    assert "Join" not in plan
+    assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_anomaly_mad_scan_never_shuffles(spark, sf_dir):
+    """Both percentile passes reduce to per-type rows that broadcast
+    back — the event scan itself must not hash-exchange."""
+    plan = plan_of(spark, sf_dir, "anomaly_mad", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning(event_id" not in plan
+
+
+def test_schema_evolution_merges_both_generations(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "schema_evolution_scan")
+    # merged read schema includes the evolved column
+    assert "quality:bigint" in plan.split("ReadSchema")[1].splitlines()[0]
