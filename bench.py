@@ -169,6 +169,8 @@ HEADLINE = [
     "lsh_quality_eval",
     "dup_cluster_histogram",
     "anomaly_mad",
+    "abc_analysis",
+    "funnel_weekly_trend",
 ]
 
 

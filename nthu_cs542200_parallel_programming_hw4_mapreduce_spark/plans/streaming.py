@@ -1507,3 +1507,130 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round("rscore", 6).alias("rscore"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+               / SUM(revenue) OVER () AS cum_share
+      FROM rev
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS klass,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) analysis: customers classified by cumulative revenue
+    share — A carries the first 80%, B to 95%, C the tail — the
+    concentration readout behind inventory policy and account tiering.
+
+    The cumulative share needs a TOTAL order over per-customer revenue.
+    That is a single-partition window, accepted here because the input
+    is DIMENSION-sized (revenue per customer — already aggregated from
+    the fact table with a partial-agg'd DECIMAL sum); the same pattern
+    over fact-scale data must use the two-phase range-bucket ranking
+    (``quantile_normalize``) — the distinction is documented, not
+    discovered at OOM time. Revenue sums accumulate in DECIMAL both
+    engines, so shares are bit-identical; the final classification is
+    a 3-row aggregate."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        (F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)).alias(
+            "cum_share"
+        ),
+    )
+    return (
+        ranked.select(
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("klass"),
+            "revenue",
+        )
+        .groupBy("klass")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias(
+                "revenue"
+            ),
+        )
+        .orderBy("klass")
+    )
+
+
+@query(
+    "funnel_weekly_trend",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS wk,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT wk,
+           CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS viewed,
+           CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND c > v) AS BIGINT)
+             AS clicked,
+           CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND c > v AND p > c)
+                AS BIGINT) AS purchased
+    FROM f GROUP BY wk ORDER BY wk
+    """,
+)
+def funnel_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-touch ordered funnel (``funnel_conversion``) as a
+    TIME SERIES: users cohorted by first-seen week, per-cohort counts
+    of view → click-after-view → purchase-after-click — how conversion
+    health trends as acquisition changes, the report a growth team
+    actually reads.
+
+    Same skew-immune shape as the parent: conditional MINs per user
+    (one partial-agg'd users-sized shuffle — ordering checks are
+    timestamp comparisons on the aggregate, never joins or windows),
+    then a weeks-sized rollup. Epoch-microsecond comparisons match the
+    engines exactly."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("wk"),
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    viewed = F.col("v").isNotNull()
+    clicked = viewed & (F.col("c") > F.col("v"))
+    purchased = clicked & (F.col("p") > F.col("c"))
+    return (
+        f.groupBy("wk")
+        .agg(
+            F.count(F.when(viewed, True)).cast("long").alias("viewed"),
+            F.count(F.when(clicked, True)).cast("long").alias("clicked"),
+            F.count(F.when(purchased, True)).cast("long").alias("purchased"),
+        )
+        .orderBy("wk")
+    )

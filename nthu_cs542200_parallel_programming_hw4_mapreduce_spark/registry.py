@@ -99,6 +99,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # tests/test_registry.py::test_round4_pool_is_exactly_the_never_checked_set.
 ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest",
+    "abc_analysis",
     "anomaly_mad",
     "anomaly_zscore",
     "arrow_map_batches",
@@ -117,6 +118,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "embedding_covariance",
     "encode_corpus",
     "funnel_conversion",
+    "funnel_weekly_trend",
     "fuzzy_name_match",
     "heavy_hitters",
     "hll_user_reach",
