@@ -171,6 +171,8 @@ HEADLINE = [
     "anomaly_mad",
     "abc_analysis",
     "funnel_weekly_trend",
+    "latency_percentile_bands",
+    "bounce_rate_daily",
 ]
 
 

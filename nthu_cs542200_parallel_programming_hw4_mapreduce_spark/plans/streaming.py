@@ -1634,3 +1634,105 @@ def funnel_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@query(
+    "latency_percentile_bands",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability percentile bands: p50/p90/p99 of the metric per
+    hour — the latency-dashboard rollup. Exact interpolated
+    percentiles per hour-key (group sizes are events-per-hour, well
+    inside a task's sort budget; the ``winsorized_stats`` idiom and
+    its documented percentile_approx swap apply beyond that). One
+    hour-keyed shuffle; percentiles round to 4 dp, where both engines'
+    interpolation agrees bit-wise on these inputs. For MERGEABLE
+    cross-shard percentiles at fleet scale the sketch path is the
+    answer (cf. ``hll_user_reach`` for the sketch posture)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("h")
+    )
+
+
+@query(
+    "bounce_rate_daily",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid, ts
+      FROM s
+    ), per AS (
+      SELECT user_id, sid, date_trunc('day', MIN(ts)) AS day,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS bounces,
+           round(COUNT(*) FILTER (WHERE n_events = 1) * 1.0 / COUNT(*), 6)
+             AS bounce_rate
+    FROM per GROUP BY day ORDER BY day
+    """,
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessions (30-minute inactivity gaps, the
+    ``event_session`` sessionizer) containing exactly one event, as a
+    share of the day's sessions — the engagement-health headline
+    metric.
+
+    Composition discipline: the gap-based sessionizer is reused
+    verbatim (lag → new-session flag → running sum, one user-keyed
+    exchange feeding both windows), then session-sized and day-sized
+    aggregates shrink monotonically. No join anywhere; the bounce
+    predicate is a COUNT filter on the session aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = s.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    bounces = F.count(F.when(F.col("n_events") == 1, True))
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("sessions"),
+            bounces.cast("long").alias("bounces"),
+            F.round(bounces / F.count("*"), 6).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

@@ -105,6 +105,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "arrow_map_batches",
     "arrow_udf_reverse",
     "attribution_last_touch",
+    "bounce_rate_daily",
     "bpe_first_merge",
     "bpe_merges",
     "collated_distinct",
@@ -126,6 +127,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "join_nullsafe_keys",
     "json_quarantine",
     "k_anonymity_suppress",
+    "latency_percentile_bands",
     "lateral_join_topn",
     "linreg_by_key",
     "lsh_quality_eval",
