@@ -173,6 +173,7 @@ HEADLINE = [
     "funnel_weekly_trend",
     "latency_percentile_bands",
     "bounce_rate_daily",
+    "readability_flesch",
 ]
 
 

@@ -1975,3 +1975,48 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canon_url")
     )
+
+
+@query(
+    "readability_flesch",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST({_DD_NTOKS} AS DOUBLE) AS words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS DOUBLE) AS syl
+      FROM documents
+    )
+    SELECT doc_id,
+           round(206.835 - 1.015 * words - 84.6 * (syl / words), 4)
+             AS flesch
+    FROM m WHERE words > 0 ORDER BY doc_id
+    """,
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable proxy,
+    one sentence per doc — the fixture has no terminators, so
+    words-per-sentence = words): the readability screen in a text
+    curation stack, next to ``quality_gopher``'s rule flags and
+    ``perplexity_unigram``'s LM score.
+
+    Pure codegen'd regexp/arithmetic — one scan, zero shuffles before
+    the output sort; the syllable proxy (maximal vowel runs) is the
+    standard dictionary-free approximation and is spelled as the same
+    regexp in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    words = X.token_count("text").cast("double")
+    syl = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * words - F.lit(84.6) * (syl / words),
+                4,
+            ).alias("flesch"),
+        )
+        .filter(words > 0)
+        .orderBy("doc_id")
+    )

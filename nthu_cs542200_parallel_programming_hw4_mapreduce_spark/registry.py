@@ -145,6 +145,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "python_stream_source",
     "quantile_normalize",
     "reachability_bfs",
+    "readability_flesch",
     "retention_cohorts",
     "scd2_history",
     "schema_evolution_scan",
