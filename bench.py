@@ -174,6 +174,7 @@ HEADLINE = [
     "latency_percentile_bands",
     "bounce_rate_daily",
     "readability_flesch",
+    "revenue_yoy_growth",
 ]
 
 

@@ -2947,3 +2947,61 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "revenue_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, CAST(yr AS BIGINT) AS yr, revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / nullif(lag(revenue) OVER w, 0), 6) AS yoy
+    FROM yearly
+    WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    ORDER BY n_name, yr
+    """,
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the BI staple that
+    exercises the star join (fact ⋈ customer ⋈ broadcast nation), a
+    DECIMAL yearly rollup, and a per-nation lag window in one plan.
+
+    Shape: the nation dim broadcasts (constant-size, the TPC-H rule),
+    the customer join keys on custkey, and the rollup partial-aggs to
+    |nations × years| rows BEFORE the window — so the lag pass sorts
+    a dimension-sized result, not the fact table. NULL yoy on each
+    nation's first year and nullif-guarded division, spelled
+    identically in both engines."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        F.col("yr").cast("long").alias("yr"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias(
+            "yoy"
+        ),
+    ).orderBy("n_name", "yr")

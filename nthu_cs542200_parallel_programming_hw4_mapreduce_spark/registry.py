@@ -147,6 +147,7 @@ ROUND4_ROTATION_POOL: tuple[str, ...] = (
     "reachability_bfs",
     "readability_flesch",
     "retention_cohorts",
+    "revenue_yoy_growth",
     "scd2_history",
     "schema_evolution_scan",
     "skew_report",
