@@ -46,3 +46,37 @@ def test_all_queries_return_dataframes(spark, sf_dir):
     for name, fn in E.queries().items():
         df = fn(spark, sf_dir)
         assert isinstance(df, DataFrame), name
+
+
+def test_window_queries_run_in_vanilla_session():
+    """The driver uses a PLAIN SparkSession, not session.get_spark() —
+    run entry() plus a cross-family sample of the correctness window in
+    one, from a cwd outside the repo (catches pickle-by-reference and
+    tuned-config dependencies; the full 50-query vanilla sweep runs
+    manually, see verify skill)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        import __spark_entry__ as E
+        assert E.entry(spark).count() >= 0
+        qs = E.queries()
+        for name in ["wordcount_e2e", "tpch_q12", "dedup_keep_best",
+                     "kmeans_assign", "streaming_hopping", "pq_encode"]:
+            assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
+        print("VANILLA_OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600, cwd="/tmp",
+    )
+    assert "VANILLA_OK" in out.stdout, out.stderr[-2000:]
