@@ -111,13 +111,20 @@ def compact_files(
     acc = 0
     for name, size in files:
         bin_idx = acc // target_bytes  # exclusive prefix sum → greedy bin
-        if bin_idx >= len(bins):
+        # a single input ≥ 2× target_bytes advances bin_idx by 2+ in one
+        # step, so grow the bin list to size, not by one
+        while bin_idx >= len(bins):
             bins.append([])
         bins[bin_idx].append(os.path.join(in_dir, name))
         acc += size
     os.makedirs(out_dir, exist_ok=True)
     paths: list[str] = []
     for i, group in enumerate(bins):
+        if not group:
+            # an oversized file consumed this bin's byte range entirely
+            # (bin id = floor(prefix/target) skips numbers, matching the
+            # compaction_bins planner's sparse ids) — nothing to write
+            continue
         staged = os.path.join(out_dir, f"_compact_staged_{i}")
         spark.read.parquet(*group).coalesce(1).write.mode("overwrite").parquet(staged)
         part = sorted(glob.glob(os.path.join(staged, "part-*.parquet")))

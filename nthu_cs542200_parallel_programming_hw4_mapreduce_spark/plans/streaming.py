@@ -1415,8 +1415,8 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT h.h, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS dau
     FROM hours h JOIN events e
-      ON e.ts > h.h + INTERVAL 1 HOUR - INTERVAL 24 HOUR
-     AND e.ts <= h.h + INTERVAL 1 HOUR
+      ON e.ts >= h.h - INTERVAL 23 HOUR
+     AND e.ts < h.h + INTERVAL 1 HOUR
     GROUP BY h.h ORDER BY h.h
     """,
 )
@@ -1432,10 +1432,16 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one partial-agg'd distinct per (hour, user). Shuffle volume
     is 24× events — linear, predictable — versus the naive
     hours×events range join the ORACLE runs (fine at oracle scale,
-    quadratic-ish at 100 TB). Events in the fixture's first 23 hours
-    contribute to truncated windows, matching the oracle's join
-    semantics exactly; production rollouts that want HLL instead of
-    exact swap in ``hll_user_reach``'s sketch per cell."""
+    quadratic-ish at 100 TB). Window convention is HALF-OPEN
+    HOUR-BUCKET on both engines: evaluation point h covers
+    [h−23h, h+1h) — its own bucket plus the previous 23 — so an event
+    landing exactly on an hour boundary belongs to its own bucket only
+    (ADVICE r3: the previous oracle used (h−23h, h+1h] microsecond
+    edges, which disagrees with bucket semantics precisely on boundary
+    timestamps). Events in the fixture's first 23 hours contribute to
+    truncated windows, matching the oracle's join semantics exactly;
+    production rollouts that want HLL instead of exact swap in
+    ``hll_user_reach``'s sketch per cell."""
     ev = table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", "ts")
     # dedupe (event-hour, user) BEFORE the fan-out: a user active k

@@ -1440,23 +1440,59 @@ _HH_CAND_PER_PART = 256  # per-partition candidate budget (Misra-Gries style)
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 most frequent tokens via the production two-phase
     sketch-prune: a per-partition Misra-Gries-style candidate pass
-    (bounded to 256 counters per partition) followed by an exact count
-    restricted to the surviving candidates.
+    (≤ 4×256 surviving counters per partition) followed by an exact
+    count restricted to the surviving candidates, WITH a verified
+    exactness guard.
 
     Why not just groupBy(token)? For WORDS the vocabulary is small and
     the plain aggregate (``ngram_freq``) is right. This operator is for
     the high-cardinality regime — URLs, hosts, shingles — where the
     full key space dwarfs memory but only the head matters: the sketch
-    pass keeps the shuffle at |candidates| ≤ 256 × partitions rows
+    pass bounds the shuffle at |candidates| ≤ 1024 × partitions rows
     regardless of key cardinality, and the exact phase touches only
-    tokens that broadcast-semi-join the candidate set. Misra-Gries
-    guarantees any key with partition frequency > n_p/256 survives its
-    partition, so the global top-k (frequency ≥ N/256 by definition of
-    being heavy) is always in the candidate union and the final top-k
-    is EXACT — which is what lets a DuckDB full-aggregate oracle check
-    a sketch-based plan. Two corpus scans total (candidates, verify);
-    the verify scan's aggregate partial-combines map-side.
+    tokens that broadcast-semi-join the candidate set.
+
+    Exactness is PROVEN per run, not assumed (ADVICE r3: the old
+    docstring claimed any global top-k token has frequency ≥ N/256,
+    which is false in flat/high-cardinality regimes). The sketch now
+    emits each partition's total decrement D_p alongside its surviving
+    counters; a token absent from the candidate union has true count
+    ≤ Σ_p D_p (it was decremented away in every partition). After the
+    exact candidate count, if the k-th candidate count > Σ D_p, no
+    missed token can displace the top-k → the result is exact and the
+    DuckDB full-aggregate oracle is valid. Otherwise (data genuinely
+    not heavy-hitter-shaped) the operator falls back to the exact full
+    aggregate — correct everywhere, sketch-priced only where the sketch
+    is sound. Two corpus scans on the sketch path (candidates, verify);
+    the candidate-count table is localCheckpoint-pinned (≤ 1024 ×
+    partitions rows) so the decision and the returned top-k share one
+    verify execution.
     """
+    toks, sketch, counted_lazy = _hh_sketch_and_verify(spark, sf_dir)
+    miss_bound = (
+        sketch.filter(F.col("tok").isNull()).agg(F.sum("miss_bound")).first()[0]
+        or 0
+    )
+    counted = counted_lazy.localCheckpoint()  # corpus scan 2 (verify);
+    # pinned so the exactness decision and the returned top-k don't re-scan
+    topk = counted.orderBy(F.desc("cnt"), "tok").limit(_HH_TOPK)
+    kth = topk.collect()  # bounded: ≤ k rows
+    if len(kth) == _HH_TOPK and kth[-1]["cnt"] > miss_bound:
+        return topk  # re-reads the checkpointed counts, not the corpus
+    # data is flat relative to the candidate budget — sketch exactness
+    # unprovable; take the exact full-aggregate path
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_HH_TOPK)
+    )
+
+
+def _hh_sketch_and_verify(spark: SparkSession, sf_dir: str):
+    """Builds the heavy-hitters sketch (checkpointed) and the LAZY
+    broadcast-semi-join verify plan — factored so plan-shape tests can
+    assert the verify scan's structure before it is checkpoint-pinned."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
 
@@ -1468,25 +1504,36 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         budget = _HH_CAND_PER_PART
         counts: Counter = Counter()
+        decremented = 0  # D_p: upper bound on any evicted token's count
         for pdf in batches:
             counts.update(pdf["tok"])
             if len(counts) > 4 * budget:
                 # Misra-Gries decrement step, amortized: subtract the
                 # budget-th largest count from everyone and drop ≤ 0
                 floor = counts.most_common(budget)[-1][1]
+                decremented += floor
                 counts = Counter(
                     {t: c - floor for t, c in counts.items() if c > floor}
                 )
-        yield pd.DataFrame({"tok": [t for t, _ in counts.most_common(budget)]})
+        # ALL survivors (≤ 4×budget: a decrement leaves < budget), plus
+        # one sentinel row carrying the partition's miss bound
+        yield pd.DataFrame(
+            {
+                "tok": [*counts.keys(), None],
+                "miss_bound": [*([0] * len(counts)), decremented],
+            }
+        )
 
-    cands = toks.mapInPandas(mg_candidates, "tok string").distinct()
-    return (
+    sketch = toks.mapInPandas(
+        mg_candidates, "tok string, miss_bound long"
+    ).localCheckpoint()  # corpus scan 1; result is ≤ (1024+1)×partitions rows
+    cands = sketch.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    counted_lazy = (
         toks.join(F.broadcast(cands), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok")
-        .limit(_HH_TOPK)
     )
+    return toks, sketch, counted_lazy
 
 
 _BPE_ROUNDS = 5
@@ -1906,12 +1953,12 @@ def arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                '^www\\.', '')
              || CASE WHEN array_to_string(
                        list_sort(list_filter(string_split(qs, '&'),
-                                 p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%')),
+                                 p -> NOT starts_with(p, 'utm_') AND p NOT LIKE 'ref=%')),
                        '&') = ''
                      THEN ''
                      ELSE '?' || array_to_string(
                        list_sort(list_filter(string_split(qs, '&'),
-                                 p -> p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%')),
+                                 p -> NOT starts_with(p, 'utm_') AND p NOT LIKE 'ref=%')),
                        '&') END AS canon_url
       FROM canon
     )
@@ -1934,7 +1981,10 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses occur (50 docs per source share a canonical URL). Every
     step is codegen'd string/array ops spelled identically in both
     engines; one partial-agg'd shuffle on the canonical key, same
-    shape as ``dedup_exact``."""
+    shape as ``dedup_exact``. The tracking-param test is a LITERAL
+    ``utm_`` prefix on both engines (oracle uses starts_with — ADVICE
+    r3: ``NOT LIKE 'utm_%'`` treats ``_`` as a wildcard and would also
+    drop e.g. ``utmx=…``)."""
     docs = table(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.com:443/docs/"),

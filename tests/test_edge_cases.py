@@ -225,6 +225,48 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         assert qs[name](spark, d).count() == expected_rows.get(name, 0), name
 
 
+def test_sliding_distinct_users_hour_boundary_event(spark, tmp_path_factory):
+    """An event landing EXACTLY on an hour boundary must agree between
+    the Spark hour-bucket explode and the DuckDB oracle (ADVICE r3: the
+    old oracle's (h−23h, h+1h] microsecond edges disagreed with bucket
+    semantics precisely there; both now use half-open [h−23h, h+1h))."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("boundary"))
+    rows = [
+        # boundary-aligned event: belongs to its own bucket only
+        (1, "2024-01-01 05:00:00.000000", 10, "view", 1.0, "{}"),
+        # mid-hour events 23h and 24h later: probe both window edges
+        (2, "2024-01-02 04:30:00.000000", 11, "view", 1.0, "{}"),
+        (3, "2024-01-02 05:30:00.000000", 12, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        f"{d}/events.parquet"
+    )
+
+    sdf = E.queries()["sliding_distinct_users"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    ddf = con.execute(E.oracle_sql()["sliding_distinct_users"]).df()
+    assert not compare("sliding_distinct_users", sdf, ddf)
+    # hand-check the bucket convention: the boundary event (day1 05:00)
+    # occupies bucket day1-05 → last window it can reach is h=day2 04:00
+    # ([h-23h, h+1h) with h-23h = day1 05:00 INCLUSIVE); the old oracle's
+    # strict > trailing edge dropped it exactly there
+    by_hour = {str(r.h): r.dau for r in sdf.itertuples()}
+    assert by_hour["2024-01-01 05:00:00"] == 1  # its own hour
+    assert by_hour["2024-01-02 04:00:00"] == 2  # boundary user + user 11
+    assert by_hour["2024-01-02 05:00:00"] == 2  # boundary user aged out
+
+
 def test_results_deterministic_under_task_retry(tmp_path):
     """Inject a one-time task failure into a scan→shuffle pipeline and
     assert the retried run produces the exact non-injected result —

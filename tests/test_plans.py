@@ -524,11 +524,30 @@ def test_table_profile_prunes_each_column_scan(spark, sf_dir):
 
 def test_heavy_hitters_semi_joins_broadcast_candidates(spark, sf_dir):
     """The verify scan must filter tokens by a BROADCAST semi-join on
-    the sketch candidates, then TakeOrdered — never a full-vocab sort."""
+    the sketch candidates (asserted on the lazy pre-checkpoint plan),
+    and the returned top-k must be a TakeOrdered over the pinned
+    candidate counts — never a full-vocab sort or corpus re-scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        _hh_sketch_and_verify,
+    )
+
+    _, _, counted_lazy = _hh_sketch_and_verify(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        counted_lazy.explain("simple")
+    verify_plan = buf.getvalue()
+    assert "LeftSemi" in verify_plan and "Broadcast" in verify_plan
+    # the candidate side is the checkpointed sketch, not a corpus re-scan
+    assert "ExistingRDD" in verify_plan or "LocalTableScan" in verify_plan
+
     plan = plan_of(spark, sf_dir, "heavy_hitters", mode="simple")
-    assert "LeftSemi" in plan and "Broadcast" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "MapInPandas" in plan  # the sketch pass
+    # final top-k reads the pinned candidate counts (bounded), no corpus scan
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
 
 
 def test_attribution_single_window_sweep_no_join(spark, sf_dir):

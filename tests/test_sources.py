@@ -201,3 +201,35 @@ def test_compact_files_executes_the_bin_plan(spark, tmp_path):
     total = spark.read.parquet(*paths).count()
     assert total == 60
     assert spark.read.parquet(paths[0]).count() == 20  # two files' rows per bin
+
+
+def test_compact_files_oversized_input_skips_bins(spark, tmp_path):
+    """One input ≥ 2× target jumps the greedy bin index by 2+ — the
+    executor must grow the bin list to size (ADVICE r3: `if` grew it by
+    one and raised IndexError) and skip the empty bins it leaves behind,
+    keeping the planner's sparse bin ids in the output names."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.sinks import (
+        compact_files,
+    )
+    import glob as g
+    import os
+
+    src = str(tmp_path / "mixed")
+    os.makedirs(src, exist_ok=True)
+    # file_0: 3000 rows (big), file_1: 10 rows (small)
+    for i, rng in enumerate([(0, 3000), (3000, 3010)]):
+        spark.range(*rng).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/tmp_{i}"
+        )
+        f = g.glob(f"{src}/tmp_{i}/part-*.parquet")[0]
+        os.replace(f, f"{src}/file_{i}.parquet")
+
+    big = os.path.getsize(f"{src}/file_0.parquet")
+    target = big // 2  # big file spans ≥ 2 bins → next bin_idx jumps ≥ 2
+    out = str(tmp_path / "compacted_mixed")
+    paths = compact_files(spark, src, out, target_bytes=target)
+    # two non-empty bins: bin 0 (big file), bin ≥2 (small file); no crash
+    assert len(paths) == 2
+    assert paths[0].endswith("compact-00000.parquet")
+    assert int(paths[1].split("compact-")[1].split(".")[0]) >= 2
+    assert spark.read.parquet(*paths).count() == 3010

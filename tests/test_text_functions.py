@@ -283,6 +283,30 @@ def test_heavy_hitters_exact_under_candidate_pruning(spark, tmp_path_factory):
     assert got == exact[:10]
 
 
+def test_heavy_hitters_flat_regime_falls_back_exact(spark, tmp_path_factory):
+    """Flat distribution (no token clears the sketch's miss bound): the
+    exactness guard must detect the unprovable case and fall back to
+    the full aggregate — still returning the exact top-10 (ADVICE r3:
+    the sketch alone can silently miss top-k tokens here)."""
+    from collections import Counter
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import heavy_hitters
+
+    # 6000 distinct words, every count in {1, 2}: far above the 4×256
+    # candidate budget per partition, no heavy head at all
+    words = [f"flat{i}" for i in range(6000)] + [f"flat{i}" for i in range(0, 6000, 2)]
+    text = " ".join(words)
+    rows = [(0, text, "en", "s", len(text))]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("hh_flat"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    exact = Counter(words).most_common()
+    exact.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["tok"], r["cnt"]) for r in heavy_hitters(spark, d).collect()]
+    assert got == exact[:10]
+
+
 def test_dictionary_encode_ids_are_global_sort_ranks(spark, tmp_path_factory):
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
         dictionary_encode,
