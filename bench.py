@@ -177,6 +177,14 @@ HEADLINE = [
     "revenue_yoy_growth",
 ]
 
+# Cross-round anchor: the r1/r2-era headline set (first 30 entries of
+# HEADLINE, stable since round 2). Only THESE per-query times go on the
+# one printed JSON line — the driver's tail capture holds ~2 KB and the
+# full 113-entry map overflowed it in round 3 (`"parsed": null`,
+# VERDICT r3 "What's wrong" #2). The full per-query map is written to
+# bench_full.json instead.
+BENCH_CORE = HEADLINE[:30]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,15 +213,31 @@ def main() -> None:
         for name in HEADLINE:
             run(name)
     timings = {name: round(run(name), 3) for name in HEADLINE}
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # ONE compact line for the driver's ~2 KB tail capture: total over
+    # all headline queries + the pinned 30-query cross-round core map
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: timings[n] for n in BENCH_CORE},
+                "core_total": round(sum(timings[n] for n in BENCH_CORE), 3),
+                "n_queries": len(timings),
+                "full_map": "bench_full.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -60,113 +60,77 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- always-on regression core: §2.1 O1-O11 + flagship + q12 proof
     "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
     "partition_expr", "sort_asc", "sort_desc", "agg_count", "tpch_q12",
-    # --- round-3 rotation: never driver-checked before this round ---
-    # TPC-H tail
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    # core/stats/scalar tail
-    "exact_distinct_agg", "stats_agg", "scalar_json", "join_skew_salted",
-    # text / corpus hygiene tail
-    "shingle_fingerprints", "ngram_freq", "text_normalize",
-    "corpus_report", "quality_deciles", "decontaminate_bloom",
-    "pandas_udaf_mean",
-    # dedup tail
-    "dedup_simhash_pairs", "dedup_minhash_mllib", "dedup_keep_best",
-    "dedup_containment",
-    # similarity / iterative tail (kmeans_assign is the new oracle-backed
-    # companion that gives the Lloyd loop a SQL-checkable foothold)
-    "embedding_stats", "kmeans_assign", "kmeans_lloyd",
-    # multimodal / temporal / streaming tail
-    "multimodal_framesample", "asof_cogroup_pandas",
-    "streaming_dedup", "streaming_incremental_dedup",
-    "event_hopping_window", "streaming_hopping",
-    # --- new this round: oracle-backed on arrival, checked immediately ---
-    "substring_dup_rate", "dedup_semdedup", "quality_gopher",
-    "perplexity_unigram", "mixture_sample_temperature",
-    # (third batch — these took the four once-checked family-
-    # representative slots, per window policy rule 3 > rule 4;
-    # anomaly_zscore waits for round 4, the window is full)
-    "bm25_topk", "dsir_importance", "contamination_overlap", "pq_encode",
+    # --- round-4 rotation: first 41 of the 70-query never-checked pool
+    # (VERDICT r3 "Next round" #1), prioritizing the families with zero
+    # driver rows ever; every slot is oracle-backed ---
+    # maintenance / CDC / table ops
+    "snapshot_diff", "merge_upsert", "scd2_history", "incremental_rollup",
+    "compaction_bins", "data_expectations", "k_anonymity_suppress",
+    "table_profile", "delta_scan", "delta_time_travel",
+    # graph kernels
+    "pagerank_events", "triangle_count", "reachability_bfs",
+    # streaming joins / top-k / bounded-state dedup (VERDICT r3 #5:
+    # streaming_dedup_watermarked before the unbounded cousins)
+    "streaming_stream_join", "streaming_static_join", "streaming_topk",
+    "streaming_dedup_watermarked", "sliding_distinct_users",
+    # Spark-4 feature surface
+    "variant_shred", "python_datasource_scan", "collated_distinct",
+    "xml_ingest",
+    # r3-ADVICE/VERDICT fix proofs: single-action LSH audit, literal
+    # utm_ prefix oracle, verified-exactness sketch
+    "lsh_quality_eval", "url_canonicalize", "heavy_hitters",
+    # stats / anomalies (anomaly_zscore was explicitly deferred from r3)
+    "anomaly_zscore",
+    # windows / dedup / multimodal tail
+    "window_range_frame", "multimodal_dedup", "paragraph_dedup",
+    "dup_cluster_histogram",
+    # tokenizer-training + similarity oracle footholds
+    "dictionary_encode", "bpe_first_merge", "embedding_covariance",
+    # retrieval eval
+    "ndcg_at_10",
+    # event analytics
+    "retention_cohorts", "funnel_conversion", "attribution_last_touch",
+    "markov_transitions",
+    # ingest robustness + SQL surface
+    "json_quarantine", "sql_udf_scoring", "lateral_join_topn",
 )
 
 
 
-# Round-4 rotation pool: every declared query that has NEVER received a
-# driver CORRECTNESS row (not in CORRECTNESS_r01/r02 and not holding a
-# round-3 window slot). Round 4 should swap these into DRIVER_WINDOW
-# (41 rotating slots per round → two rounds clears the pool), keeping
-# the always-on regression core. Pinned against drift by
-# tests/test_registry.py::test_round4_pool_is_exactly_the_never_checked_set.
-ROUND4_ROTATION_POOL: tuple[str, ...] = (
+# Round-5 rotation pool: every declared query that STILL has no driver
+# CORRECTNESS row after rounds 1-4 (not in CORRECTNESS_r01/r02/r03 and
+# not holding a round-4 window slot). Round 5 swaps these 29 in,
+# clearing the never-checked set entirely. Pinned against drift by
+# tests/test_registry.py::test_round5_pool_is_exactly_the_never_checked_set.
+ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest",
     "abc_analysis",
     "anomaly_mad",
-    "anomaly_zscore",
     "arrow_map_batches",
     "arrow_udf_reverse",
-    "attribution_last_touch",
     "bounce_rate_daily",
-    "bpe_first_merge",
     "bpe_merges",
-    "collated_distinct",
-    "compaction_bins",
-    "data_expectations",
     "decayed_engagement",
-    "delta_scan",
-    "delta_time_travel",
-    "dictionary_encode",
-    "dup_cluster_histogram",
-    "embedding_covariance",
     "encode_corpus",
-    "funnel_conversion",
     "funnel_weekly_trend",
     "fuzzy_name_match",
-    "heavy_hitters",
     "hll_user_reach",
-    "incremental_rollup",
     "join_nullsafe_keys",
-    "json_quarantine",
-    "k_anonymity_suppress",
     "latency_percentile_bands",
-    "lateral_join_topn",
     "linreg_by_key",
-    "lsh_quality_eval",
-    "markov_transitions",
-    "merge_upsert",
-    "multimodal_dedup",
-    "ndcg_at_10",
     "null_semantics",
-    "pagerank_events",
-    "paragraph_dedup",
     "pca_project",
     "pit_state_at_event",
     "pmi_collocations",
-    "python_datasource_scan",
     "python_stream_source",
     "quantile_normalize",
-    "reachability_bfs",
     "readability_flesch",
-    "retention_cohorts",
     "revenue_yoy_growth",
-    "scd2_history",
     "schema_evolution_scan",
     "skew_report",
-    "sliding_distinct_users",
-    "snapshot_diff",
     "sql_parameterized",
-    "sql_udf_scoring",
-    "streaming_dedup_watermarked",
-    "streaming_static_join",
-    "streaming_stream_join",
-    "streaming_topk",
-    "table_profile",
-    "triangle_count",
     "udtf_analyze_split",
-    "url_canonicalize",
-    "variant_shred",
-    "window_range_frame",
     "winsorized_stats",
-    "xml_ingest",
     "zorder_layout",
 )
 

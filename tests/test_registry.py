@@ -27,40 +27,53 @@ def test_window_is_first_50():
 
 def test_window_covers_rotation_targets():
     window = set(registry.DRIVER_WINDOW)
-    # Round-3 rotation (VERDICT r2 "Next round" §1): the always-on
-    # regression core plus every query never driver-checked in r1/r2.
+    # Round-4 rotation (VERDICT r3 "Next round" #1): the always-on
+    # regression core, the priority families that have zero driver rows
+    # ever, and the r3 fix-proof queries.
     core = {
         "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
         "partition_expr", "sort_asc", "sort_desc", "agg_count",
         # round-1 regression proof
         "tpch_q12",
     }
-    never_checked = {
-        "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
-        "tpch_q20", "tpch_q21", "tpch_q22",
-        "exact_distinct_agg", "stats_agg", "scalar_json",
-        "join_skew_salted", "shingle_fingerprints", "ngram_freq",
-        "text_normalize", "corpus_report", "quality_deciles",
-        "decontaminate_bloom", "pandas_udaf_mean", "dedup_simhash_pairs",
-        "dedup_minhash_mllib", "dedup_keep_best", "dedup_containment",
-        "embedding_stats", "kmeans_assign", "kmeans_lloyd",
-        "multimodal_framesample", "asof_cogroup_pandas", "streaming_dedup",
-        "streaming_incremental_dedup", "event_hopping_window",
-        "streaming_hopping",
+    priority = {
+        # maintenance / CDC
+        "snapshot_diff", "merge_upsert", "scd2_history",
+        # graph
+        "pagerank_events", "triangle_count", "reachability_bfs",
+        # streaming joins + bounded-state dedup (VERDICT r3 #5)
+        "streaming_stream_join", "streaming_static_join", "streaming_topk",
+        "streaming_dedup_watermarked",
+        # Spark-4 surface
+        "variant_shred", "python_datasource_scan", "collated_distinct",
+        "xml_ingest",
+        # r3 fix proofs
+        "lsh_quality_eval", "url_canonicalize", "heavy_hitters",
+        "sliding_distinct_users", "compaction_bins",
+        # explicitly deferred from r3
+        "anomaly_zscore",
     }
-    must = core | never_checked
+    must = core | priority
     assert must <= window, f"missing from driver window: {must - window}"
+    # every non-core slot comes from the never-checked pool — no slot is
+    # wasted re-checking an already-green query
+    rotation = window - core
+    assert len(rotation) == 41
+    import json
+
+    checked = set()
+    for rnd in ("r01", "r02", "r03"):
+        checked |= set(json.load(open(REPO / f"CORRECTNESS_{rnd}.json")))
+    assert not (rotation & checked), rotation & checked
 
 
 def test_window_mostly_oracle_backed():
     oracles = registry.all_oracles()
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
-    # rows-only slots are spent ONLY on genuinely non-SQL-expressible ops
-    assert set(rows_only) <= {
-        "pandas_udaf_mean", "dedup_simhash_pairs", "dedup_minhash_mllib",
-        "kmeans_lloyd", "multimodal_framesample", "asof_cogroup_pandas",
-        "streaming_dedup", "streaming_incremental_dedup",
-    }, f"unexpected rows-only in window: {rows_only}"
+    # round 4: every window slot is oracle-backed (the pool's three
+    # rows-only queries — bpe_merges, hll_user_reach, pca_project —
+    # rotate in round 5)
+    assert rows_only == [], f"unexpected rows-only in window: {rows_only}"
 
 
 def test_doc_counts_match_registry():
@@ -76,14 +89,15 @@ def test_doc_counts_match_registry():
         )
 
 
-def test_round4_pool_is_exactly_the_never_checked_set():
+def test_round5_pool_is_exactly_the_never_checked_set():
     """The documented rotation pool must equal the recomputed set of
     queries with no driver CORRECTNESS row in any prior round and no
     current window slot — so the pool cannot silently rot as queries
     are added."""
     import json
 
-    r1 = set(json.load(open(REPO / "CORRECTNESS_r01.json")))
-    r2 = set(json.load(open(REPO / "CORRECTNESS_r02.json")))
-    never = set(registry.all_queries()) - r1 - r2 - set(registry.DRIVER_WINDOW)
-    assert set(registry.ROUND4_ROTATION_POOL) == never
+    checked = set()
+    for rnd in ("r01", "r02", "r03"):
+        checked |= set(json.load(open(REPO / f"CORRECTNESS_{rnd}.json")))
+    never = set(registry.all_queries()) - checked - set(registry.DRIVER_WINDOW)
+    assert set(registry.ROUND5_ROTATION_POOL) == never
