@@ -175,6 +175,16 @@ HEADLINE = [
     "bounce_rate_daily",
     "readability_flesch",
     "revenue_yoy_growth",
+    # r4 additions (batch 33): drift monitoring, sequence mining,
+    # profiling, privacy, sparse lexical similarity
+    "drift_ks_test",
+    "time_weighted_avg",
+    "session_paths_topk",
+    "value_histogram",
+    "entropy_profile",
+    "chi2_independence",
+    "l_diversity_check",
+    "tfidf_cosine_pairs",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

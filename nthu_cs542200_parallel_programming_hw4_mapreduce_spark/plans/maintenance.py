@@ -690,3 +690,199 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# entropy_profile — information-content profile of categorical columns
+# --------------------------------------------------------------------------
+
+_ENTROPY_COLS = (
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+@query(
+    "entropy_profile",
+    oracle="""
+    WITH u AS (
+      SELECT 'events.event_type' AS column_name, event_type AS v FROM events
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+      UNION ALL
+      SELECT 'documents.source', source FROM documents
+    ), c AS (
+      SELECT column_name, v, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM u GROUP BY column_name, v
+    ), p AS (
+      SELECT column_name, cnt,
+             cnt / SUM(cnt) OVER (PARTITION BY column_name) AS pr
+      FROM c
+    )
+    SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(-SUM(pr * log2(pr)), 6) AS entropy_bits,
+           round(MAX(cnt) / SUM(cnt), 6) AS top_share
+    FROM p GROUP BY column_name ORDER BY column_name
+    """,
+)
+def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits), distinct count, and majority share for
+    the pipeline's categorical axes — the information-content profile
+    that tells a data curator whether a column is worth stratifying on
+    (near-zero entropy ⇒ degenerate; near-log2(k) ⇒ uniform) and flags
+    drift when re-profiled per snapshot (pairs with ``drift_ks_test``
+    on the numeric side).
+
+    Per column: one value-keyed partial-agg'd count (vocab-sized
+    shuffle), then an entropy aggregate over the tiny count table.
+    Columns profile independently and union — each scan prunes to its
+    single column, same discipline as ``table_profile``. Probabilities
+    are exact count ratios, so 6-dp rounding is engine-stable."""
+    frames = []
+    for tbl, col in _ENTROPY_COLS:
+        c = (
+            table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count("*").cast("double").alias("cnt"))
+            .withColumn("column_name", F.lit(f"{tbl}.{col}"))
+        )
+        frames.append(c)
+    counts = frames[0]
+    for f in frames[1:]:
+        counts = counts.unionByName(f)
+    t = Window.partitionBy("column_name")
+    p = F.col("cnt") / F.sum("cnt").over(t)
+    shaped = counts.select(
+        "column_name",
+        "cnt",
+        (-(p * F.log2(p))).alias("term"),
+    )
+    return (
+        shaped.groupBy("column_name")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+            F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+        )
+        .orderBy("column_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# chi2_independence — categorical association audit (lang × source)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ), m AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS row_t,
+             SUM(o) OVER (PARTITION BY source) AS col_t,
+             SUM(o) OVER () AS n
+      FROM obs
+    ), agg AS (
+      SELECT round(SUM((o - row_t * col_t / n) * (o - row_t * col_t / n)
+                       / (row_t * col_t / n)), 6) AS chi2,
+             MAX(n) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+      FROM m
+    )
+    SELECT chi2, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           round(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM agg
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence audit of lang × source (plus
+    Cramér's V effect size): is the corpus's language mix uniform
+    across sources, or do some sources skew? — the stratification
+    sanity check run before per-source sampling quotas
+    (``mixture_sample_temperature``) are trusted.
+
+    The contingency table is |langs × sources| cells — dimension-sized
+    — built by one partial-agg'd groupBy over the corpus; margins come
+    from windows OVER that tiny table (never a second corpus scan), and
+    the statistic is a one-row aggregate. Expected counts are spelled
+    as the same expression in both engines; only cells with observed
+    rows contribute (zero-observation cells have o=0 ⇒ contribution
+    (row·col/n)… excluded identically in both engines because neither
+    materializes empty cells — documented convention)."""
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    m = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_t") * F.col("col_t") / F.col("n")
+    agg = m.agg(
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6).alias("chi2"),
+        F.max("n").alias("n"),
+        F.count_distinct("lang").cast("long").alias("r"),
+        F.count_distinct("source").cast("long").alias("c"),
+    )
+    return agg.select(
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# l_diversity_check — sensitive-attribute diversity behind k-anonymity
+# --------------------------------------------------------------------------
+
+_L_DIV = 3
+
+
+@query(
+    "l_diversity_check",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS sensitive_values,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < {_L_DIV}
+             AS violates_l
+    FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) over the same quasi-identifier grouping
+    as ``k_anonymity_suppress``: a group can be k-anonymous yet leak
+    the sensitive attribute if every member shares one value —
+    l-diversity requires ≥ l distinct sensitive values (account-balance
+    bands of 1000) per (nation, segment) group before publishing.
+
+    One partial-agg'd groupBy with a distinct-count — the band cast
+    happens scan-side so the distinct agg dedups small integers, and
+    the group count is quasi-id-cardinality-sized. Pairs with the
+    k-anonymity gate: suppress when EITHER size < k OR diversity < l."""
+    cust = table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.count_distinct(band).cast("long").alias("sensitive_values"),
+            (F.count_distinct(band) < _L_DIV).alias("violates_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -1742,3 +1742,287 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# drift_ks_test — two-sample distribution-drift monitor
+# --------------------------------------------------------------------------
+
+_KS_SPLIT = "2024-01-16"  # first half vs second half of the fixture month
+
+
+@query(
+    "drift_ks_test",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS is_a
+      FROM events
+    ), vals AS (
+      SELECT event_type, value,
+             CAST(SUM(is_a) AS DOUBLE) AS ca,
+             CAST(SUM(1 - is_a) AS DOUBLE) AS cb
+      FROM pts GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+             SUM(ca) OVER t AS n_a,  SUM(cb) OVER t AS n_b
+      FROM vals
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING),
+             t AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           round(MAX(abs(cum_a / n_a - cum_b / n_b)), 6) AS ks_stat,
+           CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+)
+def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type between
+    the first and second half of the event stream — the distribution-
+    drift monitor a training-data pipeline runs before trusting a new
+    snapshot (feature drift ⇒ re-validate before training).
+
+    Exact D = max_x |F_a(x) − F_b(x)| without any pairwise work: counts
+    pre-aggregate per (type, value) — tie-correct by construction —
+    then ONE ordered cumulative window per type turns counts into both
+    empirical CDFs simultaneously, and a max-aggregate takes D. One
+    shuffle on event_type + a per-type sort; at 100 TB the sort is the
+    cost, and the documented degrade is value-quantization (bucket the
+    support) which bounds rows per type at the bucket count while
+    keeping D exact on the quantized CDFs. Cumulative fractions are
+    exact count ratios — both engines divide the same integers, so
+    6-dp rounding is stable."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    is_a = (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("int")
+    vals = (
+        ev.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("is_a").cast("double").alias("ca"),
+            F.sum(1 - F.col("is_a")).cast("double").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(t).alias("n_a"),
+        F.sum("cb").over(t).alias("n_b"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))),
+                6,
+            ).alias("ks_stat"),
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# time_weighted_avg — TWAP per user (holding-period weighting)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) / 1000000.0 AS dt
+      FROM events
+    )
+    SELECT user_id,
+           round(SUM(value * dt) / SUM(dt), 6) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_weighted
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation weighted
+    by its holding period (seconds until the user's next event; the
+    final open-ended observation carries no weight) — the metrics/
+    finance convention that makes irregularly-sampled series
+    comparable, where a plain mean over-counts burst periods.
+
+    One user-keyed exchange feeds a single LEAD window; weights are
+    exact microsecond deltas scaled to seconds identically in both
+    engines (micros arithmetic first, ONE division last). The weighted
+    aggregate partial-combines, so fact-scale input shrinks to
+    user-sized output at the map side — the scale posture of every
+    per-key sweep in this family."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        ((F.lead(us).over(w) - us) / 1_000_000.0).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twap"),
+            F.count("*").cast("long").alias("n_weighted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# session_paths_topk — dominant 3-step behavior sequences
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_paths_topk",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), paths AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER p
+                        || '>' || lead(event_type, 2) OVER p AS path
+      FROM sess
+      WINDOW p AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM paths WHERE path IS NOT NULL
+    GROUP BY path ORDER BY cnt DESC, path LIMIT 10
+    """,
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths within 30-minute-gap sessions
+    — the behavioral-sequence mining readout (which flows dominate)
+    that feeds funnel design and next-event models.
+
+    Reuses the ``bounce_rate_daily`` sessionizer verbatim (lag →
+    new-session flag → running sum; one user-keyed exchange), then two
+    LEAD windows over (user, session) — which reuse the SAME sort — and
+    a paths-cardinality groupBy (≤ |types|³ keys) into TakeOrdered-10.
+    Deterministic under concurrent timestamps: every window orders by
+    (ts, event_id). Nothing in the plan is corpus-sized after the
+    first exchange."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = s.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    p = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(p),
+            F.lead("event_type", 2).over(p),
+        ).alias("path"),
+        F.lead("event_type", 2).over(p).alias("_third"),
+    ).filter(F.col("_third").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# value_histogram — fixed-width distribution summary per event type
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+    WITH ext AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(LEAST(CAST(floor((value - vmin) / ((vmax - vmin) / {_HIST_BINS}.0))
+                           AS BIGINT), {_HIST_BINS - 1}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN ext USING (event_type)
+    WHERE vmax > vmin
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of ``value`` per event type — the
+    distribution summary every profiling/monitoring dashboard draws,
+    and the quantized support that ``drift_ks_test``'s documented
+    100 TB degrade buckets onto.
+
+    Two scans: a tiny per-type extent aggregate BROADCAST back onto the
+    event scan (the ``anomaly_zscore`` idiom — the big side is never
+    shuffled for the join), then one partial-agg'd groupBy over at most
+    |types| × 20 keys. The bin formula is spelled identically in both
+    engines (subtract, divide by precomputed width, floor, clamp the
+    vmax edge into the last bin), so bins match exactly; degenerate
+    all-equal types drop out via the vmax > vmin guard rather than
+    dividing by zero."""
+    ev = table(spark, sf_dir, "events")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = (
+        ev.join(F.broadcast(ext), "event_type")
+        .filter(F.col("vmax") > F.col("vmin"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / float(_HIST_BINS))
+                ).cast("long"),
+                F.lit(_HIST_BINS - 1).cast("long"),
+            ).alias("bin"),
+        )
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("event_type", "bin")
+    )

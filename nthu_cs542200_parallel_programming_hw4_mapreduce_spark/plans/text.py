@@ -2070,3 +2070,105 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(words > 0)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# tfidf_cosine_pairs — sparse lexical similarity without embeddings
+# --------------------------------------------------------------------------
+
+_TCP_TOPK = 20
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_DD_TOKS}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    df AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    post AS (
+      SELECT tf.doc_id, tf.t, tf.tf * ln(n.n * 1.0 / df.df) AS w
+      FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+      WHERE df.df >= 2 AND df.df * 10 <= n.n
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM post GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.w * b.w) AS dot
+      FROM post a JOIN post b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON dots.a_id = na.doc_id
+              JOIN norms nb ON dots.b_id = nb.doc_id
+    ORDER BY cosine DESC, a_id, b_id LIMIT {_TCP_TOPK}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most lexically similar document pairs by SPARSE tf-idf
+    cosine — similarity without embeddings, the inverted-index
+    complement to ``dedup_embedding_cosine`` (catches template/
+    boilerplate similarity that dense vectors smooth over, and runs on
+    corpora that have no embedding column at all).
+
+    The pair generation is the classic posting-list self-join: only
+    documents SHARING a discriminative token ever meet, so compare
+    volume is Σ_t df(t)² over the capped vocabulary — never all pairs.
+    The cap is integer-exact in both engines (2 ≤ df, df·10 ≤ N): stop
+    words fall out (df > N/10 carries no signal and would otherwise
+    dominate pair volume quadratically), hapaxes can't pair. Postings
+    are localCheckpoint-pinned before the self-join — the repo's
+    standard fix for self-joins re-running the producing pipeline on
+    both sides. Norms are computed over the same capped vocabulary
+    (documented convention, spelled identically in the oracle); the
+    ranking orders by the ROUNDED cosine with (a_id, b_id) tie-breaks,
+    so both engines sort identical keys. At 100 TB the df cap is the
+    knob: tightening it to N/100 bounds postings harder, and the
+    LSH/MinHash family takes over when even capped Σ df² explodes."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar: one metadata-cheap count,
+    # reused as an exact integer literal in the df cap (same as oracle's N)
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    post = (
+        tf.join(df.filter((F.col("df") >= 2) & (F.col("df") * 10 <= n_docs)), "t")
+        .select(
+            "doc_id",
+            "t",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint()  # pin: the self-join below would otherwise
+        # re-run the tokenize+tf+df pipeline on both sides
+    )
+    norms = post.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = post.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
+    b = post.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "a_id", "b_id")
+        .limit(_TCP_TOPK)
+    )

@@ -99,8 +99,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 # Round-5 rotation pool: every declared query that STILL has no driver
 # CORRECTNESS row after rounds 1-4 (not in CORRECTNESS_r01/r02/r03 and
-# not holding a round-4 window slot). Round 5 swaps these 29 in,
-# clearing the never-checked set entirely. Pinned against drift by
+# not holding a round-4 window slot) — the 29 never-checked leftovers
+# plus the 8 batch-33 queries NEW in round 4 (the round-4 window was
+# fully allocated to the never-checked backlog, so new arrivals wait
+# one round). Round 5 swaps all 37 in, clearing the never-checked set
+# entirely (9 core + 37 pool + 4 spare slots). Pinned against drift by
 # tests/test_registry.py::test_round5_pool_is_exactly_the_never_checked_set.
 ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest",
@@ -110,6 +113,14 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "arrow_udf_reverse",
     "bounce_rate_daily",
     "bpe_merges",
+    "chi2_independence",
+    "drift_ks_test",
+    "entropy_profile",
+    "l_diversity_check",
+    "session_paths_topk",
+    "tfidf_cosine_pairs",
+    "time_weighted_avg",
+    "value_histogram",
     "decayed_engagement",
     "encode_corpus",
     "funnel_weekly_trend",

@@ -57,7 +57,7 @@ DEFAULT_QUERIES = [
 
 
 def build_corpus(spark, factor: int, variants: int | None = None) -> str:
-    """Replicate documents, embeddings, and events factor×: ids offset
+    """Replicate documents, embeddings, events, and orders factor×: ids offset
     per replica; odd doc/vector replicas are perturbed (suffix token /
     nudged first vector component → near-dups), even replicas are exact
     dups; event replicas take fresh user_id ranges (key-population
@@ -125,6 +125,28 @@ def build_corpus(spark, factor: int, variants: int | None = None) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "embeddings"))
         )
+    if not done("orders"):
+        # fact-table growth against FIXED dimensions (customer/nation
+        # stay fixture-sized): per-customer order volume grows with the
+        # factor — the regime that stresses the star-join + rollup
+        # queries (revenue_yoy_growth, abc_analysis), where the win is
+        # that every aggregate partial-combines to dimension-sized rows
+        orders = spark.read.parquet(os.path.join(BASE_SF_DIR, "orders.parquet"))
+        no = orders.count()
+        (
+            orders.crossJoin(reps)
+            .select(
+                (F.col("o_orderkey") + F.col("rep") * F.lit(no)).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "orders"))
+        )
     if not done("events"):
         # via catalog.table: fixture events are TIMESTAMP(NANOS); the
         # replica lands as standard micros, which catalog passes through
@@ -185,7 +207,7 @@ def main() -> None:
         link = os.path.join(sf_view, t)
         if not os.path.lexists(link):
             os.symlink(os.path.join(BASE_SF_DIR, t), link)
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders"):
         link = os.path.join(sf_view, f"{t}.parquet")
         if os.path.lexists(link):
             os.remove(link)
