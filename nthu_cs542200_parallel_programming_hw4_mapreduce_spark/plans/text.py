@@ -2093,7 +2093,7 @@ _TCP_TOPK = 20
     post AS (
       SELECT tf.doc_id, tf.t, tf.tf * ln(n.n * 1.0 / df.df) AS w
       FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
-      WHERE df.df >= 2 AND df.df * 10 <= n.n
+      WHERE df.df >= 2 AND df.df * 10 <= n.n AND df.df <= 1000
     ),
     norms AS (
       SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM post GROUP BY doc_id
@@ -2120,9 +2120,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair generation is the classic posting-list self-join: only
     documents SHARING a discriminative token ever meet, so compare
     volume is Σ_t df(t)² over the capped vocabulary — never all pairs.
-    The cap is integer-exact in both engines (2 ≤ df, df·10 ≤ N): stop
-    words fall out (df > N/10 carries no signal and would otherwise
-    dominate pair volume quadratically), hapaxes can't pair. Postings
+    The cap is integer-exact in both engines and TWO-SIDED
+    (2 ≤ df ≤ min(N/10, 1000)): the relative bound drops stop words
+    (df > N/10 carries no signal), and the ABSOLUTE bound is what
+    survives growth — a relative-only cap loosens as N grows (a
+    5%-frequency token at 500k docs would alone emit 625M pairs), while
+    df ≤ 1000 pins per-token pair volume at ≤ 10⁶ regardless of corpus
+    size, making total compare volume vocab-bounded. Hapaxes can't
+    pair. Postings
     are localCheckpoint-pinned before the self-join — the repo's
     standard fix for self-joins re-running the producing pipeline on
     both sides. Norms are computed over the same capped vocabulary
@@ -2141,7 +2146,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("t").agg(F.count("*").alias("df"))
     post = (
-        tf.join(df.filter((F.col("df") >= 2) & (F.col("df") * 10 <= n_docs)), "t")
+        tf.join(
+            df.filter(
+                (F.col("df") >= 2)
+                & (F.col("df") * 10 <= n_docs)
+                & (F.col("df") <= 1000)
+            ),
+            "t",
+        )
         .select(
             "doc_id",
             "t",

@@ -712,3 +712,58 @@ def test_schema_evolution_merges_both_generations(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "schema_evolution_scan")
     # merged read schema includes the evolved column
     assert "quality:bigint" in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_value_histogram_broadcasts_extents(spark, sf_dir):
+    """The per-type extent aggregate must broadcast back onto the event
+    scan (anomaly_zscore idiom) — the big side is never shuffled before
+    the bin groupBy, and the filter pushes to the scan."""
+    plan = plan_of(spark, sf_dir, "value_histogram", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(event_id" not in plan
+    assert "PushedFilters: [IsNotNull(event_type)]" in plan
+
+
+def test_drift_ks_is_joinless_two_shrinking_exchanges(spark, sf_dir):
+    """KS must compute both CDFs from ordered windows per type — no
+    pairwise join anywhere. Exactly two hash exchanges: the (type,
+    value) count aggregate (partial-combined map-side, so the wire
+    carries distinct values, not events) and the per-type window over
+    the already-shrunken count table."""
+    plan = plan_of(spark, sf_dir, "drift_ks_test", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_sum" in plan  # map-side combine before the big shuffle
+
+
+def test_session_paths_windows_share_one_user_exchange(spark, sf_dir):
+    """Sessionizer window ((user)) and path windows ((user, sid)) must
+    share a single user-keyed exchange — partitioning by user_id
+    already clusters (user_id, sid) — and the top-10 must be a
+    TakeOrdered, never a global sort."""
+    plan = plan_of(spark, sf_dir, "session_paths_topk", mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_time_weighted_avg_partial_aggregates(spark, sf_dir):
+    """The weighted sums must partial-combine map-side after the single
+    LEAD window — fact-scale rows shrink to user-sized output before
+    any further exchange."""
+    plan = plan_of(spark, sf_dir, "time_weighted_avg", mode="simple")
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_cosine_pairs_joins_pinned_postings(spark, sf_dir):
+    """The posting self-join must read the localCheckpoint-pinned
+    postings (ExistingRDD) on both sides — never re-running the
+    tokenize→tf→df pipeline — and the final ranking must be a
+    TakeOrdered over the bounded pair table."""
+    plan = plan_of(spark, sf_dir, "tfidf_cosine_pairs", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "ExistingRDD" in plan
+    # the only corpus scans happen before the checkpoint; the final
+    # plan must not re-scan documents
+    assert "documents.parquet" not in plan
