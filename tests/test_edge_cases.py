@@ -213,7 +213,12 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
     ).write.parquet(f"{d}/customer.parquet")
 
     qs = registry.all_queries()
-    expected_rows = {"triangle_count": 1, "json_quarantine": 1}  # singleton aggs
+    # singleton aggs return one (all-null/zero) row on empty input
+    expected_rows = {
+        "triangle_count": 1,
+        "json_quarantine": 1,
+        "chi2_independence": 1,
+    }
     for name in [
         "snapshot_diff", "scd2_history", "compaction_bins", "paragraph_dedup",
         "pagerank_events", "triangle_count", "reachability_bfs",
@@ -221,6 +226,10 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         "encode_corpus", "bpe_merges", "k_anonymity_suppress", "merge_upsert",
         "linreg_by_key", "json_quarantine", "streaming_topk",
         "streaming_stream_join",
+        # batch 33
+        "drift_ks_test", "time_weighted_avg", "session_paths_topk",
+        "value_histogram", "entropy_profile", "chi2_independence",
+        "l_diversity_check", "tfidf_cosine_pairs",
     ]:
         assert qs[name](spark, d).count() == expected_rows.get(name, 0), name
 
