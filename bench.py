@@ -185,6 +185,12 @@ HEADLINE = [
     "chi2_independence",
     "l_diversity_check",
     "tfidf_cosine_pairs",
+    # r4 additions (batch 34): label balance, aggregate bursts,
+    # vocabulary growth, audience overlap
+    "gini_label_balance",
+    "burst_detection",
+    "vocab_growth_curve",
+    "user_overlap_jaccard",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -700,3 +700,58 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --------------------------------------------------------------------------
+# gini_label_balance — class-balance audit of the labeled embedding set
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gini_label_balance",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM embeddings GROUP BY label
+    ), p AS (
+      SELECT label, cnt, cnt / SUM(cnt) OVER () AS pr,
+             SUM(cnt) OVER () AS n
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           round(1 - SUM(pr * pr), 6) AS gini,
+           round(1 / SUM(pr * pr), 6) AS effective_classes,
+           round(MAX(cnt) / MAX(n), 6) AS majority_share
+    FROM p
+    """,
+)
+def gini_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the labeled embedding set: Gini impurity,
+    effective number of classes (1/Σp² — the balance-weighted class
+    count), and majority share — the go/no-go a curator checks before
+    training on a labeled corpus or trusting stratified metrics
+    (``entropy_profile`` is the same audit in bits for categorical
+    columns; Gini/effective-classes is the ML-side convention).
+
+    One label-keyed partial-agg'd count (|classes| rows), windows over
+    that tiny table for the shares, one final singleton aggregate —
+    nothing after the first scan is corpus-sized. Shares are exact
+    count ratios, so 6-dp rounding is engine-stable."""
+    emb = table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").cast("double").alias("cnt"))
+    t = Window.partitionBy()
+    p = c.select(
+        "cnt",
+        (F.col("cnt") / F.sum("cnt").over(t)).alias("pr"),
+        F.sum("cnt").over(t).alias("n"),
+    )
+    return p.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.max("n").cast("long").alias("n_rows"),
+        F.round(F.lit(1) - F.sum(F.col("pr") * F.col("pr")), 6).alias("gini"),
+        F.round(F.lit(1) / F.sum(F.col("pr") * F.col("pr")), 6).alias(
+            "effective_classes"
+        ),
+        F.round(F.max("cnt") / F.max("n"), 6).alias("majority_share"),
+    )

@@ -2026,3 +2026,143 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# burst_detection — aggregate-level traffic anomalies
+# --------------------------------------------------------------------------
+
+_BURST_Z = 2.0
+
+
+@query(
+    "burst_detection",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, h, cnt,
+             AVG(cnt) OVER (PARTITION BY event_type) AS mu,
+             STDDEV_SAMP(cnt) OVER (PARTITION BY event_type) AS sigma
+      FROM hourly
+    )
+    SELECT event_type, h, CAST(cnt AS BIGINT) AS cnt,
+           round((cnt - mu) / sigma, 6) AS z
+    FROM stats
+    WHERE sigma > 0 AND (cnt - mu) / sigma > {_BURST_Z}
+    ORDER BY event_type, h
+    """,
+)
+def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection at the AGGREGATE level: hours whose
+    event count exceeds the type's hourly mean by more than 2 sample
+    standard deviations — the ops-alarm complement to the row-level
+    ``anomaly_zscore`` (a burst of individually-normal events is
+    invisible row-by-row; it only shows in the rollup).
+
+    The corpus shrinks FIRST: one partial-agg'd (type, hour) rollup
+    (|types × hours| rows), then mean/stddev via windows OVER the
+    rollup — the event scan is aggregated map-side and never re-read.
+    Hourly counts are exact integers in both engines, so the z
+    arithmetic agrees to 6 dp; degenerate constant-traffic types drop
+    via the sigma > 0 guard."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    t = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.avg("cnt").over(t).alias("mu"),
+        F.stddev_samp("cnt").over(t).alias("sigma"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter((F.col("sigma") > 0) & (z > _BURST_Z))
+        .select(
+            "event_type",
+            "h",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+# --------------------------------------------------------------------------
+# user_overlap_jaccard — audience overlap between event types
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_overlap_jaccard",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM ut GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_common,
+           sa.sz AS n_a, sb.sz AS n_b,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.type_a = sa.event_type
+               JOIN sizes sb ON inter.type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact Jaccard of user sets
+    for every type pair — the segmentation readout (do purchasers and
+    error-reporters overlap?) and the same set-similarity kernel the
+    dedup family applies to documents, here applied to behavior.
+
+    The event stream collapses to DISTINCT (user, type) FIRST — the
+    explode-then-dedupe discipline of ``sliding_distinct_users`` — so
+    the self-join fans out at most |types| rows per user (bounded,
+    structural: with T types a user contributes ≤ T(T−1)/2 pair rows).
+    Intersections partial-agg to |types|² rows; set sizes are a
+    |types|-row table joined twice at the end. At 100 TB the distinct
+    is the only corpus-scale shuffle; everything after is
+    dimension-sized."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("sz"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("sz").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2184,3 +2184,76 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "a_id", "b_id")
         .limit(_TCP_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_growth_curve — Heaps-law vocabulary growth over ingest order
+# --------------------------------------------------------------------------
+
+_VGC_FRACS = (0.01, 0.05, 0.1, 0.25, 0.5, 1.0)
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH first AS (
+      SELECT w, MIN(doc_id) AS fd
+      FROM (SELECT doc_id, UNNEST({_DD_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ), nid AS (
+      SELECT MAX(doc_id) + 1 AS n FROM documents
+    ), agg AS (
+      SELECT
+        {", ".join(
+            f"COALESCE(SUM(CASE WHEN fd < CAST(floor(n * {f}) AS BIGINT) "
+            f"THEN 1 ELSE 0 END), 0) AS v{i}, "
+            f"CAST(floor(n * {f}) AS BIGINT) AS c{i}"
+            for i, f in enumerate(_VGC_FRACS)
+        )}
+      FROM first CROSS JOIN nid GROUP BY n
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({f} AS DOUBLE) AS frac, c{i} AS cutoff_doc, "
+        f"CAST(v{i} AS BIGINT) AS vocab FROM agg"
+        for i, f in enumerate(_VGC_FRACS)
+    )}
+    ORDER BY frac
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-token count after ingesting
+    the first 1% / 5% / 10% / 25% / 50% / 100% of the document id space
+    — the curve a corpus curator reads to decide whether more data still
+    buys vocabulary (sublinear flattening) and to size tokenizer
+    training samples (``bpe_merges`` learns on exactly this vocabulary).
+
+    The curve needs each token's FIRST document only: one explode →
+    min-aggregate (vocab-sized, partial-combined), then every cutoff is
+    a conditional count over that vocab table in a single aggregate —
+    the corpus is scanned once no matter how many curve points. Cutoffs
+    are integer doc-id-space fractions, spelled identically in both
+    engines; ingest order IS doc_id by fixture construction."""
+    docs = table(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    nid = docs.agg((F.max("doc_id") + 1).alias("n"))
+    aggs = []
+    for i, f in enumerate(_VGC_FRACS):
+        cutoff = F.floor(F.col("n") * f).cast("long")
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col("fd") < cutoff).cast("long")), F.lit(0)
+            ).alias(f"v{i}")
+        )
+        aggs.append(F.max(cutoff).alias(f"c{i}"))
+    wide = first.crossJoin(F.broadcast(nid)).groupBy("n").agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({f} AS DOUBLE), c{i}, CAST(v{i} AS BIGINT)"
+        for i, f in enumerate(_VGC_FRACS)
+    )
+    return wide.selectExpr(
+        f"stack({len(_VGC_FRACS)}, {stack_args}) AS (frac, cutoff_doc, vocab)"
+    ).orderBy("frac")

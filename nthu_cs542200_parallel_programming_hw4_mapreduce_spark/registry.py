@@ -100,10 +100,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Round-5 rotation pool: every declared query that STILL has no driver
 # CORRECTNESS row after rounds 1-4 (not in CORRECTNESS_r01/r02/r03 and
 # not holding a round-4 window slot) — the 29 never-checked leftovers
-# plus the 8 batch-33 queries NEW in round 4 (the round-4 window was
-# fully allocated to the never-checked backlog, so new arrivals wait
-# one round). Round 5 swaps all 37 in, clearing the never-checked set
-# entirely (9 core + 37 pool + 4 spare slots). Pinned against drift by
+# plus the 12 batch-33/34 queries NEW in round 4 (the round-4 window
+# was fully allocated to the never-checked backlog, so new arrivals
+# wait one round). Round 5 swaps all 41 in, clearing the never-checked
+# set entirely (9 core + 41 pool = exactly 50 slots). Pinned against
+# drift by
 # tests/test_registry.py::test_round5_pool_is_exactly_the_never_checked_set.
 ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest",
@@ -113,6 +114,7 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "arrow_udf_reverse",
     "bounce_rate_daily",
     "bpe_merges",
+    "burst_detection",
     "chi2_independence",
     "drift_ks_test",
     "entropy_profile",
@@ -125,6 +127,7 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "encode_corpus",
     "funnel_weekly_trend",
     "fuzzy_name_match",
+    "gini_label_balance",
     "hll_user_reach",
     "join_nullsafe_keys",
     "latency_percentile_bands",
@@ -141,6 +144,8 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "skew_report",
     "sql_parameterized",
     "udtf_analyze_split",
+    "user_overlap_jaccard",
+    "vocab_growth_curve",
     "winsorized_stats",
     "zorder_layout",
 )

@@ -211,6 +211,9 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
         "c_mktsegment string",
     ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
 
     qs = registry.all_queries()
     # singleton aggs return one (all-null/zero) row on empty input
@@ -218,6 +221,7 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         "triangle_count": 1,
         "json_quarantine": 1,
         "chi2_independence": 1,
+        "gini_label_balance": 1,
     }
     for name in [
         "snapshot_diff", "scd2_history", "compaction_bins", "paragraph_dedup",
@@ -230,6 +234,9 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         "drift_ks_test", "time_weighted_avg", "session_paths_topk",
         "value_histogram", "entropy_profile", "chi2_independence",
         "l_diversity_check", "tfidf_cosine_pairs",
+        # batch 34
+        "gini_label_balance", "burst_detection", "vocab_growth_curve",
+        "user_overlap_jaccard",
     ]:
         assert qs[name](spark, d).count() == expected_rows.get(name, 0), name
 
