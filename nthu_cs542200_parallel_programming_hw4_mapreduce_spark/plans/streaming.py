@@ -2137,7 +2137,11 @@ def user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only corpus-scale shuffle; everything after is
     dimension-sized."""
     ev = table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    # pinned: three consumers (both self-join sides + sizes) would each
+    # re-run the corpus distinct otherwise — static-plan exchange reuse
+    # does not fire across differently-shaped subtrees (the repo-wide
+    # localCheckpoint rule); the pinned table is |users × types| rows
     sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("sz"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))

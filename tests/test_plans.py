@@ -767,3 +767,43 @@ def test_tfidf_cosine_pairs_joins_pinned_postings(spark, sf_dir):
     # the only corpus scans happen before the checkpoint; the final
     # plan must not re-scan documents
     assert "documents.parquet" not in plan
+
+
+def test_gini_label_balance_is_joinless_and_partial(spark, sf_dir):
+    """Everything after the label-count scan is |classes|-sized: no
+    join; the count partial-combines map-side; the singleton aggregate
+    rides a SinglePartition exchange of the tiny count table."""
+    plan = plan_of(spark, sf_dir, "gini_label_balance", mode="simple")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert "SinglePartition" in plan
+
+
+def test_burst_detection_rolls_up_before_stats(spark, sf_dir):
+    """The event scan must shrink to the (type, hour) rollup FIRST
+    (partial-agg'd), with mean/stddev as windows OVER the rollup —
+    never a join back onto events."""
+    plan = plan_of(spark, sf_dir, "burst_detection", mode="simple")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert "stddev_samp" in plan
+
+
+def test_vocab_growth_single_corpus_scan_per_side(spark, sf_dir):
+    """All curve points must come from ONE conditional aggregate over
+    the first-seen table (a single stack/Generate) — the corpus is
+    scanned for tokens once plus once for the max-id scalar, never per
+    curve point."""
+    plan = plan_of(spark, sf_dir, "vocab_growth_curve", mode="simple")
+    assert plan.count("Generate stack") == 1
+    assert plan.count("FileScan") <= 2 + plan.count("ReusedExchange")
+
+
+def test_user_overlap_pins_the_distinct(spark, sf_dir):
+    """The (user, type) distinct must be localCheckpoint-pinned so the
+    self-join sides and the size table read it (ExistingRDD) instead of
+    re-running the corpus distinct; size joins broadcast."""
+    plan = plan_of(spark, sf_dir, "user_overlap_jaccard", mode="simple")
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan  # no corpus re-scan after the pin
+    assert plan.count("BroadcastHashJoin") >= 2
