@@ -796,7 +796,7 @@ def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT chi2, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
            CAST(n AS BIGINT) AS n,
-           round(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+           round(sqrt(chi2 / NULLIF(n * LEAST(r - 1, c - 1), 0)), 6) AS cramers_v
     FROM agg
     """,
 )
@@ -839,7 +839,13 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         F.col("n").cast("long").alias("n"),
         F.round(
-            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            F.sqrt(
+                F.col("chi2")
+                / F.nullif(
+                    F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"),
+                    F.lit(0.0),
+                )
+            ),
             6,
         ).alias("cramers_v"),
     )

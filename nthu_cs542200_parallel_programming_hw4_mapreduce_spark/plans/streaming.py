@@ -1773,7 +1773,7 @@ _KS_SPLIT = "2024-01-16"  # first half vs second half of the fixture month
              t AS (PARTITION BY event_type)
     )
     SELECT event_type,
-           round(MAX(abs(cum_a / n_a - cum_b / n_b)), 6) AS ks_stat,
+           round(MAX(abs(cum_a / NULLIF(n_a, 0) - cum_b / NULLIF(n_b, 0))), 6) AS ks_stat,
            CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b
     FROM cum GROUP BY event_type ORDER BY event_type
     """,
@@ -1823,7 +1823,12 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("event_type")
         .agg(
             F.round(
-                F.max(F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))),
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.nullif(F.col("n_a"), F.lit(0.0))
+                        - F.col("cum_b") / F.nullif(F.col("n_b"), F.lit(0.0))
+                    )
+                ),
                 6,
             ).alias("ks_stat"),
             F.max("n_a").cast("long").alias("n_a"),
@@ -1849,7 +1854,7 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           round(SUM(value * dt) / SUM(dt), 6) AS twap,
+           round(SUM(value * dt) / NULLIF(SUM(dt), 0), 6) AS twap,
            CAST(COUNT(*) AS BIGINT) AS n_weighted
     FROM d WHERE dt IS NOT NULL
     GROUP BY user_id ORDER BY user_id
@@ -1882,7 +1887,9 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("user_id")
         .agg(
             F.round(
-                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+                F.sum(F.col("value") * F.col("dt"))
+                / F.nullif(F.sum("dt"), F.lit(0.0)),
+                6,
             ).alias("twap"),
             F.count("*").cast("long").alias("n_weighted"),
         )

@@ -225,3 +225,168 @@ def test_compaction_bins_conserve_files_and_bytes(spark, tmp_path_factory, sizes
     assert [r["bin"] for r in out] == expect_bins
     starts = [r["first_doc"] for r in out]
     assert starts == sorted(starts)
+
+
+# ---------------------------------------------------------------------------
+# Batch-33/34 analytics vs pure-Python models (independent of the DuckDB
+# oracle — guards against both engines being wrong the same way).
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+import __spark_entry__ as E
+
+# events in a 4-day span around the drift split (2024-01-16); values from
+# a SMALL pool so ties across the split are common (the tie-correct path)
+_EV = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.sampled_from(["a", "b"]),                    # type
+        st.integers(min_value=0, max_value=5),          # value (ties!)
+        st.integers(min_value=0, max_value=4 * 24 * 3600 - 1),  # sec offset
+    ),
+    min_size=4,
+    max_size=24,
+)
+
+_T0 = datetime(2024, 1, 14)
+
+
+def events_df(spark, rows):
+    recs = [
+        (i, _T0 + timedelta(seconds=off), u, t, float(v), "{}")
+        for i, (u, t, v, off) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def events_dir(spark, rows, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("prop_ev"))
+    events_df(spark, rows).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+@SETTINGS
+@given(rows=_EV)
+def test_drift_ks_matches_python_model(spark, tmp_path_factory, rows):
+    split = datetime(2024, 1, 16)
+    d = events_dir(spark, rows, tmp_path_factory)
+    got = {
+        r["event_type"]: (r["ks_stat"], r["n_a"], r["n_b"])
+        for r in E.queries()["drift_ks_test"](spark, d).collect()
+    }
+    for typ in sorted({t for _, t, _, _ in rows}):
+        evs = [
+            (v, _T0 + timedelta(seconds=off) < split)
+            for _, t, v, off in rows
+            if t == typ
+        ]
+        a = sorted(v for v, early in evs if early)
+        b = sorted(v for v, early in evs if not early)
+        ks, na, nb = got[typ]
+        assert (na, nb) == (len(a), len(b))
+        if not a or not b:
+            assert ks is None  # one empty side → undefined CDF ratio
+            continue
+        import bisect
+
+        support = sorted(set(a) | set(b))
+        expect = max(
+            abs(
+                bisect.bisect_right(a, x) / len(a)
+                - bisect.bisect_right(b, x) / len(b)
+            )
+            for x in support
+        )
+        assert ks == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+@SETTINGS
+@given(rows=_EV)
+def test_time_weighted_avg_matches_python_model(spark, tmp_path_factory, rows):
+    d = events_dir(spark, rows, tmp_path_factory)
+    got = {
+        r["user_id"]: (r["twap"], r["n_weighted"])
+        for r in E.queries()["time_weighted_avg"](spark, d).collect()
+    }
+    by_user: dict = {}
+    for i, (u, t, v, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((_T0 + timedelta(seconds=off), i, float(v)))
+    for u, evs in by_user.items():
+        evs.sort()  # (ts, event_id) — the engine's deterministic order
+        weighted = [
+            (v, (evs[j + 1][0] - ts).total_seconds())
+            for j, (ts, _, v) in enumerate(evs[:-1])
+        ]
+        if not weighted or all(dt == 0 for _, dt in weighted):
+            # zero total weight → twap NULL; single-event users drop
+            if u in got:
+                assert got[u][0] is None
+            continue
+        num = sum(v * dt for v, dt in weighted)
+        den = sum(dt for _, dt in weighted)
+        assert got[u][1] == len(weighted)
+        assert got[u][0] == pytest.approx(round(num / den, 6), abs=1e-6)
+
+
+@SETTINGS
+@given(rows=_EV)
+def test_user_overlap_matches_python_sets(spark, tmp_path_factory, rows):
+    d = events_dir(spark, rows, tmp_path_factory)
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in E.queries()["user_overlap_jaccard"](spark, d).collect()
+    }
+    sets: dict = {}
+    for u, t, _, _ in rows:
+        sets.setdefault(t, set()).add(u)
+    types = sorted(sets)
+    expect_pairs = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = len(sets[ta] & sets[tb])
+            if inter:  # pairs exist only via the inner self-join
+                union = len(sets[ta] | sets[tb])
+                expect_pairs[(ta, tb)] = (
+                    inter,
+                    len(sets[ta]),
+                    len(sets[tb]),
+                    round(inter / union, 6),
+                )
+    assert got == {
+        k: (c, na, nb, pytest.approx(j, abs=1e-6))
+        for k, (c, na, nb, j) in expect_pairs.items()
+    }
+
+
+@SETTINGS
+@given(texts=TEXTS)
+def test_vocab_growth_matches_python_model(spark, tmp_path_factory, texts):
+    d = str(tmp_path_factory.mktemp("prop_vgc"))
+    docs_df(spark, texts).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = E.queries()["vocab_growth_curve"](spark, d).collect()
+    n = len(texts)  # doc_ids are 0..n-1
+    first: dict = {}
+    for i, t in enumerate(texts):
+        for w in py_tokens(t):
+            first.setdefault(w, i)
+    if not first:
+        # token-free corpus → empty first-seen table → empty curve
+        # (matches the oracle: GROUP BY over an empty cross join)
+        assert rows == []
+        return
+    fracs = [0.01, 0.05, 0.1, 0.25, 0.5, 1.0]
+    assert [r["frac"] for r in rows] == fracs
+    import math
+
+    for r in rows:
+        cutoff = math.floor(n * r["frac"])
+        assert r["cutoff_doc"] == cutoff
+        assert r["vocab"] == sum(1 for fd in first.values() if fd < cutoff)
+    # monotone non-decreasing, ending at the full vocabulary
+    vs = [r["vocab"] for r in rows]
+    assert vs == sorted(vs) and vs[-1] == len(first)
