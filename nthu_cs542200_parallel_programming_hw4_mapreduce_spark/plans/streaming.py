@@ -1477,9 +1477,9 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.event_type, med
     )
     SELECT event_id, e.event_type, value,
-           round((value - med) / (1.4826 * mad), 6) AS rscore
+           round((value - med) / NULLIF(1.4826 * mad, 0), 6) AS rscore
     FROM events e JOIN mad USING (event_type)
-    WHERE abs((value - med) / (1.4826 * mad)) > 3.0
+    WHERE abs((value - med) / NULLIF(1.4826 * mad, 0)) > 3.0
     ORDER BY event_id
     """,
 )
@@ -1506,7 +1506,12 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
     )
     scored = ev.join(F.broadcast(mad), "event_type").withColumn(
-        "rscore", (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+        # NULLIF guard: a constant-valued (or singleton) type has MAD 0
+        # — its rows null out and drop at the filter instead of raising
+        # DIVIDE_BY_ZERO under ANSI mode (caught by the singleton sweep)
+        "rscore",
+        (F.col("value") - F.col("med"))
+        / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)),
     )
     return (
         scored.filter(F.abs("rscore") > 3.0)

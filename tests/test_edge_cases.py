@@ -367,3 +367,33 @@ def test_wide_sort_and_agg_spill_in_small_heap(tmp_path):
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=500
     )
     assert "SPILL_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_all_queries_survive_singleton_tables(spark, sf_dir, tmp_path_factory):
+    """EVERY declared query must run (not necessarily return rows)
+    against one-row tables — the degenerate regime where per-group
+    stddevs are undefined, CDF sides are empty, windows have no
+    neighbors, and ANSI mode turns unguarded divisions into crashes
+    (the class of bug the round-4 property tests caught in
+    drift_ks_test / time_weighted_avg / chi2_independence)."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import (
+        TABLES,
+        table,
+    )
+
+    d = str(tmp_path_factory.mktemp("singleton"))
+    for t in TABLES:
+        # catalog.table handles the events TIMESTAMP(NANOS) rewrite;
+        # the singleton lands as standard micros, which it passes through
+        table(spark, sf_dir, t).limit(1).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+
+    failures = []
+    for name, fn in registry.all_queries().items():
+        try:
+            fn(spark, d).count()
+        except Exception as e:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:200]}")
+    assert not failures, "\n".join(failures)
