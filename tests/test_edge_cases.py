@@ -369,26 +369,44 @@ def test_wide_sort_and_agg_spill_in_small_heap(tmp_path):
     assert "SPILL_OK" in out.stdout, out.stderr[-2000:]
 
 
-def test_all_queries_survive_singleton_tables(spark, sf_dir, tmp_path_factory):
+@pytest.mark.parametrize("regime", ["singleton", "constant"])
+def test_all_queries_survive_degenerate_tables(
+    spark, sf_dir, tmp_path_factory, regime
+):
     """EVERY declared query must run (not necessarily return rows)
-    against one-row tables — the degenerate regime where per-group
-    stddevs are undefined, CDF sides are empty, windows have no
-    neighbors, and ANSI mode turns unguarded divisions into crashes
-    (the class of bug the round-4 property tests caught in
-    drift_ks_test / time_weighted_avg / chi2_independence)."""
+    against degenerate tables — the regimes where per-group stddevs
+    are undefined or zero, CDF sides are empty, windows have no
+    neighbors, MADs collapse, and ANSI mode turns unguarded divisions
+    into crashes (the class of bug the round-4 property tests caught
+    in drift_ks_test / time_weighted_avg / chi2_independence, and this
+    sweep caught in anomaly_mad).
+
+    * singleton: exactly one row per table;
+    * constant: five rows per table, identical except the first
+      (key-ish) column — zero variance with n > 1.
+    """
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import (
         TABLES,
         table,
     )
 
-    d = str(tmp_path_factory.mktemp("singleton"))
+    d = str(tmp_path_factory.mktemp(regime))
     for t in TABLES:
         # catalog.table handles the events TIMESTAMP(NANOS) rewrite;
-        # the singleton lands as standard micros, which it passes through
-        table(spark, sf_dir, t).limit(1).write.mode("overwrite").parquet(
-            f"{d}/{t}.parquet"
-        )
+        # the rewritten rows land as standard micros, passed through
+        one = table(spark, sf_dir, t).limit(1)
+        if regime == "constant":
+            cols = one.columns
+            pk = cols[0]
+            rep = one.crossJoin(spark.range(5).withColumnRenamed("id", "_rep"))
+            one = rep.select(
+                *[
+                    (F.col(pk) + F.col("_rep")).alias(pk) if c == pk else F.col(c)
+                    for c in cols
+                ]
+            )
+        one.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
 
     failures = []
     for name, fn in registry.all_queries().items():
