@@ -2634,6 +2634,10 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        # explicit schema: XML omits null elements, so inference on a
+        # null-heavy landing would DROP columns (all-null sweep, round
+        # 4) — and at scale inference costs a whole extra pass anyway
+        .schema(docs.schema)
         .load(base)
         .groupBy("lang")
         .agg(

@@ -34,6 +34,7 @@ from ..catalog import table
 from ..functions import text as X
 from ..functions import vectors as V
 from ..registry import query
+from .similarity import vec_table
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -585,7 +586,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+      ON a.vec_id < b.vec_id
     WHERE {V.dd_cosine('a.embedding', 'b.embedding')} >= 0.4
     ORDER BY a_id, b_id
     """,
@@ -614,7 +617,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     block = 512
     threshold = 0.4
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = vec_table(spark, sf_dir).select(
         "vec_id", "embedding", (F.col("vec_id") / block).cast("long").alias("blk")
     )
     blocks = emb.groupBy("blk").agg(
@@ -749,7 +752,7 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     a production near-dup threshold (≥0.9) actually operates in.
     Rows-only by design: the oracle cannot see the banding."""
     return embedding_cosine_bucketed_pairs(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        vec_table(spark, sf_dir).select("vec_id", "embedding")
     )
 
 
@@ -1350,7 +1353,7 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT 8) s
+            WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8) s
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cluster,
@@ -1358,7 +1361,8 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
              )) AS d2
-      FROM embeddings e CROSS JOIN cents c
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      CROSS JOIN cents c
     ),
     a AS (
       SELECT vec_id, embedding, cluster FROM (
@@ -1397,8 +1401,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     k, threshold = 8, 0.4
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
     init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not init:
+        return spark.createDataFrame([], "removed_id long")
     cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     bc = spark.sparkContext.broadcast(cmat)
 

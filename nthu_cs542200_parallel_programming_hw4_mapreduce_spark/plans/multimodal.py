@@ -119,7 +119,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise — same batch shape either way). Partition-parallel, no
     shuffle."""
     docs = table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # drop NULL media at the scan (ingest hygiene — a NULL payload would
+    # reach the Python decoder and kill the task; all-null sweep, round 4)
+    payloads = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
     decode = _image_decoder()  # fresh by-value closure for the executors
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,7 +158,11 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     docs = table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # drop NULL media at the scan (ingest hygiene — a NULL payload would
+    # reach the Python decoder and kill the task; all-null sweep, round 4)
+    payloads = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
 
     frame_bytes, stride = 16, 4
 
@@ -195,7 +203,11 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     docs = table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # drop NULL media at the scan (ingest hygiene — a NULL payload would
+    # reach the Python decoder and kill the task; all-null sweep, round 4)
+    payloads = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
 
     def featurize(batches):
         for pdf in batches:

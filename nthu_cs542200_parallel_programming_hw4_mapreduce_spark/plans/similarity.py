@@ -31,6 +31,23 @@ _N_PLANES = 8
 _DIM = 64
 
 
+
+def vec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with NULL vectors dropped at the scan — ingest
+    hygiene for every query that feeds the vector to a numpy kernel
+    or arithmetic that assumes a real array. A 100 TB embedding store
+    always carries failed-encode rows; without this filter a NULL
+    array reaches ``np.stack``/``einsum`` and kills the task (caught
+    by the all-null robustness sweep, round 4). Oracle SQL of
+    vector-consuming oracle-backed queries mirrors the filter
+    (``embedding IS NOT NULL``) so both engines see the same rows.
+    Label-only consumers (``gini_label_balance``) intentionally do NOT
+    use this loader — a null vector still carries a valid label."""
+    return table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
     """Final exact top-k per query over pre-pruned candidates: window
     rank on (score desc, n_id) — deterministic across engines and
@@ -47,7 +64,7 @@ def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
 @query(
     "cosine_knn_exact",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.q_id, c.vec_id AS n_id,
              round({V.dd_cosine('q.qe', 'c.embedding')}, 5) AS cos,
@@ -55,7 +72,8 @@ def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
                PARTITION BY q.q_id
                ORDER BY {V.dd_cosine('q.qe', 'c.embedding')} DESC, c.vec_id
              ) AS rn
-      FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+      FROM q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c
+        ON c.vec_id <> q.q_id
     )
     SELECT q_id, n_id, cos FROM scored WHERE rn <= {_K} ORDER BY q_id, n_id
     """,
@@ -78,8 +96,11 @@ def cosine_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
     q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).collect()  # bounded: ≤5 × d
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not q_rows:
+        return spark.createDataFrame([], "q_id long, n_id long, cos double")
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), V._EPS)
@@ -128,7 +149,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted HOF anywhere. Recall is approximate (hence rows-only;
     the exact baseline is cosine_knn_exact)."""
     emb = V.with_lsh_buckets(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        vec_table(spark, sf_dir).select("vec_id", "embedding"),
         dim=_DIM, n_planes=_N_PLANES,
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -177,7 +198,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = vec_table(spark, sf_dir)
     n = emb.count()
     k_cells = min(4096, max(16, math.isqrt(n)))
     stride = max(1, n // k_cells)
@@ -185,6 +206,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
     cent_rows = cents.collect()  # bounded: ≤4096 × d floats
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not cent_rows:
+        return spark.createDataFrame([], "q_id long, n_id long, cos double")
     cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
     cmat = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in cent_rows])
     cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), V._EPS)
@@ -307,7 +331,7 @@ _KM_K = 8
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT {_KM_K}) s
+            WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_KM_K}) s
     ),
     d AS (
       SELECT e.vec_id, c.cluster,
@@ -315,7 +339,8 @@ _KM_K = 8
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
              )) AS d2
-      FROM embeddings e CROSS JOIN cents c
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      CROSS JOIN cents c
     ),
     r AS (
       SELECT vec_id, cluster,
@@ -344,8 +369,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines."""
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
     init = emb.orderBy("vec_id").limit(_KM_K).select("embedding").collect()
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not init:
+        return spark.createDataFrame([], "vec_id long, cluster long")
     cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     bc = spark.sparkContext.broadcast(cmat)
 
@@ -392,7 +420,14 @@ def lloyd_rounds(
     """
     import numpy as np
 
-    d = len(emb.select("embedding").first()[0])
+    head = emb.select("embedding").first()
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if head is None:
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>, cluster long, dist2 double"
+        )
+        return empty, []
+    d = len(head[0])
     init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
     cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     history: list[float] = []
@@ -456,7 +491,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be without its recursive-CTE twin — DuckDB has no iterative
     re-assignment. tests/test_similarity.py pins monotone inertia and
     cluster-count invariants instead."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = vec_table(spark, sf_dir)
     assigned, _ = lloyd_rounds(spark, emb)
     return (
         assigned.groupBy("cluster")
@@ -479,7 +514,7 @@ _PQ_SUBDIM = _DIM // _PQ_M
     WITH cb AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT {_PQ_K}) s
+            WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_PQ_K}) s
     ),
     d AS (
       SELECT e.vec_id, m.m, cb.code,
@@ -489,7 +524,7 @@ _PQ_SUBDIM = _DIM // _PQ_M
                   * (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
                      - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
              )) AS d2
-      FROM embeddings e
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
       CROSS JOIN (SELECT UNNEST(range(0, {_PQ_M})) AS m) m
       CROSS JOIN cb
     ),
@@ -528,8 +563,13 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; argmin ties break to the lowest code on both engines."""
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
     init = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not init:
+        return spark.createDataFrame(
+            [], "vec_id long, " + ", ".join(f"code_{m} long" for m in range(_PQ_M))
+        )
     cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
     bc = spark.sparkContext.broadcast(cmat)
 
@@ -580,7 +620,7 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
 
     def moments(batches):
         import numpy as np
@@ -599,6 +639,9 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = emb.select("embedding").mapInPandas(
         moments, schema="n double, s array<double>, g array<double>"
     ).collect()  # bounded: one (1 + d + d*d)-double row per Arrow batch
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not parts:
+        return spark.createDataFrame([], "vec_id long, pc1 double, pc2 double")
     n = sum(r["n"] for r in parts)
     s = np.sum([r["s"] for r in parts], axis=0)
     g = np.sum([r["g"] for r in parts], axis=0)

@@ -1251,6 +1251,7 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.sum(F.size(X.tokens("text", r"\s+"))).alias("n")
         ).first()["n"]
+        or 0  # all-null/token-free corpus: SUM is NULL, score set is empty
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
@@ -1880,7 +1881,7 @@ def udtf_analyze_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, n: int):
-            toks = [t for t in text.split() if t]
+            toks = [] if text is None else [t for t in text.split() if t]
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     split_n = udtf(SplitN)

@@ -369,7 +369,7 @@ def test_wide_sort_and_agg_spill_in_small_heap(tmp_path):
     assert "SPILL_OK" in out.stdout, out.stderr[-2000:]
 
 
-@pytest.mark.parametrize("regime", ["singleton", "constant"])
+@pytest.mark.parametrize("regime", ["singleton", "constant", "nulls"])
 def test_all_queries_survive_degenerate_tables(
     spark, sf_dir, tmp_path_factory, regime
 ):
@@ -383,7 +383,12 @@ def test_all_queries_survive_degenerate_tables(
 
     * singleton: exactly one row per table;
     * constant: five rows per table, identical except the first
-      (key-ish) column — zero variance with n > 1.
+      (key-ish) column — zero variance with n > 1;
+    * nulls: three rows per table with every non-key column NULL —
+      the regime that reaches numpy kernels, Python decoders, and
+      schema inference (caught 16 crashes in round 4: null vectors
+      into np.stack, null payloads into the media decoder, XML
+      schema loss on all-null writes, driver-side float(None)).
     """
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import (
@@ -396,6 +401,18 @@ def test_all_queries_survive_degenerate_tables(
         # catalog.table handles the events TIMESTAMP(NANOS) rewrite;
         # the rewritten rows land as standard micros, passed through
         one = table(spark, sf_dir, t).limit(1)
+        if regime == "nulls":
+            one = table(spark, sf_dir, t).limit(3)
+            cols = one.columns
+            pk = cols[0]
+            one = one.select(
+                *[
+                    F.col(c)
+                    if c == pk
+                    else F.lit(None).cast(one.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
         if regime == "constant":
             cols = one.columns
             pk = cols[0]
