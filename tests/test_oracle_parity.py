@@ -31,3 +31,55 @@ def test_oracle_parity(spark, sf_dir, duck, name):
 @pytest.mark.parametrize("name", sorted(set(E.queries()) - set(E.oracle_sql())))
 def test_rows_only_queries_run(spark, sf_dir, name):
     assert E.queries()[name](spark, sf_dir).count() >= 0
+
+
+_UNICODE_TEXTS = [
+    "héllo wörld héllo",            # latin diacritics
+    "a b c b c",                         # non-breaking space
+    "x​y z​y z",                         # zero-width space
+    "éclair éclair éclair",        # precomposed vs combining
+    "a　b a　b",                           # ideographic space
+    "tab\ttab\ttab mix \t mix",
+    " line sep para sep x",              # line/para separators
+    "日本語 テスト",       # CJK
+    "مرحبا بالعالم",  # RTL
+    "\U0001f600 surrogate pair \U0001f600 again",  # astral-plane emoji
+]
+
+_UNICODE_SENSITIVE = [
+    "wordcount_e2e", "ngram_freq", "heavy_hitters", "tfidf_top_terms",
+    "vocab_growth_curve", "text_quality", "text_normalize", "lang_id",
+    "dedup_exact", "dedup_ngram_jaccard", "quality_gopher",
+    "readability_flesch", "perplexity_unigram", "substring_dup_rate",
+    "shingle_fingerprints", "text_repetition", "url_canonicalize",
+    "tfidf_cosine_pairs", "paragraph_dedup", "pmi_collocations",
+]
+
+
+def test_text_oracles_hold_on_unicode(spark, tmp_path_factory):
+    """Spark tokenization runs on Java regex, the oracle on DuckDB's
+    RE2 — their \\s classes and string functions must agree on the
+    Unicode the ASCII-ish fixtures never exercise: NBSP / zero-width /
+    ideographic spaces, combining marks, CJK, RTL, astral-plane emoji,
+    line separators. Both engines treat \\s as ASCII-only (probed in
+    round 4), so e.g. NBSP-joined words stay ONE token in both — this
+    test pins that agreement per text-sensitive query."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("unicode"))
+    rows = [(i, t, "xx", f"s{i % 2}", len(t)) for i, t in enumerate(_UNICODE_TEXTS)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    problems = []
+    for name in _UNICODE_SENSITIVE:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
