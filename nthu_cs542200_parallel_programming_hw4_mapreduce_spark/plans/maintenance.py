@@ -246,6 +246,10 @@ def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT COUNT(*) FROM documents
               WHERE text IS NULL OR length(text) = 0)
       UNION ALL
+      SELECT 'events_value_finite',
+             (SELECT COUNT(*) FROM events
+              WHERE value IS NOT NULL AND NOT isfinite(value))
+      UNION ALL
       SELECT 'events_value_nonnegative',
              (SELECT COUNT(*) FROM events WHERE value < 0)
       UNION ALL
@@ -303,6 +307,20 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         check(
             "documents_text_nonempty",
             cnt(docs, F.col("text").isNull() | (F.length("text") == 0)),
+        ),
+        check(
+            # non-finite doubles (NaN/±Inf from failed upstream compute)
+            # violate the finite-domain contract of every DECIMAL-sum /
+            # percentile query downstream — those queries FAIL FAST under
+            # ANSI rather than silently skewing stats, and THIS check is
+            # the upstream gate that catches the corruption first
+            # (round-4 extreme-value probe)
+            "events_value_finite",
+            cnt(
+                ev,
+                F.col("value").isNotNull()
+                & (F.isnan("value") | (F.abs("value") == float("inf"))),
+            ),
         ),
         check("events_value_nonnegative", cnt(ev, F.col("value") < 0)),
         check(

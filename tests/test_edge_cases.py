@@ -432,3 +432,74 @@ def test_all_queries_survive_degenerate_tables(
         except Exception as e:  # noqa: BLE001 — collecting the sweep
             failures.append(f"{name}: {type(e).__name__}: {str(e)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_nonfinite_values_gate_then_parity(spark, tmp_path_factory):
+    """The numeric-stat contract (round-4 extreme-value probe): stat
+    queries assume FINITE inputs — on NaN/±Inf the DECIMAL-sum
+    discipline fails fast under ANSI (correct: corrupted upstream
+    surfaces instead of silently skewing stats), `data_expectations`'
+    events_value_finite check is the upstream gate that catches the
+    corruption, and once the gate's filter is applied the stat
+    queries restore exact oracle parity."""
+    import math
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from tools.parity import compare
+
+    t0 = datetime(2024, 1, 10)
+    vals = [1.0, 2.0, float("nan"), float("inf"), float("-inf"), 3.0, 2.0, 0.5]
+    rows = [
+        (
+            i,
+            t0 + timedelta(hours=i % 40, minutes=i),
+            i % 5,
+            ["view", "click", "error"][i % 3],
+            v,
+            "{}",
+        )
+        for i, v in enumerate(vals * 3)
+    ]
+    dirty = str(tmp_path_factory.mktemp("dirty"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{dirty}/events.parquet")
+
+    # 1. the gate reports exactly the non-finite rows
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        data_expectations,
+    )
+
+    # data_expectations needs the other audited tables too
+    for t in ("documents", "lineitem", "orders", "customer"):
+        table(spark, sf_dir := "/root/testdata/sf0.001", t).limit(5).write.mode(
+            "overwrite"
+        ).parquet(f"{dirty}/{t}.parquet")
+    audit = {
+        r["constraint_name"]: r["violations"]
+        for r in data_expectations(spark, dirty).collect()
+    }
+    assert audit["events_value_finite"] == 9  # 3 × (nan, inf, -inf)
+
+    # 2. applying the gate's filter restores oracle parity on queries
+    # that crash (ANSI overflow) or diverge (NaN percentiles) dirty
+    clean = str(tmp_path_factory.mktemp("clean"))
+    df.filter(~(F.isnan("value") | (F.abs("value") == float("inf")))).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{clean}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{clean}/events.parquet/*.parquet')"
+    )
+    problems = []
+    for name in ["event_window", "anomaly_zscore", "anomaly_mad",
+                 "winsorized_stats", "value_histogram", "linreg_by_key"]:
+        sdf = E.queries()[name](spark, clean).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
