@@ -83,3 +83,68 @@ def test_text_oracles_hold_on_unicode(spark, tmp_path_factory):
         ddf = con.execute(E.oracle_sql()[name]).df()
         problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
     assert not problems, "\n".join(problems)
+
+
+_TS_EDGES = [
+    # pre-epoch (negative micros), epoch boundary, leap day, year
+    # boundary, far future (within Arrow ns range), and 1900
+    (1969, 12, 31, 23, 59, 59),
+    (1969, 7, 20, 20, 17, 40),
+    (1970, 1, 1, 0, 0, 0),
+    (2000, 2, 29, 12, 0, 0),
+    (2024, 12, 31, 23, 59, 59),
+    (2025, 1, 1, 0, 0, 0),
+    (2200, 6, 15, 12, 0, 0),
+    (1900, 1, 1, 0, 0, 0),
+]
+
+_TS_SENSITIVE = [
+    "event_window", "scd2_history", "retention_cohorts",
+    "funnel_weekly_trend", "sliding_distinct_users", "session_paths_topk",
+    "time_weighted_avg", "bounce_rate_daily", "markov_transitions",
+    "attribution_last_touch", "decayed_engagement",
+    "latency_percentile_bands", "burst_detection",
+]
+
+
+def test_temporal_oracles_hold_on_edge_timestamps(spark, tmp_path_factory):
+    """date_trunc / window / epoch arithmetic must agree across engines
+    on the timestamps the 2024-only fixture never exercises: pre-epoch
+    (negative microseconds — a floor-vs-truncate division bug would
+    show exactly here), the epoch boundary, a leap day, year
+    boundaries, 1900, and a far-future date. Probed green in round 4;
+    this pins it for 13 temporal queries."""
+    import datetime as dt
+
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("ts_edges"))
+    stamps = [dt.datetime(*t) for t in _TS_EDGES]
+    rows = [
+        (
+            i,
+            ts + dt.timedelta(minutes=i),
+            i % 4,
+            ["view", "click", "purchase"][i % 3],
+            float(i % 7),
+            "{}",
+        )
+        for i, ts in enumerate(stamps * 4)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    problems = []
+    for name in _TS_SENSITIVE:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
