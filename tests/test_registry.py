@@ -101,3 +101,37 @@ def test_round5_pool_is_exactly_the_never_checked_set():
         checked |= set(json.load(open(REPO / f"CORRECTNESS_{rnd}.json")))
     never = set(registry.all_queries()) - checked - set(registry.DRIVER_WINDOW)
     assert set(registry.ROUND5_ROTATION_POOL) == never
+
+
+def test_bench_core_is_pinned():
+    """bench.py's printed line carries ONLY the 30-query cross-round
+    core — the driver's ~2 KB tail capture depends on the line staying
+    small, and cross-round comparability depends on the set staying
+    FIXED. Never reorder or grow this list; new queries join HEADLINE
+    below index 30."""
+    import bench
+
+    assert bench.BENCH_CORE == bench.HEADLINE[:30]
+    assert bench.BENCH_CORE[:5] == [
+        "wordcount_e2e", "agg_count", "tpch_q1", "join_equi", "join_multiway",
+    ]
+    assert len(bench.BENCH_CORE) == 30
+    # every core query must still be declared
+    assert set(bench.BENCH_CORE) <= set(registry.all_queries())
+    # the compact line must stay well under the driver's tail capture
+    import json
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": 999.999,
+            "unit": "sec",
+            "queries": {n: 99.999 for n in bench.BENCH_CORE},
+            "core_total": 999.999,
+            "n_queries": len(bench.HEADLINE),
+            "full_map": "bench_full.json",
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1500
