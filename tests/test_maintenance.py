@@ -96,7 +96,10 @@ def test_compaction_bins_greedy_packing(spark, tmp_path_factory):
 
 def test_data_expectations_names_and_verdicts(spark, sf_dir):
     out = {r["constraint_name"]: r for r in data_expectations(spark, sf_dir).collect()}
-    assert len(out) == 7
+    assert len(out) == 8
+    # the round-4 finite-value gate: fixture values are all finite
+    assert out["events_value_finite"]["violations"] == 0
+    assert out["events_value_finite"]["passed"] is True
     # fixture invariants: orders PK is unique, FK closed, but docs DO
     # exceed 500 chars — the audit must show both pass and fail rows
     assert out["orders_pk_unique"]["violations"] == 0
