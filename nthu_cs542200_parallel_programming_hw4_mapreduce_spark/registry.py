@@ -151,6 +151,19 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
 )
 
 
+# Round-5 window, pre-staged: at the start of round 5, set
+# DRIVER_WINDOW = ROUND5_WINDOW_PLAN (then recompute the round-6 pool
+# from CORRECTNESS_r0{1..4}.json — it should be empty unless round 4's
+# driver run left failures). 9 always-on core + the full 41-query pool
+# fills the 50 slots exactly; ordering inside the window does not
+# affect the driver (it checks all first 50), so the pool is taken
+# as-is. Pinned by tests/test_registry.py only AFTER activation.
+ROUND5_WINDOW_PLAN: tuple[str, ...] = (
+    "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
+    "partition_expr", "sort_asc", "sort_desc", "agg_count", "tpch_q12",
+) + ROUND5_ROTATION_POOL
+
+
 def _ordered(names: dict[str, object]) -> list[str]:
     front = [n for n in DRIVER_WINDOW if n in names]
     rest = [n for n in names if n not in set(DRIVER_WINDOW)]
