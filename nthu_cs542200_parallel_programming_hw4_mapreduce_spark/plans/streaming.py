@@ -880,12 +880,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN event_type = 'click'
                       THEN {'us': us, 'eid': event_id} END)
                OVER (PARTITION BY user_id ORDER BY us
-                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS lc
       FROM e
     )
-    SELECT event_id AS purchase_id, user_id, lc.eid AS click_id,
-           (us - lc.us) // 60000000 AS lag_min
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN us - lc.us <= 604800000000 THEN lc.eid END AS click_id,
+           CASE WHEN us - lc.us <= 604800000000
+                THEN (us - lc.us) // 60000000 END AS lag_min
     FROM a WHERE event_type = 'purchase' ORDER BY purchase_id
     """,
 )
@@ -896,15 +898,24 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the horizon cap that real attribution requires.
 
     Plan shape: ONE window pass over a user_id-partitioned,
-    microsecond-ordered sweep — max(struct(us, event_id)) over a RANGE
-    frame carries the candidate click alongside every event, and
-    purchases project it out. The naive formulation is a time-range
-    self-join (purchases × clicks per user — quadratic in events per
-    user); the frame form is linear per partition and needs no join at
-    all (the ``window_range_frame`` rule applied to attribution).
-    Clicks sharing the purchase's exact microsecond are peers of the
-    RANGE frame on both engines, and the struct tie-break (largest
-    event_id) is identical, so the engines agree exactly.
+    microsecond-ordered sweep — max(struct(us, event_id)) over an
+    UNBOUNDED-PRECEDING frame carries the most recent click forward
+    alongside every event (add-only, so Spark's frame evaluator stays
+    incremental), and purchases project it out with the 7-day recency
+    check applied AFTER the window. The naive formulation is a
+    time-range self-join (purchases × clicks per user — quadratic);
+    and the seemingly-equivalent MOVING range frame
+    (``RANGE 7 days PRECEDING``) is a measured whale-key wall: max over
+    a struct is not invertible, so Spark recomputes the frame per slide
+    — O(events × frame) on one key; the round-4 skew probe (50% of 10M
+    events on one user) did not finish in 35 minutes under it, while
+    this add-only form is linear per partition. Semantics are
+    identical: the unbounded max IS the most recent click, and the
+    recency predicate nulls it out exactly when the bounded frame would
+    have been empty. Clicks sharing the purchase's exact microsecond
+    are peers of the RANGE frame on both engines, and the struct
+    tie-break (largest event_id) is identical, so the engines agree
+    exactly.
     """
     from pyspark.sql import Window
 
@@ -913,7 +924,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)
-        .rangeBetween(-604_800_000_000, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     lc = F.max(
         F.when(
@@ -921,6 +932,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(us.alias("us"), F.col("event_id").alias("eid")),
         )
     ).over(w)
+    within = (F.col("us") - F.col("lc.us")) <= 604_800_000_000
     return (
         ev.select(
             "event_id",
@@ -933,8 +945,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
-            F.col("lc.eid").alias("click_id"),
-            F.floor((F.col("us") - F.col("lc.us")) / 60_000_000).alias("lag_min"),
+            F.when(within, F.col("lc.eid")).alias("click_id"),
+            F.when(
+                within, F.floor((F.col("us") - F.col("lc.us")) / 60_000_000)
+            ).alias("lag_min"),
         )
         .orderBy("purchase_id")
     )
