@@ -807,3 +807,14 @@ def test_user_overlap_pins_the_distinct(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "FileScan" not in plan  # no corpus re-scan after the pin
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_attribution_frame_is_add_only(spark, sf_dir):
+    """Whale-key regression guard (round-4 skew probe): the carry-
+    forward window must be an UNBOUNDED PRECEDING frame — Spark
+    re-evaluates bounded moving frames per slide (no retraction), which
+    is O(events × frame-rows) on a single hot key; the bounded 7-day
+    form measured as did-not-finish on the whale corpus."""
+    plan = plan_of(spark, sf_dir, "attribution_last_touch", mode="simple")
+    assert "unboundedpreceding" in plan
+    assert "-604800000000" not in plan  # the old bounded frame spec
