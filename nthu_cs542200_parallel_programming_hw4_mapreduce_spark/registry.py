@@ -54,47 +54,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Queries rotated out keep their local oracle-parity test
 # (tests/test_oracle_parity.py) — the identical check the driver runs —
-# and their green rows in CORRECTNESS_r{1,2}.json stand as proof.
-# Exactly 50 names; pinned by tests/test_registry.py.
-DRIVER_WINDOW: tuple[str, ...] = (
-    # --- always-on regression core: §2.1 O1-O11 + flagship + q12 proof
+# and their green rows in CORRECTNESS_r{1..4}.json stand as proof.
+# Round-4 window (all 50 green in CORRECTNESS_r04.json) retained for
+# the audit trail; the live window is DRIVER_WINDOW below.
+ROUND4_WINDOW: tuple[str, ...] = (
     "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
     "partition_expr", "sort_asc", "sort_desc", "agg_count", "tpch_q12",
-    # --- round-4 rotation: first 41 of the 70-query never-checked pool
-    # (VERDICT r3 "Next round" #1), prioritizing the families with zero
-    # driver rows ever; every slot is oracle-backed ---
-    # maintenance / CDC / table ops
     "snapshot_diff", "merge_upsert", "scd2_history", "incremental_rollup",
     "compaction_bins", "data_expectations", "k_anonymity_suppress",
     "table_profile", "delta_scan", "delta_time_travel",
-    # graph kernels
     "pagerank_events", "triangle_count", "reachability_bfs",
-    # streaming joins / top-k / bounded-state dedup (VERDICT r3 #5:
-    # streaming_dedup_watermarked before the unbounded cousins)
     "streaming_stream_join", "streaming_static_join", "streaming_topk",
     "streaming_dedup_watermarked", "sliding_distinct_users",
-    # Spark-4 feature surface
     "variant_shred", "python_datasource_scan", "collated_distinct",
     "xml_ingest",
-    # r3-ADVICE/VERDICT fix proofs: single-action LSH audit, literal
-    # utm_ prefix oracle, verified-exactness sketch
     "lsh_quality_eval", "url_canonicalize", "heavy_hitters",
-    # stats / anomalies (anomaly_zscore was explicitly deferred from r3)
     "anomaly_zscore",
-    # windows / dedup / multimodal tail
     "window_range_frame", "multimodal_dedup", "paragraph_dedup",
     "dup_cluster_histogram",
-    # tokenizer-training + similarity oracle footholds
     "dictionary_encode", "bpe_first_merge", "embedding_covariance",
-    # retrieval eval
     "ndcg_at_10",
-    # event analytics
     "retention_cohorts", "funnel_conversion", "attribution_last_touch",
     "markov_transitions",
-    # ingest robustness + SQL surface
     "json_quarantine", "sql_udf_scoring", "lateral_join_topn",
 )
-
 
 
 # Round-5 rotation pool: every declared query that STILL has no driver
@@ -151,17 +134,27 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
 )
 
 
-# Round-5 window, pre-staged: at the start of round 5, set
-# DRIVER_WINDOW = ROUND5_WINDOW_PLAN (then recompute the round-6 pool
-# from CORRECTNESS_r0{1..4}.json — it should be empty unless round 4's
-# driver run left failures). 9 always-on core + the full 41-query pool
-# fills the 50 slots exactly; ordering inside the window does not
-# affect the driver (it checks all first 50), so the pool is taken
-# as-is. Pinned by tests/test_registry.py only AFTER activation.
+# Round-5 window, ACTIVE (VERDICT r4 "Next round" #1): 9 always-on core
+# + the full 41-query never-checked pool fills the 50 slots exactly;
+# ordering inside the window does not affect the driver (it checks all
+# first 50), so the pool is taken as-is. Window is exactly full — new
+# round-5 queries park in ROUND6_ROTATION_POOL and rotate next round.
+# Pinned by tests/test_registry.py.
 ROUND5_WINDOW_PLAN: tuple[str, ...] = (
     "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
     "partition_expr", "sort_asc", "sort_desc", "agg_count", "tpch_q12",
 ) + ROUND5_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND5_WINDOW_PLAN
+
+# Round-6 rotation pool: queries with no driver CORRECTNESS row in any
+# of rounds 1-4 and no round-5 window slot. After the round-5 rotation
+# cleared the never-checked backlog, only queries ADDED during round 5
+# land here. Recomputed-and-pinned by
+# tests/test_registry.py::test_round6_pool_is_exactly_the_never_checked_set.
+ROUND6_ROTATION_POOL: tuple[str, ...] = (
+    "quality_deciles_approx",
+)
 
 
 def _ordered(names: dict[str, object]) -> list[str]:
