@@ -191,6 +191,9 @@ HEADLINE = [
     "burst_detection",
     "vocab_growth_curve",
     "user_overlap_jaccard",
+    # r6 additions: scale-safe decile bucketing + whale-immune paths
+    "quality_deciles_approx",
+    "session_paths_topk_salted",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of
@@ -209,6 +212,11 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # unrecognized dir naming; real read errors surface below
     spark = get_spark("bench")
+    # Tail hygiene (VERDICT r5 "Next round" #5): the driver captures
+    # only ~2 KB of stdout+stderr tail; executor WARNs (WindowExec,
+    # AQE notes) printed after the JSON line once nearly truncated it.
+    # Benchmarks don't need WARN-level telemetry — errors still surface.
+    spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
     def run(name: str) -> float:

@@ -1992,6 +1992,111 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_paths_topk_salted",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), paths AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER p
+                        || '>' || lead(event_type, 2) OVER p AS path
+      FROM sess
+      WINDOW p AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM paths WHERE path IS NOT NULL
+    GROUP BY path ORDER BY cnt DESC, path LIMIT 10
+    """,
+)
+def session_paths_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_paths_topk`` with the WHALE-KEY escape productized
+    (VERDICT r5 "Next round" #6; SCALING.md whale table rule 2): same
+    declared semantics and SAME oracle, but no window is ever
+    partitioned by bare ``user_id`` — every window key is
+    ``(user_id, day-bucket)``, so one hyperactive user splits across
+    as many tasks as days, bounding per-task work by events/user/day.
+
+    Why the time-split is exact, not approximate:
+
+      * A 3-step path is valid iff the NEXT TWO events exist and
+        neither starts a new session (gap > 30 min) — session IDs are
+        never needed, only each event's gap-to-predecessor flag.
+      * Bucket width (1 day) > gap threshold (30 min), so a bucket
+        with no replicated predecessor implies a session break —
+        ``lag IS NULL`` ⇒ ``new_s = 1`` is CORRECT at bucket starts
+        with an empty preceding bucket, exactly as at the true start.
+      * Boundary context is replicated, not shuffled globally: each
+        bucket's LAST event is re-keyed into the next bucket (feeds
+        ``lag`` there) and its FIRST TWO into the previous one (feed
+        the two ``lead``s); paths are emitted only for a row's home
+        bucket, so replicas add context, never counts.
+
+    Cost: one extra exchange over ~3 boundary rows per (user, day)
+    versus the unsalted form's single exchange — the price of whale
+    immunity. Parity with the unsalted plan is pinned by
+    tests/test_oracle_parity.py and a dedicated equivalence test."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    base = ev.withColumn("bkt", day)
+    wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    ranked = base.select(
+        "*",
+        F.row_number().over(wb).alias("_rn"),
+        F.row_number().over(
+            Window.partitionBy("user_id", "bkt").orderBy(F.desc("ts"), F.desc("event_id"))
+        ).alias("_rn_desc"),
+    )
+    own = ranked.select("user_id", "ts", "event_id", "event_type", "bkt", F.lit(True).alias("own"))
+    pad_fwd = (  # last event of each bucket → next bucket (lag context)
+        ranked.filter(F.col("_rn_desc") == 1)
+        .select("user_id", "ts", "event_id", "event_type",
+                (F.col("bkt") + 1).alias("bkt"), F.lit(False).alias("own"))
+    )
+    pad_back = (  # first two events of each bucket → previous bucket (lead context)
+        ranked.filter(F.col("_rn") <= 2)
+        .select("user_id", "ts", "event_id", "event_type",
+                (F.col("bkt") - 1).alias("bkt"), F.lit(False).alias("own"))
+    )
+    padded = own.unionByName(pad_fwd).unionByName(pad_back)
+    wp = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    flagged = padded.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(wp).isNull() | ((us - F.lag(us).over(wp)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    paths = flagged.select(
+        "own",
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(wp),
+            F.lead("event_type", 2).over(wp),
+        ).alias("path"),
+        (F.lead("new_s", 1).over(wp) + F.lead("new_s", 2).over(wp)).alias("_breaks"),
+    ).filter(F.col("own") & (F.col("_breaks") == 0))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "path")
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # value_histogram — fixed-width distribution summary per event type
 # --------------------------------------------------------------------------

@@ -85,10 +85,10 @@ ROUND4_WINDOW: tuple[str, ...] = (
 # not holding a round-4 window slot) — the 29 never-checked leftovers
 # plus the 12 batch-33/34 queries NEW in round 4 (the round-4 window
 # was fully allocated to the never-checked backlog, so new arrivals
-# wait one round). Round 5 swaps all 41 in, clearing the never-checked
-# set entirely (9 core + 41 pool = exactly 50 slots). Pinned against
-# drift by
-# tests/test_registry.py::test_round5_pool_is_exactly_the_never_checked_set.
+# wait one round). Round 5 swapped all 41 in, clearing the never-checked
+# set entirely (9 core + 41 pool = exactly 50 slots; all 50 green in
+# CORRECTNESS_r05.json). History-pinned by
+# tests/test_registry.py::test_round5_rotation_cleared_the_backlog.
 ROUND5_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest",
     "abc_analysis",
@@ -134,27 +134,48 @@ ROUND5_ROTATION_POOL: tuple[str, ...] = (
 )
 
 
-# Round-5 window, ACTIVE (VERDICT r4 "Next round" #1): 9 always-on core
-# + the full 41-query never-checked pool fills the 50 slots exactly;
-# ordering inside the window does not affect the driver (it checks all
-# first 50), so the pool is taken as-is. Window is exactly full — new
-# round-5 queries park in ROUND6_ROTATION_POOL and rotate next round.
-# Pinned by tests/test_registry.py.
-ROUND5_WINDOW_PLAN: tuple[str, ...] = (
+# The always-on regression core (every round's first 9 slots).
+CORE_WINDOW: tuple[str, ...] = (
     "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
     "partition_expr", "sort_asc", "sort_desc", "agg_count", "tpch_q12",
-) + ROUND5_ROTATION_POOL
-
-DRIVER_WINDOW: tuple[str, ...] = ROUND5_WINDOW_PLAN
-
-# Round-6 rotation pool: queries with no driver CORRECTNESS row in any
-# of rounds 1-4 and no round-5 window slot. After the round-5 rotation
-# cleared the never-checked backlog, only queries ADDED during round 5
-# land here. Recomputed-and-pinned by
-# tests/test_registry.py::test_round6_pool_is_exactly_the_never_checked_set.
-ROUND6_ROTATION_POOL: tuple[str, ...] = (
-    "quality_deciles_approx",
 )
+
+# Round-5 window (all 50 green in CORRECTNESS_r05.json — that rotation
+# cleared the never-checked backlog; retained for the audit trail).
+ROUND5_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND5_ROTATION_POOL
+
+# Round-6 rotation pool. The never-checked backlog is EMPTY after r5
+# (CORRECTNESS_r01..r05 cover all 213 pre-round-6 queries), so per
+# VERDICT r5 "Next round" #3 the 41 rotating slots are spent on:
+#   * the 2 queries NEW in round 6 (never driver-checked, priority):
+#     quality_deciles_approx (VERDICT #2) and session_paths_topk_salted
+#     (VERDICT #6);
+#   * 39 of the 40 queries whose ONLY driver proof is CORRECTNESS_r01 —
+#     the oldest green rows, re-proven so no green claim exceeds ~3
+#     rounds of age. `limit_offset` is the one r1-era leftover (40 − 39);
+#     it rolls to round 7's re-proof set.
+# Pinned by tests/test_registry.py::test_round6_pool_composition.
+ROUND6_ROTATION_POOL: tuple[str, ...] = (
+    # new in round 6 (never checked)
+    "quality_deciles_approx",
+    "session_paths_topk_salted",
+    # r1-era re-proofs (latest driver row = CORRECTNESS_r01)
+    "agg_string_list", "approx_agg", "cube_agg", "distinct_dedup",
+    "filter_pred", "grouping_sets_explicit", "histogram_value",
+    "join_equi", "join_multiway", "join_outer", "join_semi_anti",
+    "pivot_status", "quantile_price", "rollup_agg",
+    "rollup_grouping_id", "scalar_array", "scalar_date", "scalar_text",
+    "set_intersect_except", "set_ops_all", "set_union",
+    "sql_api_subquery", "topk", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "unpivot_stack", "window_lag_lead",
+    "window_rank", "window_running",
+)
+
+# Round-6 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
+ROUND6_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND6_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND6_WINDOW_PLAN
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

@@ -747,6 +747,136 @@ def test_session_paths_windows_share_one_user_exchange(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_session_paths_salted_never_partitions_by_bare_user(spark, sf_dir):
+    """The whale-immune variant must key EVERY window by (user_id, bkt)
+    — a bare user_id exchange would re-create the single-task whale
+    ceiling SCALING.md measures (19.7 s at 100× on one key)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "session_paths_topk_salted", mode="simple")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "user_id" in keys:
+            assert "bkt" in keys, f"bare-user exchange found: {keys}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_paths_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
+    """Full-distribution parity between the salted (day-bucketed,
+    boundary-replicated) plan and the unsalted per-user plan on a
+    corpus built to hit every time-split edge: sessions spanning
+    midnight, a single-event day between two active days, empty days,
+    a gap of exactly 30 min (same session: threshold is strict >), a
+    whale user, and equal-ts ties resolved by event_id. Two event
+    types keep the distinct-path count ≤ 8, so the top-10 IS the full
+    distribution."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+
+    def ev(user, t, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t, user, typ, 0.0, "{}"))
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # user 1: one long session crossing midnight (10-min steps, 23:40 → 00:20)
+    for i in range(7):
+        ev(1, dt.datetime(2024, 3, 1, 23, 40) + i * dt.timedelta(minutes=10), "a" if i % 2 else "b")
+    # user 2: active day, then a SINGLE event next day within 30 min of
+    # midnight on both sides is impossible — instead: last event 23:50,
+    # lone event next day 00:10 (same session), next event day+2 00:20
+    # (gap > 1 day ⇒ new session)
+    ev(2, dt.datetime(2024, 3, 3, 23, 30), "a")
+    ev(2, dt.datetime(2024, 3, 3, 23, 50), "b")
+    ev(2, dt.datetime(2024, 3, 4, 0, 10), "a")
+    ev(2, dt.datetime(2024, 3, 6, 0, 20), "b")
+    ev(2, dt.datetime(2024, 3, 6, 0, 30), "a")
+    ev(2, dt.datetime(2024, 3, 6, 0, 40), "b")
+    # user 3: gap of EXACTLY 30 min (same session — strict >), then 30
+    # min + 1 µs (new session)
+    t0 = dt.datetime(2024, 3, 10, 12, 0, 0)
+    ev(3, t0, "a")
+    ev(3, t0 + dt.timedelta(minutes=30), "b")
+    ev(3, t0 + dt.timedelta(minutes=60), "a")
+    ev(3, t0 + dt.timedelta(minutes=90, microseconds=1), "b")
+    ev(3, t0 + dt.timedelta(minutes=100), "a")
+    ev(3, t0 + dt.timedelta(minutes=110), "b")
+    # user 4: whale — 500 events at 5-min steps spanning ~2 days
+    for i in range(500):
+        ev(4, base + dt.timedelta(days=20) + i * dt.timedelta(minutes=5), "a" if i % 3 else "b")
+    # user 5: equal-ts ties (3 events, same µs) — order by event_id
+    tie = dt.datetime(2024, 3, 28, 23, 59, 59)
+    ev(5, tie, "b")
+    ev(5, tie, "a")
+    ev(5, tie, "b")
+    ev(5, dt.datetime(2024, 3, 29, 0, 1), "a")
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    unsalted = E.queries()["session_paths_topk"](spark, d).collect()
+    salted = E.queries()["session_paths_topk_salted"](spark, d).collect()
+    assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
+    # fewer than 10 distinct paths exist, so the compared top-10 was the
+    # FULL distribution, not a truncation that could mask a count drift
+    assert 4 <= len(salted) < 10
+
+
+def test_quality_deciles_matches_spark_ntile_on_awkward_n(spark, tmp_path):
+    """The distributed rank + ntile arithmetic must reproduce Spark's
+    own NTILE(10) bit-for-bit when N is NOT divisible by 10 (remainder
+    tiles take one extra row) and ties are heavy (ranks split tie
+    groups across tiles)."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, "x" * (1 + (i * 7) % 5)) for i in range(23)]  # N=23, 5 distinct lengths
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "corpus")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"])
+           for r in E.queries()["quality_deciles"](spark, d).collect()}
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    want = {
+        r["decile"]: (r["n_docs"], r["min_chars"], r["max_chars"])
+        for r in docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_docs"), F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .collect()
+    }
+    assert got == want
+    # remainder rule: first N%10=3 tiles hold 3 rows, the rest 2
+    assert [got[k][0] for k in sorted(got)] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+
+
+def test_quality_deciles_has_no_corpus_sized_single_partition_window(spark, sf_dir):
+    """The round-6 rewrite's only unpartitioned window runs over the
+    groupBy(n_chars) VALUE table (dimension-sized); the corpus-sized
+    work is the hashpartitioning(n_chars) window + a broadcast join of
+    the cut table back onto docs."""
+    plan = plan_of(spark, sf_dir, "quality_deciles", mode="simple")
+    assert "partial_count" in plan  # value table is map-side combined
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(n_chars" in plan
+
+
+def test_quality_deciles_approx_is_one_pass_no_window(spark, sf_dir):
+    """The approx companion must contain NO window operator at all and
+    partial-combine the quantile sketch map-side — the one-aggregate +
+    broadcast shape that makes it the 100-TB mixture-sampling mode."""
+    plan = plan_of(spark, sf_dir, "quality_deciles_approx", mode="simple")
+    assert "Window" not in plan
+    assert "partial_percentile_approx" in plan
+    assert "Broadcast" in plan
+
+
 def test_time_weighted_avg_partial_aggregates(spark, sf_dir):
     """The weighted sums must partial-combine map-side after the single
     LEAD window — fact-scale rows shrink to user-sized output before

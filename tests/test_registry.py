@@ -25,55 +25,46 @@ def test_window_is_first_50():
     assert set(registry.DRIVER_WINDOW) <= set(names)
 
 
-def test_window_covers_rotation_targets():
-    window = set(registry.DRIVER_WINDOW)
-    # Round-4 rotation (VERDICT r3 "Next round" #1): the always-on
-    # regression core, the priority families that have zero driver rows
-    # ever, and the r3 fix-proof queries.
-    core = {
-        "wordcount_e2e", "scan_count", "tokenize_wordcount", "project_lit",
-        "partition_expr", "sort_asc", "sort_desc", "agg_count",
-        # round-1 regression proof
-        "tpch_q12",
-    }
-    priority = {
-        # maintenance / CDC
-        "snapshot_diff", "merge_upsert", "scd2_history",
-        # graph
-        "pagerank_events", "triangle_count", "reachability_bfs",
-        # streaming joins + bounded-state dedup (VERDICT r3 #5)
-        "streaming_stream_join", "streaming_static_join", "streaming_topk",
-        "streaming_dedup_watermarked",
-        # Spark-4 surface
-        "variant_shred", "python_datasource_scan", "collated_distinct",
-        "xml_ingest",
-        # r3 fix proofs
-        "lsh_quality_eval", "url_canonicalize", "heavy_hitters",
-        "sliding_distinct_users", "compaction_bins",
-        # explicitly deferred from r3
-        "anomaly_zscore",
-    }
-    must = core | priority
-    assert must <= window, f"missing from driver window: {must - window}"
-    # every non-core slot comes from the never-checked pool — no slot is
-    # wasted re-checking an already-green query
-    rotation = window - core
-    assert len(rotation) == 41
+def _checked(*rounds: str) -> set[str]:
     import json
 
-    checked = set()
-    for rnd in ("r01", "r02", "r03"):
-        checked |= set(json.load(open(REPO / f"CORRECTNESS_{rnd}.json")))
-    assert not (rotation & checked), rotation & checked
+    out: set[str] = set()
+    for rnd in rounds:
+        out |= set(json.load(open(REPO / f"CORRECTNESS_{rnd}.json")))
+    return out
+
+
+ALL_ROUNDS = ("r01", "r02", "r03", "r04", "r05")
+ROUND6_NEW = {"quality_deciles_approx", "session_paths_topk_salted"}
+
+
+def test_window_covers_rotation_targets():
+    """Round-6 rotation (VERDICT r5 "Next round" #3): the never-checked
+    backlog is empty after r5, so the 41 rotating slots hold the 2
+    queries new in round 6 plus 39 re-proofs of the OLDEST green rows
+    (queries whose only driver proof is CORRECTNESS_r01)."""
+    window = set(registry.DRIVER_WINDOW)
+    core = set(registry.CORE_WINDOW)
+    assert core <= window
+    rotation = window - core
+    assert len(rotation) == 41
+    # the two round-6 additions have never been driver-checked
+    assert ROUND6_NEW <= rotation
+    assert not (ROUND6_NEW & _checked(*ALL_ROUNDS))
+    # every other slot re-proves an r1-era row: in r01, absent since
+    reproof = rotation - ROUND6_NEW
+    assert reproof <= _checked("r01")
+    assert not (reproof & _checked("r02", "r03", "r04", "r05"))
 
 
 def test_window_mostly_oracle_backed():
     oracles = registry.all_oracles()
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
-    # round 4: every window slot is oracle-backed (the pool's three
-    # rows-only queries — bpe_merges, hll_user_reach, pca_project —
-    # rotate in round 5)
-    assert rows_only == [], f"unexpected rows-only in window: {rows_only}"
+    # round 6: every window slot is oracle-backed EXCEPT approx_agg,
+    # an r1-era re-proof that is rows-only BY DESIGN (approximate
+    # aggregates have no exact cross-engine oracle; see
+    # tests/test_entry.py's pinned rows-only set)
+    assert rows_only == ["approx_agg"], f"unexpected rows-only in window: {rows_only}"
 
 
 def test_doc_counts_match_registry():
@@ -89,18 +80,29 @@ def test_doc_counts_match_registry():
         )
 
 
-def test_round5_pool_is_exactly_the_never_checked_set():
-    """The documented rotation pool must equal the recomputed set of
-    queries with no driver CORRECTNESS row in any prior round and no
-    current window slot — so the pool cannot silently rot as queries
-    are added."""
-    import json
+def test_round5_rotation_cleared_the_backlog():
+    """History pin (round 5): the round-5 window was exactly the 9-core
+    + the 41 then-never-checked queries, and the driver checked all 50
+    — so CORRECTNESS_r05 must equal core ∪ pool, and the pool must be
+    disjoint from everything checked in r01–r04. Expressed against the
+    recorded CORRECTNESS files, not the live window, so it stays true
+    as later rounds rotate."""
+    pool = set(registry.ROUND5_ROTATION_POOL)
+    assert _checked("r05") == set(registry.CORE_WINDOW) | pool
+    assert not (pool & _checked("r01", "r02", "r03", "r04"))
 
-    checked = set()
-    for rnd in ("r01", "r02", "r03"):
-        checked |= set(json.load(open(REPO / f"CORRECTNESS_{rnd}.json")))
-    never = set(registry.all_queries()) - checked - set(registry.DRIVER_WINDOW)
-    assert set(registry.ROUND5_ROTATION_POOL) == never
+
+def test_round6_pool_composition():
+    """The round-6 pool is pinned to its documented recipe: the
+    never-checked-after-r5 set (exactly the two round-6 additions) plus
+    39 r1-era re-proofs, with `limit_offset` the single documented
+    leftover — so the pool cannot silently rot as queries are added."""
+    pool = set(registry.ROUND6_ROTATION_POOL)
+    never = set(registry.all_queries()) - _checked(*ALL_ROUNDS)
+    assert never == ROUND6_NEW, f"never-checked set drifted: {never ^ ROUND6_NEW}"
+    r1_era = _checked("r01") - _checked("r02", "r03", "r04", "r05") - set(registry.CORE_WINDOW)
+    assert pool == ROUND6_NEW | (r1_era - {"limit_offset"})
+    assert "limit_offset" in r1_era  # the one deferred re-proof
 
 
 def test_bench_core_is_pinned():

