@@ -101,6 +101,11 @@ _TS_EDGES = [
 _TS_SENSITIVE = [
     "event_window", "scd2_history", "retention_cohorts",
     "funnel_weekly_trend", "sliding_distinct_users", "session_paths_topk",
+    # salted variant: `unix_micros div day` truncates toward zero, so the
+    # epoch-adjacent bucket is 2 days wide — still a contiguous monotone
+    # interval ≥ the 30-min gap, which is all the split relies on; this
+    # probe pins that on pre-epoch/1900/far-future stamps
+    "session_paths_topk_salted",
     "time_weighted_avg", "bounce_rate_daily", "markov_transitions",
     "attribution_last_touch", "decayed_engagement",
     "latency_percentile_bands", "burst_detection",
