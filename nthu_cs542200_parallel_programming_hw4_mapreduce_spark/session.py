@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stderr quiet: the driver's bench gate captures only the
+        # last ~2 KB of combined output, and console progress redraws
+        # are the one remaining writer that could land after the JSON
+        # line (bench.py also drops the log level to ERROR)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
