@@ -177,6 +177,38 @@ ROUND6_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND6_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND6_WINDOW_PLAN
 
+# Round-7 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW above
+# stays on the round-6 plan until round 7 flips it, and the flip commit
+# MUST update the window pins in tests/test_registry.py, the lesson of
+# the round-5 stub). Recipe continues the freshness rotation:
+#   * `limit_offset` — the one r1-era re-proof round 6 couldn't fit;
+#   * 40 of the 41 queries whose latest driver row is CORRECTNESS_r02
+#     (the then-oldest green rows); `chunk_overlap` is the documented
+#     leftover (it keeps its local parity + property tests).
+# Queries ADDED during round 7 take priority over re-proof slots —
+# bump re-proofs from the end of this tuple to make room. Every name
+# below is registered today (no phantoms — ADVICE r5; existence is
+# pinned by tests/test_registry.py::test_round7_pool_is_registered);
+# the rows-only members (ANN/multimodal/streaming extension proofs)
+# re-prove under the driver's weaker rows-only check, as declared.
+ROUND7_ROTATION_POOL: tuple[str, ...] = (
+    "limit_offset",
+    "ann_ivf_topk", "ann_lsh_topk", "asof_last_signup",
+    "cosine_knn_exact", "decontaminate_ngram", "dedup_clusters",
+    "dedup_cross_snapshot", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed", "dedup_exact",
+    "dedup_fuzzy_production", "dedup_lsh_jaccard_verified",
+    "dedup_minhash_lsh", "dedup_minhash_sig", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprint", "event_session", "event_window",
+    "label_centroids", "lang_id", "multimodal_embed_ann",
+    "multimodal_features", "multimodal_meta", "pack_context_windows",
+    "pipeline_filter_quality", "range_join_follow", "resample_ffill",
+    "sample_per_lang_topk", "session_window_native",
+    "streaming_stateful", "streaming_window", "text_quality",
+    "text_repetition", "text_scrub_pii", "tfidf_top_terms",
+    "token_count_est", "tpch_q1", "train_split_hash", "udtf_tokenize",
+)
+
 
 def _ordered(names: dict[str, object]) -> list[str]:
     front = [n for n in DRIVER_WINDOW if n in names]

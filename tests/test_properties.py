@@ -390,3 +390,43 @@ def test_vocab_growth_matches_python_model(spark, tmp_path_factory, texts):
     # monotone non-decreasing, ending at the full vocabulary
     vs = [r["vocab"] for r in rows]
     assert vs == sorted(vs) and vs[-1] == len(first)
+
+
+@SETTINGS
+@given(
+    lengths=st.lists(st.integers(1, 6), min_size=1, max_size=47),
+)
+def test_quality_deciles_rank_arithmetic_matches_ntile(
+    spark, tmp_path_factory, lengths
+):
+    """The round-6 distributed-rank rewrite of ``quality_deciles`` must
+    reproduce Spark's own global NTILE(10) for ANY corpus size and tie
+    structure — N not divisible by 10 (remainder tiles take one extra
+    row), all-equal lengths (one giant tie group split across all ten
+    tiles), N < 10 (empty tiles never appear; ntile emits 1..N)."""
+    from pyspark.sql import Window
+
+    import __spark_entry__ as E
+
+    docs = spark.createDataFrame(
+        [(i, "x" * ln, "en", "s", ln) for i, ln in enumerate(lengths)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path_factory.mktemp("deciles"))
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = sorted(map(tuple, E.queries()["quality_deciles"](spark, d).collect()))
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    want = sorted(
+        map(
+            tuple,
+            docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+            .groupBy("decile")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want

@@ -105,6 +105,21 @@ def test_round6_pool_composition():
     assert "limit_offset" in r1_era  # the one deferred re-proof
 
 
+def test_round7_pool_is_registered_and_freshness_ordered():
+    """The PRE-STAGED round-7 pool must contain only names that exist
+    (the ADVICE-r5 anti-phantom pin) and follow its documented recipe:
+    `limit_offset` (the r1-era leftover) + 40 of the 41 r2-era rows,
+    with `chunk_overlap` the documented leftover. Recomputed from the
+    recorded CORRECTNESS files so it cannot rot."""
+    pool = set(registry.ROUND7_ROTATION_POOL)
+    assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    r2_era = _checked("r02") - _checked("r03", "r04", "r05") - set(registry.CORE_WINDOW)
+    assert pool == {"limit_offset"} | (r2_era - {"chunk_overlap"})
+    assert "chunk_overlap" in r2_era
+    # pre-staged ≠ active: the live window is still the round-6 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND6_WINDOW_PLAN
+
+
 def test_bench_core_is_pinned():
     """bench.py's printed line carries ONLY the 30-query cross-round
     core — the driver's ~2 KB tail capture depends on the line staying
