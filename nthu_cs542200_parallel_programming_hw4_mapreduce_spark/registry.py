@@ -188,7 +188,8 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND6_WINDOW_PLAN
 # Queries ADDED during round 7 take priority over re-proof slots —
 # bump re-proofs from the end of this tuple to make room. Every name
 # below is registered today (no phantoms — ADVICE r5; existence is
-# pinned by tests/test_registry.py::test_round7_pool_is_registered);
+# pinned by tests/test_registry.py::
+# test_round7_pool_is_registered_and_freshness_ordered);
 # the rows-only members (ANN/multimodal/streaming extension proofs)
 # re-prove under the driver's weaker rows-only check, as declared.
 ROUND7_ROTATION_POOL: tuple[str, ...] = (
