@@ -1468,10 +1468,15 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eh"), F.col("eh") + F.expr("INTERVAL 23 HOURS"), F.expr("INTERVAL 1 HOUR")
     )
     exploded = pairs.select(F.explode(pts).alias("h"), "user_id")
-    # an evaluation point only exists if SOME event falls in its hour
+    # an evaluation point only exists if SOME event falls in its hour.
+    # The hour spine is TIME-SPAN-bounded (8,760 rows/year) — broadcast
+    # it so the semi-join is shuffle-free and the (h, user) distinct
+    # partial-aggregates MAP-SIDE before the one exchange; the earlier
+    # merge-hinted form shuffled every exploded row on h first
+    # (r6 plan audit: the only pre-aggregation fact-scale sort left)
     hours = ev.select(hour.alias("h")).distinct()
     return (
-        exploded.join(hours.hint("merge"), "h", "left_semi")
+        exploded.join(F.broadcast(hours), "h", "left_semi")
         .groupBy("h")
         .agg(F.count_distinct("user_id").cast("long").alias("dau"))
         .orderBy("h")

@@ -692,6 +692,11 @@ def test_sliding_distinct_dedupes_before_fanout(spark, sf_dir):
     # the aggregate beneath the explode is the pair-dedupe
     gen_at = plan.index("Generate")
     assert "HashAggregate" in plan[gen_at:]
+    # r6: the hour-spine semi-join must BROADCAST (time-span-bounded
+    # side) so the (h, user) dedupe partial-aggregates map-side; a
+    # merge join here sorts every exploded row before any reduction
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_url_canonicalize_is_scan_plus_one_shuffle(spark, sf_dir):
