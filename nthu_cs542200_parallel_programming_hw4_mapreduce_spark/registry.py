@@ -172,15 +172,13 @@ ROUND6_ROTATION_POOL: tuple[str, ...] = (
     "window_rank", "window_running",
 )
 
-# Round-6 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
+# Round-6 window (all 49 oracle rows + 1 declared rows-only green in
+# CORRECTNESS_r06.json; retained for the audit trail).
 ROUND6_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND6_ROTATION_POOL
 
-DRIVER_WINDOW: tuple[str, ...] = ROUND6_WINDOW_PLAN
-
-# Round-7 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW above
-# stays on the round-6 plan until round 7 flips it, and the flip commit
-# MUST update the window pins in tests/test_registry.py, the lesson of
-# the round-5 stub). Recipe continues the freshness rotation:
+# Round-7 rotation pool, ACTIVE (flipped with the pins in
+# tests/test_registry.py in the same commit — the round-5 lesson).
+# Recipe continues the freshness rotation:
 #   * `limit_offset` — the one r1-era re-proof round 6 couldn't fit;
 #   * 40 of the 41 queries whose latest driver row is CORRECTNESS_r02
 #     (the then-oldest green rows); `chunk_overlap` is the documented
@@ -209,6 +207,11 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
     "text_repetition", "text_scrub_pii", "tfidf_top_terms",
     "token_count_est", "tpch_q1", "train_split_hash", "udtf_tokenize",
 )
+
+# Round-7 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
+ROUND7_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND7_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

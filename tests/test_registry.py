@@ -37,34 +37,49 @@ def _checked(*rounds: str) -> set[str]:
 ALL_ROUNDS = ("r01", "r02", "r03", "r04", "r05")
 ROUND6_NEW = {"quality_deciles_approx", "session_paths_topk_salted"}
 
+# Rows-only slots in the round-7 window: exactly the declared
+# non-SQL-expressible members of the r2-era re-proof set (ANN probes,
+# multimodal kernels, streaming state — see tests/test_entry.py's
+# pinned rows-only list). Window order.
+ROUND7_ROWS_ONLY = [
+    "ann_ivf_topk", "ann_lsh_topk", "dedup_embedding_cosine_bucketed",
+    "multimodal_embed_ann", "multimodal_features", "streaming_stateful",
+]
+
 
 def test_window_covers_rotation_targets():
-    """Round-6 rotation (VERDICT r5 "Next round" #3): the never-checked
-    backlog is empty after r5, so the 41 rotating slots hold the 2
-    queries new in round 6 plus 39 re-proofs of the OLDEST green rows
-    (queries whose only driver proof is CORRECTNESS_r01)."""
+    """Round-7 rotation (VERDICT r6 "Next round" #1-2): the 41 rotating
+    slots hold `limit_offset` (the last query whose only driver row is
+    CORRECTNESS_r01) plus re-proofs of the r2-era rows — the oldest
+    remaining green claims — with any round-7 additions taking priority
+    slots. Every rotation slot's latest driver row must predate r03."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    # the two round-6 additions have never been driver-checked
-    assert ROUND6_NEW <= rotation
-    assert not (ROUND6_NEW & _checked(*ALL_ROUNDS))
-    # every other slot re-proves an r1-era row: in r01, absent since
-    reproof = rotation - ROUND6_NEW
-    assert reproof <= _checked("r01")
-    assert not (reproof & _checked("r02", "r03", "r04", "r05"))
+    assert rotation == set(registry.ROUND7_ROTATION_POOL)
+    # limit_offset: the one slot whose only driver proof is r01
+    assert "limit_offset" in rotation
+    # re-proof slots are r1/r2-era only — never re-checked since
+    reproof = rotation - _new_in_round7()
+    assert reproof <= _checked("r01", "r02")
+    assert not (reproof & _checked("r03", "r04", "r05", "r06"))
+
+
+def _new_in_round7() -> set[str]:
+    """Queries added during round 7 (never driver-checked in any
+    recorded CORRECTNESS file)."""
+    return set(registry.all_queries()) - _checked(*ALL_ROUNDS, "r06")
 
 
 def test_window_mostly_oracle_backed():
     oracles = registry.all_oracles()
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
-    # round 6: every window slot is oracle-backed EXCEPT approx_agg,
-    # an r1-era re-proof that is rows-only BY DESIGN (approximate
-    # aggregates have no exact cross-engine oracle; see
-    # tests/test_entry.py's pinned rows-only set)
-    assert rows_only == ["approx_agg"], f"unexpected rows-only in window: {rows_only}"
+    # round 7: every window slot is oracle-backed EXCEPT the six
+    # declared rows-only re-proofs (non-SQL-expressible by design; the
+    # driver records the weaker rows-only check for each)
+    assert rows_only == ROUND7_ROWS_ONLY, f"unexpected rows-only in window: {rows_only}"
 
 
 def test_doc_counts_match_registry():
@@ -92,32 +107,43 @@ def test_round5_rotation_cleared_the_backlog():
     assert not (pool & _checked("r01", "r02", "r03", "r04"))
 
 
-def test_round6_pool_composition():
-    """The round-6 pool is pinned to its documented recipe: the
-    never-checked-after-r5 set (exactly the two round-6 additions) plus
-    39 r1-era re-proofs, with `limit_offset` the single documented
-    leftover — so the pool cannot silently rot as queries are added."""
+def test_round6_window_history():
+    """History pin (round 6): the driver checked exactly the round-6
+    window — core + the 2 round-6 additions + 39 r1-era re-proofs, with
+    `limit_offset` the single documented leftover. Expressed against the
+    recorded CORRECTNESS files so it stays true as later rounds
+    rotate."""
     pool = set(registry.ROUND6_ROTATION_POOL)
-    never = set(registry.all_queries()) - _checked(*ALL_ROUNDS)
-    assert never == ROUND6_NEW, f"never-checked set drifted: {never ^ ROUND6_NEW}"
+    assert _checked("r06") == set(registry.CORE_WINDOW) | pool
+    assert not (ROUND6_NEW & _checked(*ALL_ROUNDS))
     r1_era = _checked("r01") - _checked("r02", "r03", "r04", "r05") - set(registry.CORE_WINDOW)
     assert pool == ROUND6_NEW | (r1_era - {"limit_offset"})
     assert "limit_offset" in r1_era  # the one deferred re-proof
 
 
 def test_round7_pool_is_registered_and_freshness_ordered():
-    """The PRE-STAGED round-7 pool must contain only names that exist
+    """The ACTIVE round-7 pool must contain only names that exist
     (the ADVICE-r5 anti-phantom pin) and follow its documented recipe:
-    `limit_offset` (the r1-era leftover) + 40 of the 41 r2-era rows,
-    with `chunk_overlap` the documented leftover. Recomputed from the
-    recorded CORRECTNESS files so it cannot rot."""
+    `limit_offset` (the r1-era leftover) + the r2-era rows minus the
+    documented leftovers, + any round-7 additions (which bump re-proofs
+    from the tuple's end). Recomputed from the recorded CORRECTNESS
+    files so it cannot rot."""
     pool = set(registry.ROUND7_ROTATION_POOL)
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
-    r2_era = _checked("r02") - _checked("r03", "r04", "r05") - set(registry.CORE_WINDOW)
-    assert pool == {"limit_offset"} | (r2_era - {"chunk_overlap"})
-    assert "chunk_overlap" in r2_era
-    # pre-staged ≠ active: the live window is still the round-6 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND6_WINDOW_PLAN
+    r2_era = _checked("r02") - _checked("r03", "r04", "r05", "r06") - set(registry.CORE_WINDOW)
+    new7 = _new_in_round7()
+    candidates = {"limit_offset"} | r2_era | new7
+    assert pool <= candidates, pool - candidates
+    # additions never wait — they take priority slots
+    assert new7 <= pool, new7 - pool
+    assert "limit_offset" in pool
+    # chunk_overlap is always deferred (documented since r6); any other
+    # leftover is a re-proof bumped by a round-7 addition, one per
+    leftovers = candidates - pool
+    assert "chunk_overlap" in leftovers
+    assert len(leftovers - {"chunk_overlap"}) == len(new7)
+    # the live window is the round-7 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
 
 
 def test_bench_core_is_pinned():
