@@ -194,6 +194,8 @@ HEADLINE = [
     # r6 additions: scale-safe decile bucketing + whale-immune paths
     "quality_deciles_approx",
     "session_paths_topk_salted",
+    # r7 additions: whale-immune bounce rate + ANN candidate-stage oracles
+    "bounce_rate_daily_salted",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

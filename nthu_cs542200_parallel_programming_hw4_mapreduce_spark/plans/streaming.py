@@ -1997,6 +1997,59 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _day_bucketed(ev: DataFrame, n_back: int = 0, fwd: bool = False) -> DataFrame:
+    """Whale-salting pad helper (VERDICT r6 "Next round" #3): re-key an
+    event stream by ``(user_id, day-bucket)`` so no window is ever
+    partitioned by bare ``user_id`` — one hyperactive user splits
+    across as many tasks as active days, bounding per-task work by
+    events/user/day.
+
+    The time-split is exact for any gap-based sessionizer whose gap
+    threshold (30 min) is smaller than the bucket width (1 day): a
+    bucket with no replicated predecessor implies a session break, so
+    ``lag IS NULL`` at a bucket start is indistinguishable from the
+    true stream start. Boundary context is replicated, never shuffled
+    globally:
+
+      * ``fwd=True`` re-keys each bucket's LAST event into the next
+        bucket (feeds a ``lag`` there — needed when the consumer reads
+        the CURRENT row's gap flag, e.g. session-id assignment);
+      * ``n_back=k`` re-keys each bucket's first ``k`` events into the
+        previous bucket (feed ``lead(1..k)`` there).
+
+    Replicas carry ``own = false``; consumers emit results for own
+    rows only, so replicas add context, never counts. Requires
+    ``user_id``, ``ts``, ``event_id`` columns; all other columns ride
+    along. Cost: one extra exchange over ≤(k+1) boundary rows per
+    (user, day)."""
+    from pyspark.sql import Window
+
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    base = ev.withColumn("bkt", day)
+    out = base.withColumn("own", F.lit(True))
+    if fwd:
+        wd = Window.partitionBy("user_id", "bkt").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        out = out.unionByName(
+            base.withColumn("_rnd", F.row_number().over(wd))
+            .filter(F.col("_rnd") == 1)
+            .drop("_rnd")
+            .withColumn("bkt", F.col("bkt") + 1)
+            .withColumn("own", F.lit(False))
+        )
+    if n_back:
+        wa = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+        out = out.unionByName(
+            base.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") <= n_back)
+            .drop("_rn")
+            .withColumn("bkt", F.col("bkt") - 1)
+            .withColumn("own", F.lit(False))
+        )
+    return out
+
+
 @query(
     "session_paths_topk_salted",
     oracle="""
@@ -2035,18 +2088,22 @@ def session_paths_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       * A 3-step path is valid iff the NEXT TWO events exist and
         neither starts a new session (gap > 30 min) — session IDs are
-        never needed, only each event's gap-to-predecessor flag.
+        never needed, only the NEXT TWO rows' gap-to-predecessor
+        flags. The anchor row's own flag is never read, so no
+        backward (``fwd``) replication is needed: only each bucket's
+        first two events replicate into the previous bucket, feeding
+        the two ``lead``s there (the pad_fwd branch the first cut
+        carried was dead weight — ADVICE r6 — because the only flag
+        it could change, the first own row's ``new_s``, is consumed
+        by no own-row anchor).
       * Bucket width (1 day) > gap threshold (30 min), so a bucket
         with no replicated predecessor implies a session break —
         ``lag IS NULL`` ⇒ ``new_s = 1`` is CORRECT at bucket starts
         with an empty preceding bucket, exactly as at the true start.
-      * Boundary context is replicated, not shuffled globally: each
-        bucket's LAST event is re-keyed into the next bucket (feeds
-        ``lag`` there) and its FIRST TWO into the previous one (feed
-        the two ``lead``s); paths are emitted only for a row's home
-        bucket, so replicas add context, never counts.
+      * Paths are emitted only for a row's home bucket, so replicas
+        add context, never counts.
 
-    Cost: one extra exchange over ~3 boundary rows per (user, day)
+    Cost: one extra exchange over ≤2 boundary rows per (user, day)
     versus the unsalted form's single exchange — the price of whale
     immunity. Parity with the unsalted plan is pinned by
     tests/test_oracle_parity.py and a dedicated equivalence test."""
@@ -2054,28 +2111,7 @@ def session_paths_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-    base = ev.withColumn("bkt", day)
-    wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
-    ranked = base.select(
-        "*",
-        F.row_number().over(wb).alias("_rn"),
-        F.row_number().over(
-            Window.partitionBy("user_id", "bkt").orderBy(F.desc("ts"), F.desc("event_id"))
-        ).alias("_rn_desc"),
-    )
-    own = ranked.select("user_id", "ts", "event_id", "event_type", "bkt", F.lit(True).alias("own"))
-    pad_fwd = (  # last event of each bucket → next bucket (lag context)
-        ranked.filter(F.col("_rn_desc") == 1)
-        .select("user_id", "ts", "event_id", "event_type",
-                (F.col("bkt") + 1).alias("bkt"), F.lit(False).alias("own"))
-    )
-    pad_back = (  # first two events of each bucket → previous bucket (lead context)
-        ranked.filter(F.col("_rn") <= 2)
-        .select("user_id", "ts", "event_id", "event_type",
-                (F.col("bkt") - 1).alias("bkt"), F.lit(False).alias("own"))
-    )
-    padded = own.unionByName(pad_fwd).unionByName(pad_back)
+    padded = _day_bucketed(ev, n_back=2)
     wp = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
     flagged = padded.withColumn(
         "new_s",
@@ -2099,6 +2135,129 @@ def session_paths_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), "path")
         .limit(10)
+    )
+
+
+@query(
+    "bounce_rate_daily_salted",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid, ts
+      FROM s
+    ), per AS (
+      SELECT user_id, sid, date_trunc('day', MIN(ts)) AS day,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS bounces,
+           round(COUNT(*) FILTER (WHERE n_events = 1) * 1.0 / COUNT(*), 6)
+             AS bounce_rate
+    FROM per GROUP BY day ORDER BY day
+    """,
+)
+def bounce_rate_daily_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bounce_rate_daily`` with the whale-key escape (VERDICT r6
+    "Next round" #3): same declared semantics and SAME oracle, but the
+    event-scale sessionizer windows are keyed by ``(user_id, day)``
+    via :func:`_day_bucketed`, so one hyperactive user never
+    serializes a task.
+
+    Unlike ``session_paths_topk_salted`` this query needs whole
+    sessions (count + min ts), and sessions cross midnight — so the
+    split is a two-level plan:
+
+      1. Per (user, day-bucket): compute gap flags (``fwd`` replica
+         supplies the cross-midnight lag), then a bucket-local run id
+         ``r`` (running sum of own-row session starts; ``r = 0`` ⇔
+         the bucket's first event continues the previous day's last
+         session). Aggregate each run to (count, min_ts) — the only
+         event-scale shuffles, all (user, bkt)-keyed.
+      2. Runs strictly inside a bucket (0 < r < max_r) are complete
+         sessions → fold straight into per-day partials. Boundary
+         runs (r = 0 or r = max_r, ≤2 rows per user-day) go to a
+         DIMENSION-scale stitch: ordered by (bkt, r) per user, an
+         r = 0 run always attaches to the immediately preceding row
+         — its predecessor day's last run, which must exist because
+         r = 0 requires a ≤30-min gap across midnight — so a running
+         sum of "starts a chain" labels each cross-midnight session;
+         each chain folds to one session row.
+
+    The stitch window IS user-keyed, but over ≤2 rows per (user,
+    active day) — a whale contributes days, not events, to that
+    partition. Parity with the unsalted plan is pinned on the
+    boundary corpus (midnight-spanning, lone-event-day, exact-30-min,
+    whale, tie cases) in tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    padded = _day_bucketed(ev, fwd=True)
+    wp = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    flagged = padded.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(wp).isNull() | ((us - F.lag(us).over(wp)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    runs = (
+        flagged.withColumn(
+            "r",
+            F.sum(F.when(F.col("own"), F.col("new_s")).otherwise(0)).over(
+                wp.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter("own")
+        .groupBy("user_id", "bkt", "r")
+        .agg(F.count("*").alias("cnt"), F.min("ts").alias("min_ts"))
+        .withColumn("max_r", F.max("r").over(Window.partitionBy("user_id", "bkt")))
+    )
+    day_of = F.date_trunc("day", F.col("min_ts")).alias("day")
+    closed_daily = (
+        runs.filter((F.col("r") >= 1) & (F.col("r") < F.col("max_r")))
+        .groupBy(day_of)
+        .agg(
+            F.count("*").alias("s_part"),
+            F.count(F.when(F.col("cnt") == 1, True)).alias("b_part"),
+        )
+    )
+    ws = Window.partitionBy("user_id").orderBy("bkt", "r")
+    chain_daily = (
+        runs.filter((F.col("r") == 0) | (F.col("r") == F.col("max_r")))
+        .withColumn(
+            "chain",
+            F.sum(F.when(F.col("r") == 0, 0).otherwise(1)).over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "chain")
+        .agg(F.sum("cnt").alias("n_events"), F.min("min_ts").alias("min_ts"))
+        .groupBy(day_of)
+        .agg(
+            F.count("*").alias("s_part"),
+            F.count(F.when(F.col("n_events") == 1, True)).alias("b_part"),
+        )
+    )
+    bounces = F.sum("b_part").cast("long")
+    sessions = F.sum("s_part").cast("long")
+    return (
+        closed_daily.unionByName(chain_daily)
+        .groupBy("day")
+        .agg(
+            sessions.alias("sessions"),
+            bounces.alias("bounces"),
+            F.round(bounces / sessions, 6).alias("bounce_rate"),
+        )
+        .orderBy("day")
     )
 
 

@@ -190,7 +190,11 @@ ROUND6_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND6_ROTATION_POOL
 # test_round7_pool_is_registered_and_freshness_ordered);
 # the rows-only members (ANN/multimodal/streaming extension proofs)
 # re-prove under the driver's weaker rows-only check, as declared.
+# Round-7 additions (each bumps one re-proof from the tuple's end to
+# round 8, per the recipe): bounce_rate_daily_salted (bumped
+# udtf_tokenize).
 ROUND7_ROTATION_POOL: tuple[str, ...] = (
+    "bounce_rate_daily_salted",
     "limit_offset",
     "ann_ivf_topk", "ann_lsh_topk", "asof_last_signup",
     "cosine_knn_exact", "decontaminate_ngram", "dedup_clusters",
@@ -205,7 +209,7 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
     "sample_per_lang_topk", "session_window_native",
     "streaming_stateful", "streaming_window", "text_quality",
     "text_repetition", "text_scrub_pii", "tfidf_top_terms",
-    "token_count_est", "tpch_q1", "train_split_hash", "udtf_tokenize",
+    "token_count_est", "tpch_q1", "train_split_hash",
 )
 
 # Round-7 window, ACTIVE: 9 core + 41-slot pool = exactly 50.

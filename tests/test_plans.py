@@ -766,15 +766,12 @@ def test_session_paths_salted_never_partitions_by_bare_user(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_session_paths_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
-    """Full-distribution parity between the salted (day-bucketed,
-    boundary-replicated) plan and the unsalted per-user plan on a
-    corpus built to hit every time-split edge: sessions spanning
-    midnight, a single-event day between two active days, empty days,
-    a gap of exactly 30 min (same session: threshold is strict >), a
-    whale user, and equal-ts ties resolved by event_id. Two event
-    types keep the distinct-path count ≤ 8, so the top-10 IS the full
-    distribution."""
+def _boundary_corpus(spark, tmp_path) -> str:
+    """Events parquet dir hitting every (user, day)-bucket time-split
+    edge: sessions spanning midnight, a lone-event day between two
+    active days, empty days, a gap of exactly 30 min (same session:
+    threshold is strict >), a whale user, and equal-ts ties resolved
+    by event_id. Shared by the salted-vs-unsalted equivalence tests."""
     import datetime as dt
 
     rows = []
@@ -823,12 +820,52 @@ def test_session_paths_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path
     )
     d = str(tmp_path / "corpus")
     df.coalesce(1).write.parquet(d + "/events.parquet")
+    return d
+
+
+def test_session_paths_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
+    """Full-distribution parity between the salted (day-bucketed,
+    boundary-replicated) plan and the unsalted per-user plan on the
+    boundary corpus. Two event types keep the distinct-path count ≤ 8,
+    so the top-10 IS the full distribution."""
+    d = _boundary_corpus(spark, tmp_path)
     unsalted = E.queries()["session_paths_topk"](spark, d).collect()
     salted = E.queries()["session_paths_topk_salted"](spark, d).collect()
     assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
     # fewer than 10 distinct paths exist, so the compared top-10 was the
     # FULL distribution, not a truncation that could mask a count drift
     assert 4 <= len(salted) < 10
+
+
+def test_bounce_rate_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
+    """The two-level salted bounce plan (bucket-local runs + dimension-
+    scale chain stitch) must reproduce the unsalted sessionizer exactly
+    on the boundary corpus — midnight-spanning sessions exercise the
+    r=0 chain attach, the lone-event day between active days exercises
+    a single-run bucket that is both r=0 and max_r, and the whale user
+    exercises multi-day chains."""
+    d = _boundary_corpus(spark, tmp_path)
+    unsalted = E.queries()["bounce_rate_daily"](spark, d).collect()
+    salted = E.queries()["bounce_rate_daily_salted"](spark, d).collect()
+    assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
+    assert len(salted) >= 5  # several distinct days → non-trivial compare
+
+
+def test_bounce_rate_salted_event_scale_exchanges_are_bucketed(spark, sf_dir):
+    """Whale-immunity plan pin: every exchange keyed by user_id must
+    either include the day bucket (the event-scale sessionizer windows)
+    or be the single run-table stitch — which is dimension-scale (≤2
+    rows per user-day) by construction, so ONE bare-user exchange is
+    the allowed maximum."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "bounce_rate_daily_salted", mode="simple")
+    bare = 0
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "user_id" in keys and "bkt" not in keys:
+            bare += 1
+    assert bare <= 1, f"{bare} bare-user exchanges — event-scale window leaked"
 
 
 def test_quality_deciles_matches_spark_ntile_on_awkward_n(spark, tmp_path):
