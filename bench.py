@@ -196,6 +196,8 @@ HEADLINE = [
     "session_paths_topk_salted",
     # r7 additions: whale-immune bounce rate + ANN candidate-stage oracles
     "bounce_rate_daily_salted",
+    "ann_lsh_bands",
+    "ann_ivf_cell_assign",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

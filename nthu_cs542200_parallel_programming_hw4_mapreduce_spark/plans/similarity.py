@@ -251,6 +251,149 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(V.score_pairs(cand, "ce", "qe"))
 
 
+def _dd_planes_cte() -> str:
+    """The deterministic md5-derived hyperplanes as a DuckDB VALUES
+    list — same constants ``with_lsh_buckets`` closes over (repr()
+    round-trips each double bit-exactly through DuckDB's literal
+    parser), so the oracle hashes with the very planes the engine
+    ships to executors."""
+    planes = V.np_planes(dim=_DIM, n_planes=_N_PLANES).tolist()
+    rows = ", ".join(
+        f"({p}, [{', '.join(repr(v) for v in row)}])"
+        for p, row in enumerate(planes)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(p, pl)"
+
+
+_ANN_LSH_BANDS_ORACLE = """
+    WITH planes AS (__PLANES__),
+    b AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl.pl[i])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL) e
+      CROSS JOIN planes pl
+    )
+    SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+    FROM b GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@query("ann_lsh_bands", oracle=_ANN_LSH_BANDS_ORACLE.replace("__PLANES__", _dd_planes_cte()))
+def ann_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed foothold for ``ann_lsh_topk`` (VERDICT r6 "Next
+    round" #4): the LSH band keys are a DETERMINISTIC function (md5-
+    derived hyperplanes, sign bits), so the candidate-generation half
+    of the rows-only ANN probe is exactly checkable — this query runs
+    the PRODUCTION ``with_lsh_buckets`` kernel itself (the same
+    mapInPandas BLAS pass ``ann_lsh_topk`` uses, functions/vectors.py)
+    and checks every vector's bucket key against a DuckDB replay of
+    the same per-index products. Only the within-bucket top-k ranking
+    of the parent probe remains engine-specific.
+
+    Summation-order caveat (the ``kmeans_assign`` precedent): numpy
+    sums pairwise, list_sum left-to-right — a sign can only diverge
+    for |dot| ≲ 1e-13, a knife-edge no fixture vector sits on."""
+    return (
+        V.with_lsh_buckets(
+            vec_table(spark, sf_dir).select("vec_id", "embedding"),
+            dim=_DIM, n_planes=_N_PLANES,
+        )
+        .select("vec_id", "bucket")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "ann_ivf_cell_assign",
+    oracle="""
+    WITH par AS (
+      SELECT GREATEST(1, n // LEAST(4096, GREATEST(16,
+               CAST(FLOOR(SQRT(n)) AS BIGINT)))) AS stride
+      FROM (SELECT COUNT(*) AS n FROM embeddings
+            WHERE embedding IS NOT NULL)
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce,
+             GREATEST(sqrt(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-12) AS cn
+      FROM embeddings, par
+      WHERE embedding IS NOT NULL AND vec_id % par.stride = 0
+    ),
+    d AS (
+      SELECT e.vec_id, c.cent_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                  * (CAST(c.ce[i] AS DOUBLE) / c.cn))) AS s
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL) e
+      CROSS JOIN cents c
+    ),
+    r AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cent_id) AS rn
+      FROM d
+    )
+    SELECT vec_id, cent_id AS cell FROM r WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ann_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed foothold for ``ann_ivf_topk`` (VERDICT r6 "Next
+    round" #4, the ``kmeans_assign`` pattern): the coarse-cell
+    assignment — argmax of dot(x, c/‖c‖) over the √n stride-sampled
+    centroids — is plain argmax-over-k, which DuckDB expresses as a
+    cross join + window rank; only the probe-and-rank half of the
+    parent remains engine-specific. Same √n/stride arithmetic as the
+    parent (the oracle recomputes it from COUNT(*) with the identical
+    clamp), same normalize-centroid-then-dot term structure (the
+    oracle divides each component by the norm BEFORE the product, so
+    argmax can only diverge on float knife-edges, per the
+    ``kmeans_assign`` precedent), and the centroid list is sorted by
+    cent_id so numpy's first-index argmax tie-break equals the
+    oracle's ``ORDER BY s DESC, cent_id``.
+
+    Scale shape is the parent's: bounded ≤4096×d centroid collect +
+    broadcast, corpus streams through ONE narrow mapInPandas (a
+    (batch × cells) BLAS matmul each), no corpus shuffle — the
+    orderBy is presentation-only."""
+    import math
+
+    import numpy as np
+
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    k_cells = min(4096, max(16, math.isqrt(n)))
+    stride = max(1, n // k_cells)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") % stride == 0).collect(),  # bounded: ≤4096 × d
+        key=lambda r: r["vec_id"],
+    )
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if not cent_rows:
+        return spark.createDataFrame([], "vec_id long, cell long")
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), V._EPS)
+    bc = spark.sparkContext.broadcast((cent_ids, cmat))
+
+    def assign(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            best = np.argmax(x @ mat.T, axis=1)  # first-index tie = lowest cent_id
+            yield pdf[["vec_id"]].assign(cell=ids[best])
+
+    return (
+        emb.mapInPandas(assign, schema="vec_id long, cell long")
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "label_centroids",
     oracle="""

@@ -192,8 +192,11 @@ ROUND6_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND6_ROTATION_POOL
 # re-prove under the driver's weaker rows-only check, as declared.
 # Round-7 additions (each bumps one re-proof from the tuple's end to
 # round 8, per the recipe): bounce_rate_daily_salted (bumped
-# udtf_tokenize).
+# udtf_tokenize), ann_lsh_bands (bumped train_split_hash),
+# ann_ivf_cell_assign (bumped tpch_q1).
 ROUND7_ROTATION_POOL: tuple[str, ...] = (
+    "ann_ivf_cell_assign",
+    "ann_lsh_bands",
     "bounce_rate_daily_salted",
     "limit_offset",
     "ann_ivf_topk", "ann_lsh_topk", "asof_last_signup",
@@ -209,7 +212,7 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
     "sample_per_lang_topk", "session_window_native",
     "streaming_stateful", "streaming_window", "text_quality",
     "text_repetition", "text_scrub_pii", "tfidf_top_terms",
-    "token_count_est", "tpch_q1", "train_split_hash",
+    "token_count_est",
 )
 
 # Round-7 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
