@@ -964,6 +964,14 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
          bit-for-bit; deterministic tie-break on doc_id keeps both
          engines' tile boundaries identical.
 
+    NULL-robust by construction (ADVICE r6): the doc→value-table join
+    is NULL-SAFE (``<=>``), so rows with NULL n_chars form their own
+    tie group instead of dropping — and both engines sort them last
+    (Spark ``desc`` defaults to NULLS LAST; DuckDB's default null
+    order is NULLS LAST for DESC too, probed round 7), so NULL docs
+    fill the trailing deciles identically. Pinned by a NULL-bearing
+    corpus test in tests/test_plans.py.
+
     The 10-row output then aggregates as before. For value-bucketed
     (tie-preserving, sketch-friendly) semantics see the companion
     ``quality_deciles_approx`` below."""
@@ -976,14 +984,14 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("n_chars")
         .agg(F.count("*").alias("cnt"))
         .select(
-            "n_chars",
+            F.col("n_chars").alias("g_chars"),
             (F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding, 0)) - F.col("cnt")).alias("offset"),
             F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n_total"),
         )
     )
     within = F.row_number().over(Window.partitionBy("n_chars").orderBy("doc_id"))
     r = (
-        docs.join(F.broadcast(grp), "n_chars")
+        docs.join(F.broadcast(grp), F.col("n_chars").eqNullSafe(F.col("g_chars")))
         .select("n_chars", (F.col("offset") + within).alias("rk"), "n_total")
     )
     # SQL-standard NTILE(10): base = N div 10, rem = N mod 10; the first

@@ -898,6 +898,60 @@ def test_quality_deciles_matches_spark_ntile_on_awkward_n(spark, tmp_path):
     assert [got[k][0] for k in sorted(got)] == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
 
 
+def _decile_oracle_compare(spark, tmp_path, name, docs_rows):
+    """Run a quality-decile query AND its DuckDB oracle on an ad-hoc
+    documents corpus and return the parity problems list."""
+    import duckdb
+
+    from tools.parity import compare
+
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / f"corpus_{name}_{len(docs_rows)}")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+    sdf = E.queries()[name](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    return compare(name, sdf, con.execute(E.oracle_sql()[name]).df())
+
+
+def test_quality_deciles_null_chars_keep_oracle_parity(spark, tmp_path):
+    """ADVICE r6: the doc→value-table join must be NULL-SAFE — rows
+    with NULL n_chars form their own trailing tie group in BOTH
+    engines (Spark desc ⇒ NULLS LAST; DuckDB DESC default ⇒ NULLS
+    LAST), never silently drop. N=23 with 6 NULL docs puts NULLs
+    across the last three tiles; the approx variant must also agree
+    (NULL lands in decile 10 via the filter-drops-NULL-comparison
+    convention, identical in both engines)."""
+    rows = [(i, "x" * (1 + (i * 7) % 5), "en", "s", 1 + (i * 7) % 5) for i in range(17)]
+    rows += [(100 + i, "", "en", "s", None) for i in range(6)]
+    for name in ("quality_deciles", "quality_deciles_approx"):
+        problems = _decile_oracle_compare(spark, tmp_path, name, rows)
+        assert not problems, f"{name}: {problems}"
+
+
+def test_quality_deciles_approx_tie_convention_matches_duckdb(spark, tmp_path):
+    """ADVICE r6: the oracle parity of quality_deciles_approx rests on
+    Spark percentile_approx(accuracy=1e6) picking the same cut values
+    as DuckDB quantile_disc. Pin the coincidence on the adversarial
+    shapes where rank conventions could diverge: N % 10 != 0, heavy
+    ties (2 distinct values), all-equal values, and a skewed 90/10
+    split — full query-vs-oracle compare on each corpus."""
+    shapes = {
+        "awkward_n": [1 + (i * 13) % 7 for i in range(97)],
+        "heavy_ties": [5 if i % 3 else 7 for i in range(103)],
+        "all_equal": [4] * 41,
+        "skew_90_10": [2] * 70 + [9] * 7,
+    }
+    for label, vals in shapes.items():
+        rows = [(i, "x" * v, "en", label, v) for i, v in enumerate(vals)]
+        problems = _decile_oracle_compare(spark, tmp_path, "quality_deciles_approx", rows)
+        assert not problems, f"{label}: {problems}"
+
+
 def test_quality_deciles_has_no_corpus_sized_single_partition_window(spark, sf_dir):
     """The round-6 rewrite's only unpartitioned window runs over the
     groupBy(n_chars) VALUE table (dimension-sized); the corpus-sized
