@@ -241,11 +241,19 @@ def main() -> None:
         for name in HEADLINE:
             run(name)
     timings = {name: round(run(name), 3) for name in HEADLINE}
+    # Warm headline anchor (VERDICT r6 "Next round" #7): a second
+    # execution of the 30-query core, so the driver-captured line
+    # carries BOTH totals and cross-round steady-state comparisons no
+    # longer depend on the gitignored bench_full_warm.json side file.
+    warm_core = {name: round(run(name), 3) for name in BENCH_CORE}
+    core_total_warm = round(sum(warm_core.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_core_warm": warm_core,
+        "core_total_warm": core_total_warm,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -261,6 +269,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: timings[n] for n in BENCH_CORE},
                 "core_total": round(sum(timings[n] for n in BENCH_CORE), 3),
+                "core_total_warm": core_total_warm,
                 "n_queries": len(timings),
                 "full_map": "bench_full.json",
                 "sf": sf,

@@ -171,6 +171,7 @@ def test_bench_core_is_pinned():
             "unit": "sec",
             "queries": {n: 99.999 for n in bench.BENCH_CORE},
             "core_total": 999.999,
+            "core_total_warm": 999.999,
             "n_queries": len(bench.HEADLINE),
             "full_map": "bench_full.json",
             "sf": 0.1,

@@ -633,7 +633,8 @@ def test_transform_with_state_is_protobuf_gated():
     sandbox has no network route to any index, so the package cannot be
     vendored either. Round-6 re-probe (VERDICT r5 "Next round" #7,
     2026-08-14): ``import google.protobuf`` still ModuleNotFoundError.
-    Gate stands."""
+    Round-7 re-probe (VERDICT r6 "Next round" #6, 2026-08-15): still
+    ModuleNotFoundError. Gate stands."""
     import importlib.util
 
     # the public API surface exists...
