@@ -205,7 +205,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    cent_rows = cents.collect()  # bounded: ≤4096 × d floats
+    # bounded: ≤4096 × d floats; sorted so argmax's first-index
+    # tie-break is cent_id order, matching ann_ivf_cell_assign (r7)
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
     # empty-after-null-filter guard (all-null sweep, round 4)
     if not cent_rows:
         return spark.createDataFrame([], "q_id long, n_id long, cos double")

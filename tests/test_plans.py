@@ -952,6 +952,19 @@ def test_quality_deciles_approx_tie_convention_matches_duckdb(spark, tmp_path):
         assert not problems, f"{label}: {problems}"
 
 
+def test_ann_footholds_are_narrow_scans(spark, sf_dir):
+    """The candidate-generation footholds (r7) must keep the parent
+    probes' scale shape: the corpus streams through ONE narrow
+    mapInPandas (band tagging / cell argmax against a broadcast
+    constant) with NO corpus hash-shuffle and NO join — the only
+    exchange is the presentation orderBy's range partitioning."""
+    for name in ("ann_lsh_bands", "ann_ivf_cell_assign"):
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "hashpartitioning" not in plan, name
+        assert "Join" not in plan, name
+        assert "MapInPandas" in plan, name
+
+
 def test_quality_deciles_has_no_corpus_sized_single_partition_window(spark, sf_dir):
     """The round-6 rewrite's only unpartitioned window runs over the
     groupBy(n_chars) VALUE table (dimension-sized); the corpus-sized
