@@ -220,6 +220,37 @@ ROUND7_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND7_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
 
+# Round-8 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
+# on the round-7 plan until round 8 flips it, updating the pins in
+# tests/test_registry.py in the SAME commit). Freshness recipe:
+#   * the four documented round-7 leftovers, now the oldest green rows
+#     (`chunk_overlap` deferred since r6; `udtf_tokenize`,
+#     `train_split_hash`, `tpch_q1` bumped by the r7 additions);
+#   * 37 of the 41 queries whose latest driver row is CORRECTNESS_r03
+#     (the then-oldest era once round 7 re-proves the r2-era rows);
+#     the four deferred r3-era rows are `tpch_q9`, `tpch_q20`,
+#     `tpch_q21`, `tpch_q22` — family-redundant (four other TPC-H
+#     re-proofs remain in the pool) and each keeps its local parity
+#     test; they roll to round 9.
+# Queries ADDED during round 8 take priority — bump re-proofs from the
+# end of this tuple. Existence + recipe pinned by tests/test_registry.
+# py::test_round8_pool_is_registered_and_freshness_ordered.
+ROUND8_ROTATION_POOL: tuple[str, ...] = (
+    "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
+    "asof_cogroup_pandas", "bm25_topk", "contamination_overlap",
+    "corpus_report", "decontaminate_bloom", "dedup_containment",
+    "dedup_keep_best", "dedup_minhash_mllib", "dedup_semdedup",
+    "dedup_simhash_pairs", "dsir_importance", "embedding_stats",
+    "event_hopping_window", "exact_distinct_agg", "join_skew_salted",
+    "kmeans_assign", "kmeans_lloyd", "mixture_sample_temperature",
+    "multimodal_framesample", "ngram_freq", "pandas_udaf_mean",
+    "perplexity_unigram", "pq_encode", "quality_deciles",
+    "quality_gopher", "scalar_json", "shingle_fingerprints",
+    "stats_agg", "streaming_dedup", "streaming_hopping",
+    "streaming_incremental_dedup", "substring_dup_rate",
+    "text_normalize", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q2",
+)
+
 
 def _ordered(names: dict[str, object]) -> list[str]:
     front = [n for n in DRIVER_WINDOW if n in names]

@@ -146,6 +146,33 @@ def test_round7_pool_is_registered_and_freshness_ordered():
     assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
 
 
+ROUND8_DEFERRED = {"tpch_q9", "tpch_q20", "tpch_q21", "tpch_q22"}
+
+
+def test_round8_pool_is_registered_and_freshness_ordered():
+    """The PRE-STAGED round-8 pool must contain only names that exist
+    (anti-phantom) and follow its documented recipe: the four round-7
+    leftovers (the oldest green rows) + the r3-era rows minus the four
+    named family-redundant TPC-H deferrals. The r3-era set is computed
+    from the recorded CORRECTNESS files minus the round-7 window plan
+    (whose rows CORRECTNESS_r07 will re-prove), so the pin holds both
+    before and after the r07 file lands."""
+    pool = set(registry.ROUND8_ROTATION_POOL)
+    assert len(registry.ROUND8_ROTATION_POOL) == 41
+    assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    r7_left = {"chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1"}
+    r3_era = (
+        _checked("r03")
+        - _checked("r04", "r05", "r06")
+        - set(registry.CORE_WINDOW)
+        - set(registry.ROUND7_WINDOW_PLAN)
+    )
+    assert ROUND8_DEFERRED <= r3_era
+    assert pool == r7_left | (r3_era - ROUND8_DEFERRED)
+    # pre-staged ≠ active: the live window is still the round-7 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
+
+
 def test_bench_core_is_pinned():
     """bench.py's printed line carries ONLY the 30-query cross-round
     core — the driver's ~2 KB tail capture depends on the line staying
