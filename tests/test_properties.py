@@ -430,3 +430,59 @@ def test_quality_deciles_rank_arithmetic_matches_ntile(
         )
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4320)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_bounce_rate_salted_matches_python_sessionizer(
+    spark, tmp_path_factory, ev
+):
+    """The two-level salted bounce plan (r7: bucket-local runs + chain
+    stitch over day-bucket boundaries) vs a literal pure-Python
+    gap-sessionizer, for ANY event placement over a 3-day span at
+    minute granularity — midnight-crossing sessions, exactly-30-minute
+    gaps (same session: threshold is strict >), lone events, and
+    multi-day chains all arise from the generator."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import __spark_entry__ as E
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, "view", 0.0, "{}")
+        for i, (u, m) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("bounce_prop"))
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    by_user = defaultdict(list)
+    for u, m in ev:
+        by_user[u].append(m)
+    per_day = defaultdict(lambda: [0, 0])  # day -> [sessions, bounces]
+    for ms in by_user.values():
+        ms.sort()
+        sessions = [[ms[0]]]
+        for prev, cur in zip(ms, ms[1:]):
+            (sessions.append([cur]) if cur - prev > 30 else sessions[-1].append(cur))
+        for s in sessions:
+            day = (base + dt.timedelta(minutes=s[0])).date()
+            per_day[day][0] += 1
+            per_day[day][1] += 1 if len(s) == 1 else 0
+
+    got = {
+        r["day"].date(): (r["sessions"], r["bounces"])
+        for r in E.queries()["bounce_rate_daily_salted"](spark, d).collect()
+    }
+    assert got == {day: tuple(v) for day, v in per_day.items()}
