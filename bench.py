@@ -198,6 +198,7 @@ HEADLINE = [
     "bounce_rate_daily_salted",
     "ann_lsh_bands",
     "ann_ivf_cell_assign",
+    "time_weighted_avg_salted",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -1921,6 +1921,90 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "time_weighted_avg_salted",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) / 1000000.0 AS dt
+      FROM events
+    )
+    SELECT user_id,
+           round(SUM(value * dt) / NULLIF(SUM(dt), 0), 6) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_weighted
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_avg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``time_weighted_avg`` with the whale-key escape — same declared
+    semantics, SAME oracle, but the event-scale LEAD window is keyed by
+    ``(user_id, day)`` so a whale user's per-key sort splits across its
+    active days.
+
+    Why :func:`_day_bucketed` replication is NOT enough here: TWAP has
+    no gap threshold, so an event's successor can live ANY number of
+    empty days ahead — replicating each bucket's first event one bucket
+    back (``n_back=1``) would lose every holding period that spans an
+    empty day. The general recipe is the ``bounce_rate_daily_salted``
+    two-level split, with the boundary carry computed on a SUMMARY
+    table instead of replicated rows:
+
+      1. Event scale, all (user, bkt)-keyed: within-bucket LEAD gives
+         every row but the bucket's last its exact successor; a
+         groupBy(user, bkt) MIN gives each bucket's first-event
+         timestamp. The summary join back onto events is
+         (user, bkt)-keyed too, so it reuses the window's exchange.
+      2. Dimension scale (≤1 row per user-day): a user-keyed LEAD over
+         the bucket summary supplies each bucket's NEXT-bucket first
+         event — the true successor of the bucket's last row, however
+         many empty days intervene (days sort integrally, so the next
+         summary row IS the next non-empty bucket).
+
+    The last own row's ``COALESCE(within-bucket lead, next bucket's
+    first)`` is exact because all timestamps in the next non-empty
+    bucket are ≥ its first event's — and the user's final event
+    overall gets NULL from both sides, dropping exactly like the
+    unsalted form's open-ended observation. Weighted sums then
+    partial-combine map-side before the user-keyed merge of user-sized
+    partials. Whale probe + balanced premium in SCALING.md."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.withColumn("bkt", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000"))
+    wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    firsts = base.groupBy("user_id", "bkt").agg(F.min(us).alias("first_us"))
+    nxt = firsts.select(
+        "user_id", "bkt",
+        F.lead("first_us").over(Window.partitionBy("user_id").orderBy("bkt")).alias("next_first_us"),
+    )
+    d = (
+        base.withColumn("lead_us", F.lead(us).over(wb))
+        .join(nxt, ["user_id", "bkt"])
+        .select(
+            "user_id",
+            "value",
+            ((F.coalesce("lead_us", "next_first_us") - us) / 1_000_000.0).alias("dt"),
+        )
+        .filter(F.col("dt").isNotNull())
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt"))
+                / F.nullif(F.sum("dt"), F.lit(0.0)),
+                6,
+            ).alias("twap"),
+            F.count("*").cast("long").alias("n_weighted"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # session_paths_topk — dominant 3-step behavior sequences
 # --------------------------------------------------------------------------

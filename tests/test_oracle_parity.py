@@ -106,8 +106,8 @@ _TS_SENSITIVE = [
     # interval ≥ the 30-min gap, which is all the split relies on; this
     # probe pins that on pre-epoch/1900/far-future stamps
     "session_paths_topk_salted",
-    "time_weighted_avg", "bounce_rate_daily", "bounce_rate_daily_salted",
-    "markov_transitions",
+    "time_weighted_avg", "time_weighted_avg_salted", "bounce_rate_daily",
+    "bounce_rate_daily_salted", "markov_transitions",
     "attribution_last_touch", "decayed_engagement",
     "latency_percentile_bands", "burst_detection",
 ]

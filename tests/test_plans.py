@@ -851,6 +851,39 @@ def test_bounce_rate_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
     assert len(salted) >= 5  # several distinct days → non-trivial compare
 
 
+def test_twap_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
+    """The summary-stitch salted TWAP must reproduce the unsalted LEAD
+    window exactly on the boundary corpus — the lone-event day and the
+    >1-day gaps exercise the case day-bucket replication cannot serve
+    (a holding period spanning EMPTY days must still reach the next
+    non-empty bucket's first event), and equal-ts ties exercise the
+    min-timestamp summary."""
+    d = _boundary_corpus(spark, tmp_path)
+    unsalted = E.queries()["time_weighted_avg"](spark, d).collect()
+    salted = E.queries()["time_weighted_avg_salted"](spark, d).collect()
+    assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
+    assert len(salted) == 5  # every user has ≥2 events → a weighted row
+
+
+def test_twap_salted_event_scale_exchanges_are_bucketed(spark, sf_dir):
+    """Whale-immunity plan pin for the salted TWAP: the event-scale
+    LEAD window and the summary join are (user_id, bkt)-keyed; bare
+    user_id exchanges are allowed only for dimension-scale work (the
+    ≤1-row-per-user-day summary stitch window and the final merge of
+    user-sized aggregate partials — which must be partial-combined
+    map-side before it)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "time_weighted_avg_salted", mode="simple")
+    bare = sum(
+        1
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "user_id" in m.group(1) and "bkt" not in m.group(1)
+    )
+    assert bare <= 2, f"{bare} bare-user exchanges — event-scale window leaked"
+    assert "partial_sum" in plan  # weighted sums combine before the merge
+
+
 def test_bounce_rate_salted_event_scale_exchanges_are_bucketed(spark, sf_dir):
     """Whale-immunity plan pin: every exchange keyed by user_id must
     either include the day bucket (the event-scale sessionizer windows)

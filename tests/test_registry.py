@@ -146,7 +146,7 @@ def test_round7_pool_is_registered_and_freshness_ordered():
     assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
 
 
-ROUND8_DEFERRED = {"tpch_q9", "tpch_q20", "tpch_q21", "tpch_q22"}
+ROUND8_DEFERRED = {"tpch_q2", "tpch_q9", "tpch_q20", "tpch_q21", "tpch_q22"}
 
 
 def test_round8_pool_is_registered_and_freshness_ordered():
@@ -160,7 +160,10 @@ def test_round8_pool_is_registered_and_freshness_ordered():
     pool = set(registry.ROUND8_ROTATION_POOL)
     assert len(registry.ROUND8_ROTATION_POOL) == 41
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
-    r7_left = {"chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1"}
+    r7_left = {
+        "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
+        "token_count_est",
+    }
     r3_era = (
         _checked("r03")
         - _checked("r04", "r05", "r06")
