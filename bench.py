@@ -199,6 +199,7 @@ HEADLINE = [
     "ann_lsh_bands",
     "ann_ivf_cell_assign",
     "time_weighted_avg_salted",
+    "event_session_salted",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

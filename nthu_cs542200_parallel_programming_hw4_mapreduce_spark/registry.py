@@ -194,11 +194,13 @@ ROUND6_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND6_ROTATION_POOL
 # round 8, per the recipe): bounce_rate_daily_salted (bumped
 # udtf_tokenize), ann_lsh_bands (bumped train_split_hash),
 # ann_ivf_cell_assign (bumped tpch_q1), time_weighted_avg_salted
-# (bumped token_count_est).
+# (bumped token_count_est), event_session_salted (bumped
+# tfidf_top_terms).
 ROUND7_ROTATION_POOL: tuple[str, ...] = (
     "ann_ivf_cell_assign",
     "ann_lsh_bands",
     "bounce_rate_daily_salted",
+    "event_session_salted",
     "time_weighted_avg_salted",
     "limit_offset",
     "ann_ivf_topk", "ann_lsh_topk", "asof_last_signup",
@@ -213,7 +215,7 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
     "pipeline_filter_quality", "range_join_follow", "resample_ffill",
     "sample_per_lang_topk", "session_window_native",
     "streaming_stateful", "streaming_window", "text_quality",
-    "text_repetition", "text_scrub_pii", "tfidf_top_terms",
+    "text_repetition", "text_scrub_pii",
 )
 
 # Round-7 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
@@ -224,22 +226,22 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
 # Round-8 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
 # on the round-7 plan until round 8 flips it, updating the pins in
 # tests/test_registry.py in the SAME commit). Freshness recipe:
-#   * the five documented round-7 leftovers, now the oldest green rows
+#   * the six documented round-7 leftovers, now the oldest green rows
 #     (`chunk_overlap` deferred since r6; `udtf_tokenize`,
-#     `train_split_hash`, `tpch_q1`, `token_count_est` bumped by the
-#     r7 additions);
-#   * 36 of the 41 queries whose latest driver row is CORRECTNESS_r03
+#     `train_split_hash`, `tpch_q1`, `token_count_est`,
+#     `tfidf_top_terms` bumped by the r7 additions);
+#   * 35 of the 41 queries whose latest driver row is CORRECTNESS_r03
 #     (the then-oldest era once round 7 re-proves the r2-era rows);
-#     the five deferred r3-era rows are `tpch_q2`, `tpch_q9`,
-#     `tpch_q20`, `tpch_q21`, `tpch_q22` — family-redundant (three
-#     other TPC-H re-proofs remain in the pool) and each keeps its
-#     local parity test; they roll to round 9.
+#     the six deferred r3-era rows are `tpch_q2`, `tpch_q9`,
+#     `tpch_q16`, `tpch_q20`, `tpch_q21`, `tpch_q22` —
+#     family-redundant (two other TPC-H re-proofs remain in the pool)
+#     and each keeps its local parity test; they roll to round 9.
 # Queries ADDED during round 8 take priority — bump re-proofs from the
 # end of this tuple. Existence + recipe pinned by tests/test_registry.
 # py::test_round8_pool_is_registered_and_freshness_ordered.
 ROUND8_ROTATION_POOL: tuple[str, ...] = (
     "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
-    "token_count_est",
+    "token_count_est", "tfidf_top_terms",
     "asof_cogroup_pandas", "bm25_topk", "contamination_overlap",
     "corpus_report", "decontaminate_bloom", "dedup_containment",
     "dedup_keep_best", "dedup_minhash_mllib", "dedup_semdedup",
@@ -251,7 +253,7 @@ ROUND8_ROTATION_POOL: tuple[str, ...] = (
     "quality_gopher", "scalar_json", "shingle_fingerprints",
     "stats_agg", "streaming_dedup", "streaming_hopping",
     "streaming_incremental_dedup", "substring_dup_rate",
-    "text_normalize", "tpch_q11", "tpch_q15", "tpch_q16",
+    "text_normalize", "tpch_q11", "tpch_q15",
 )
 
 

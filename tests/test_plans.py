@@ -901,6 +901,38 @@ def test_bounce_rate_salted_event_scale_exchanges_are_bucketed(spark, sf_dir):
     assert bare <= 1, f"{bare} bare-user exchanges — event-scale window leaked"
 
 
+def test_event_session_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
+    """The simplest `_day_bucketed` consumer must reproduce the
+    unsalted per-user sessionizer exactly on the boundary corpus —
+    midnight-spanning sessions exercise the fwd replica's lag feed
+    (without it the bucket's first own row would miscount a session
+    start), the exact-30-min gap exercises the strict-> threshold, and
+    equal-ts ties exercise the (ts, event_id) order."""
+    d = _boundary_corpus(spark, tmp_path)
+    unsalted = E.queries()["event_session"](spark, d).collect()
+    salted = E.queries()["event_session_salted"](spark, d).collect()
+    assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
+    assert len(salted) == 5  # one row per corpus user
+
+
+def test_event_session_salted_event_scale_exchanges_are_bucketed(spark, sf_dir):
+    """Whale-immunity plan pin: the sessionizer's lag window must be
+    (user_id, bkt)-keyed; the only bare-user exchange allowed is the
+    final rollup's merge, which must be partial-combined map-side (a
+    whale's rows collapse to one partial per partition before the
+    shuffle)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "event_session_salted", mode="simple")
+    bare = 0
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "user_id" in keys and "bkt" not in keys:
+            bare += 1
+    assert bare <= 1, f"{bare} bare-user exchanges — event-scale window leaked"
+    assert "partial_sum" in plan  # rollup combines before the merge
+
+
 def test_quality_deciles_matches_spark_ntile_on_awkward_n(spark, tmp_path):
     """The distributed rank + ntile arithmetic must reproduce Spark's
     own NTILE(10) bit-for-bit when N is NOT divisible by 10 (remainder

@@ -146,13 +146,13 @@ def test_round7_pool_is_registered_and_freshness_ordered():
     assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
 
 
-ROUND8_DEFERRED = {"tpch_q2", "tpch_q9", "tpch_q20", "tpch_q21", "tpch_q22"}
+ROUND8_DEFERRED = {"tpch_q2", "tpch_q9", "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22"}
 
 
 def test_round8_pool_is_registered_and_freshness_ordered():
     """The PRE-STAGED round-8 pool must contain only names that exist
-    (anti-phantom) and follow its documented recipe: the four round-7
-    leftovers (the oldest green rows) + the r3-era rows minus the four
+    (anti-phantom) and follow its documented recipe: the six round-7
+    leftovers (the oldest green rows) + the r3-era rows minus the six
     named family-redundant TPC-H deferrals. The r3-era set is computed
     from the recorded CORRECTNESS files minus the round-7 window plan
     (whose rows CORRECTNESS_r07 will re-prove), so the pin holds both
@@ -162,7 +162,7 @@ def test_round8_pool_is_registered_and_freshness_ordered():
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
     r7_left = {
         "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
-        "token_count_est",
+        "token_count_est", "tfidf_top_terms",
     }
     r3_era = (
         _checked("r03")
