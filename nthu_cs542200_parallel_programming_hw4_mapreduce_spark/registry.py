@@ -219,6 +219,12 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
 )
 
 # Round-7 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
+# Final pre-verification (2026-08-15, round-7 close): all 44
+# oracle-backed window members parity-green at sf0.01 via
+# tools/parity.py; the 6 rows-only members (ann_ivf_topk,
+# ann_lsh_topk, dedup_embedding_cosine_bucketed, multimodal_embed_ann,
+# multimodal_features, streaming_stateful) execute with stable
+# row counts — the window the driver grades is rot-free end to end.
 ROUND7_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND7_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
