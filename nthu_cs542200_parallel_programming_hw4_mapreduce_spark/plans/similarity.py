@@ -171,6 +171,43 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(V.score_pairs(cand, "ce", "qe"))
 
 
+def _ivf_coarse_centroids(emb: DataFrame):
+    """Shared coarse-centroid derivation for ``ann_ivf_topk`` and its
+    oracle-backed foothold ``ann_ivf_cell_assign`` (ADVICE r7: with
+    the stride arithmetic duplicated, a parent formula change would
+    leave the foothold green while no longer pinning the parent's
+    actual cell assignment — so the √n/clamp math, the stride sample,
+    and the sort+normalize live in exactly ONE place).
+
+    k_cells = clamp(⌊√n⌋, 16, 4096); stride = max(1, n // k_cells);
+    centroids = rows with ``vec_id % stride == 0`` sorted by vec_id
+    (so numpy argmax's first-index tie-break equals the oracle's
+    ``ORDER BY s DESC, cent_id``), L2-normalized with the V._EPS
+    floor. The collect is bounded by construction: ≤4096 × d floats,
+    O(1) in corpus size. Returns (stride, cent_ids, cmat);
+    (stride, None, None) when the null-filtered corpus is empty
+    (all-null sweep, round 4)."""
+    import math
+
+    import numpy as np
+
+    n = emb.count()
+    k_cells = min(4096, max(16, math.isqrt(n)))
+    stride = max(1, n // k_cells)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding")
+        .collect(),  # bounded: ≤4096 × d
+        key=lambda r: r["vec_id"],
+    )
+    if not cent_rows:
+        return stride, None, None
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), V._EPS)
+    return stride, cent_ids, cmat
+
+
 @query("ann_ivf_topk")  # rows-only: centroid assignment is engine-specific
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with the classic √n balance: ~√n cells (clamped to
@@ -193,27 +230,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its zero-vector NaN hazard, round-1 ADVICE) is simply dropped. The
     only corpus-sized shuffle left is the per-cell candidate join,
     volume |probes|·√n; candidate scoring is the ``score_pairs`` einsum
-    kernel."""
-    import math
-
+    kernel. Centroid math is shared with ``ann_ivf_cell_assign`` via
+    ``_ivf_coarse_centroids`` (ADVICE r7)."""
     import numpy as np
 
     emb = vec_table(spark, sf_dir)
-    n = emb.count()
-    k_cells = min(4096, max(16, math.isqrt(n)))
-    stride = max(1, n // k_cells)
+    stride, cent_ids, cmat = _ivf_coarse_centroids(emb)
+    # empty-after-null-filter guard (all-null sweep, round 4)
+    if cent_ids is None:
+        return spark.createDataFrame([], "q_id long, n_id long, cos double")
     cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    # bounded: ≤4096 × d floats; sorted so argmax's first-index
-    # tie-break is cent_id order, matching ann_ivf_cell_assign (r7)
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
-    # empty-after-null-filter guard (all-null sweep, round 4)
-    if not cent_rows:
-        return spark.createDataFrame([], "q_id long, n_id long, cos double")
-    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
-    cmat = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in cent_rows])
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), V._EPS)
     bc = spark.sparkContext.broadcast((cent_ids, cmat))
 
     def assign(batches):
@@ -255,13 +283,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dd_planes_cte() -> str:
     """The deterministic md5-derived hyperplanes as a DuckDB VALUES
-    list — same constants ``with_lsh_buckets`` closes over (repr()
-    round-trips each double bit-exactly through DuckDB's literal
-    parser), so the oracle hashes with the very planes the engine
-    ships to executors."""
+    list — same constants ``with_lsh_buckets`` closes over. Each
+    element is emitted as ``CAST('repr(v)' AS DOUBLE)`` — the STRING
+    form matters: a bare decimal literal parses as DECIMAL(19,18) in
+    DuckDB, which for ~9% of the plane constants lands 1 ulp off the
+    engine's float64 (ADVICE r7 measured 46/512 drifting), and even
+    ``CAST(lit AS DOUBLE)`` still parses the literal as DECIMAL first
+    (-0.9999999999999999 stays off by 1 ulp); the string→DOUBLE cast
+    is a strtod-style float64 parse, verified bit-exact on the drift
+    cases, so the oracle hashes with bit-identical planes rather than
+    relying on the |dot|≳1e-13 sign margin."""
     planes = V.np_planes(dim=_DIM, n_planes=_N_PLANES).tolist()
+
+    def _lit(v: float) -> str:
+        return "'%r'::DOUBLE" % v
+
     rows = ", ".join(
-        f"({p}, [{', '.join(repr(v) for v in row)}])"
+        "({}, [{}])".format(p, ", ".join(_lit(v) for v in row))
         for p, row in enumerate(planes)
     )
     return f"SELECT * FROM (VALUES {rows}) AS t(p, pl)"
@@ -360,25 +398,16 @@ def ann_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape is the parent's: bounded ≤4096×d centroid collect +
     broadcast, corpus streams through ONE narrow mapInPandas (a
     (batch × cells) BLAS matmul each), no corpus shuffle — the
-    orderBy is presentation-only."""
-    import math
-
+    orderBy is presentation-only. Centroid math is shared with the
+    parent via ``_ivf_coarse_centroids`` (ADVICE r7: one formula, so
+    this foothold pins the parent's ACTUAL cell assignment)."""
     import numpy as np
 
     emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
-    n = emb.count()
-    k_cells = min(4096, max(16, math.isqrt(n)))
-    stride = max(1, n // k_cells)
-    cent_rows = sorted(
-        emb.filter(F.col("vec_id") % stride == 0).collect(),  # bounded: ≤4096 × d
-        key=lambda r: r["vec_id"],
-    )
+    _, cent_ids, cmat = _ivf_coarse_centroids(emb)
     # empty-after-null-filter guard (all-null sweep, round 4)
-    if not cent_rows:
+    if cent_ids is None:
         return spark.createDataFrame([], "vec_id long, cell long")
-    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    cmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), V._EPS)
     bc = spark.sparkContext.broadcast((cent_ids, cmat))
 
     def assign(batches):

@@ -1030,6 +1030,39 @@ def test_ann_footholds_are_narrow_scans(spark, sf_dir):
         assert "MapInPandas" in plan, name
 
 
+def test_lsh_plane_literals_roundtrip_duckdb_bit_exact():
+    """ADVICE r7: bare decimal literals parse as DECIMAL(19,18) in
+    DuckDB, drifting 46/512 plane constants by 1 ulp (and CAST of a
+    bare literal still parses DECIMAL first). The '<repr>'::DOUBLE
+    string form in _dd_planes_cte is a float64 parse — pin that EVERY
+    plane constant round-trips bit-exactly through the oracle CTE."""
+    import duckdb
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.functions import vectors as V
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import _DIM, _N_PLANES, _dd_planes_cte
+
+    planes = V.np_planes(dim=_DIM, n_planes=_N_PLANES).tolist()
+    got = dict(duckdb.sql(_dd_planes_cte() + " ORDER BY p").fetchall())
+    assert len(got) == _N_PLANES
+    for p, row in enumerate(planes):
+        assert got[p] == row, f"plane {p} drifted through DuckDB literal parse"
+
+
+def test_ivf_centroid_formula_shared_between_parent_and_foothold():
+    """ADVICE r7: ann_ivf_topk and ann_ivf_cell_assign must derive
+    centroids from ONE helper so the foothold pins the parent's actual
+    cell assignment. Pin by source inspection: both bodies call
+    _ivf_coarse_centroids and neither re-implements the clamp."""
+    import inspect
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans import similarity as S
+
+    for fn in (S.ann_ivf_topk, S.ann_ivf_cell_assign):
+        src = inspect.getsource(fn)
+        assert "_ivf_coarse_centroids(" in src, fn.__name__
+        assert "isqrt" not in src, f"{fn.__name__} re-implements the stride clamp"
+
+
 def test_quality_deciles_has_no_corpus_sized_single_partition_window(spark, sf_dir):
     """The round-6 rewrite's only unpartitioned window runs over the
     groupBy(n_chars) VALUE table (dimension-sized); the corpus-sized
