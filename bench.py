@@ -200,6 +200,10 @@ HEADLINE = [
     "ann_ivf_cell_assign",
     "time_weighted_avg_salted",
     "event_session_salted",
+    # r8 additions: bucketed-embedding-dedup candidate-stage oracle +
+    # quantized-support KS (the 100 TB drift monitor)
+    "dedup_embedding_band_keys",
+    "drift_ks_binned",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

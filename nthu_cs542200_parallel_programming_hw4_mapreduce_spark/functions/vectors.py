@@ -96,6 +96,28 @@ def np_planes(dim: int, n_planes: int = 8):
     return np.asarray(rows, dtype=np.float64)
 
 
+def dd_planes_cte(dim: int, n_planes: int) -> str:
+    """The ``np_planes`` constants as a DuckDB VALUES CTE body —
+    ``SELECT * FROM (VALUES ...) AS t(p, pl)`` with plane index ``p``
+    and float64 list ``pl`` — so an oracle can replay a plane dot
+    product with bit-identical constants. Each element is emitted as
+    ``'<repr>'::DOUBLE``: a bare decimal literal parses as
+    DECIMAL(19,18) (≈9% of constants land 1 ulp off float64, ADVICE
+    r7), and even CAST of a bare literal parses DECIMAL first; the
+    string→DOUBLE form is a strtod-style float64 parse, verified
+    bit-exact (pinned by tests/test_plans.py)."""
+    planes = np_planes(dim=dim, n_planes=n_planes).tolist()
+
+    def _lit(v: float) -> str:
+        return "'%r'::DOUBLE" % v
+
+    rows = ", ".join(
+        "({}, [{}])".format(p, ", ".join(_lit(v) for v in row))
+        for p, row in enumerate(planes)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(p, pl)"
+
+
 def with_lsh_buckets(
     df: DataFrame,
     emb_col: str = "embedding",

@@ -283,26 +283,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dd_planes_cte() -> str:
     """The deterministic md5-derived hyperplanes as a DuckDB VALUES
-    list — same constants ``with_lsh_buckets`` closes over. Each
-    element is emitted as ``CAST('repr(v)' AS DOUBLE)`` — the STRING
-    form matters: a bare decimal literal parses as DECIMAL(19,18) in
-    DuckDB, which for ~9% of the plane constants lands 1 ulp off the
-    engine's float64 (ADVICE r7 measured 46/512 drifting), and even
-    ``CAST(lit AS DOUBLE)`` still parses the literal as DECIMAL first
-    (-0.9999999999999999 stays off by 1 ulp); the string→DOUBLE cast
-    is a strtod-style float64 parse, verified bit-exact on the drift
-    cases, so the oracle hashes with bit-identical planes rather than
-    relying on the |dot|≳1e-13 sign margin."""
-    planes = V.np_planes(dim=_DIM, n_planes=_N_PLANES).tolist()
-
-    def _lit(v: float) -> str:
-        return "'%r'::DOUBLE" % v
-
-    rows = ", ".join(
-        "({}, [{}])".format(p, ", ".join(_lit(v) for v in row))
-        for p, row in enumerate(planes)
-    )
-    return f"SELECT * FROM (VALUES {rows}) AS t(p, pl)"
+    CTE — same constants ``with_lsh_buckets`` closes over, emitted
+    bit-exactly via ``V.dd_planes_cte`` (the '<repr>'::DOUBLE literal
+    form; see its docstring for the DECIMAL-parse trap, ADVICE r7)."""
+    return V.dd_planes_cte(dim=_DIM, n_planes=_N_PLANES)
 
 
 _ANN_LSH_BANDS_ORACLE = """

@@ -60,7 +60,12 @@ def event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via lag + gap counting —
     the batch form of session_window. One shuffle on user_id; gaps are
-    compared in integral microseconds so both engines agree exactly."""
+    compared in integral microseconds so both engines agree exactly.
+
+    BALANCED-KEYS VARIANT: the production default at scale is
+    ``event_session_salted`` (same oracle, ≈zero premium, 12.9× on a
+    1000×-whale) — see SCALING.md "Salted forms are the production
+    default". This form serializes on a whale user key."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -1732,6 +1737,12 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of the day's sessions — the engagement-health headline
     metric.
 
+    BALANCED-KEYS VARIANT: on whale-bearing keyspaces run
+    ``bounce_rate_daily_salted`` (same oracle; 3.7× at 1000×-whale for
+    a ~2.5× balanced premium — the sharpest trade of the four pairs,
+    so audit key skew before choosing this form at scale); see
+    SCALING.md "Salted forms are the production default".
+
     Composition discipline: the gap-based sessionizer is reused
     verbatim (lag → new-session flag → running sum, one user-keyed
     exchange feeding both windows), then session-sized and day-sized
@@ -1896,7 +1907,12 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (micros arithmetic first, ONE division last). The weighted
     aggregate partial-combines, so fact-scale input shrinks to
     user-sized output at the map side — the scale posture of every
-    per-key sweep in this family."""
+    per-key sweep in this family.
+
+    BALANCED-KEYS VARIANT: the production default at scale is
+    ``time_weighted_avg_salted`` (same oracle, ~1.25× balanced premium
+    shrinking with scale, 11.3× on a 1000×-whale) — see SCALING.md
+    "Salted forms are the production default"."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -2041,6 +2057,11 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the behavioral-sequence mining readout (which flows dominate)
     that feeds funnel design and next-event models.
 
+    BALANCED-KEYS VARIANT: the production default at scale is
+    ``session_paths_topk_salted`` (same oracle, ~2.5× balanced
+    premium, 7.4× on a 1000×-whale) — see SCALING.md "Salted forms
+    are the production default".
+
     Reuses the ``bounce_rate_daily`` sessionizer verbatim (lag →
     new-session flag → running sum; one user-keyed exchange), then two
     LEAD windows over (user, session) — which reuse the SAME sort — and
@@ -2087,6 +2108,15 @@ def _day_bucketed(ev: DataFrame, n_back: int = 0, fwd: bool = False) -> DataFram
     partitioned by bare ``user_id`` — one hyperactive user splits
     across as many tasks as active days, bounding per-task work by
     events/user/day.
+
+    Its four consumers (``event_session_salted``,
+    ``time_weighted_avg_salted``, ``session_paths_topk_salted``,
+    ``bounce_rate_daily_salted``) are the PRODUCTION DEFAULT for
+    per-user sequence work at scale (round 8, VERDICT r7 #4): each
+    shares its unsalted twin's oracle, costs ≈none-2.5× on balanced
+    keys, and wins 3.7-12.9× on a 1000×-whale where the unsalted form
+    GC-thrashes. The decision table lives in SCALING.md "Salted forms
+    are the production default".
 
     The time-split is exact for any gap-based sessionizer whose gap
     threshold (30 min) is smaller than the bucket width (1 day): a
@@ -2462,6 +2492,129 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.groupBy("event_type", "bin")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("event_type", "bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# drift_ks_binned — KS drift on the quantized support (the 100 TB mode)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "drift_ks_binned",
+    oracle=f"""
+    WITH ext AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    ), pts AS (
+      SELECT e.event_type,
+             LEAST(CAST(floor((value - vmin) / ((vmax - vmin) / {_HIST_BINS}.0))
+                        AS BIGINT), {_HIST_BINS - 1}) AS bin,
+             CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS is_a
+      FROM events e JOIN ext USING (event_type)
+      WHERE vmax > vmin
+    ), vals AS (
+      SELECT event_type, bin,
+             CAST(SUM(is_a) AS DOUBLE) AS ca,
+             CAST(SUM(1 - is_a) AS DOUBLE) AS cb
+      FROM pts GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+             SUM(ca) OVER t AS n_a,  SUM(cb) OVER t AS n_b
+      FROM vals
+      WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING),
+             t AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           round(MAX(abs(cum_a / NULLIF(n_a, 0) - cum_b / NULLIF(n_b, 0))), 6) AS ks_stat,
+           CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+)
+def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``drift_ks_test`` on the QUANTIZED support — the mandatory
+    100 TB degrade SCALING.md has named since round 4, promoted to a
+    real query (VERDICT r7 "Next round" #6). The exact KS's shuffle
+    carries DISTINCT (type, value) rows; on real near-unique doubles
+    that support grows linearly with the corpus, so the per-type sort
+    goes event-sized. Here ``value`` is first quantized onto
+    ``value_histogram``'s fixed-width {_HIST_BINS}-bin grid (identical
+    formula: subtract vmin, divide by precomputed width, floor, clamp
+    the vmax edge), and D is computed EXACTLY on the quantized CDFs —
+    D_binned = max over bin boundaries of |F_a − F_b|, a lower bound
+    of the exact D that converges as the grid refines, and the
+    standard production drift monitor (alert thresholds are calibrated
+    to the grid, not the raw support).
+
+    Scale shape: the per-type extent aggregate broadcasts back onto
+    the event scan (big side never shuffles for the join), the
+    (type, bin) rollup partial-combines so the ONLY data-sized work is
+    the map-side scan — shuffle rows are capped at |types| × {_HIST_BINS}
+    per task, the cumulative windows run over a dimension-sized frame,
+    and the degenerate all-equal guard (vmax > vmin) mirrors
+    ``value_histogram``. Cumulative fractions are exact integer
+    ratios in both engines, so 6-dp rounding is stable. 1000× probe
+    (round 8): see SCALING.md — the (type, bin) shuffle stays
+    dimension-sized where the exact KS's distinct-support shuffle goes
+    event-sized."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    pts = (
+        ev.join(F.broadcast(ext), "event_type")
+        .filter(F.col("vmax") > F.col("vmin"))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / float(_HIST_BINS))
+                ).cast("long"),
+                F.lit(_HIST_BINS - 1).cast("long"),
+            ).alias("bin"),
+            (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp"))
+            .cast("int")
+            .alias("is_a"),
+        )
+    )
+    vals = pts.groupBy("event_type", "bin").agg(
+        F.sum("is_a").cast("double").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(t).alias("n_a"),
+        F.sum("cb").over(t).alias("n_b"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.nullif(F.col("n_a"), F.lit(0.0))
+                        - F.col("cum_b") / F.nullif(F.col("n_b"), F.lit(0.0))
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+        )
+        .orderBy("event_type")
     )
 
 

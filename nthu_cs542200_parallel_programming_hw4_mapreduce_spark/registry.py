@@ -218,42 +218,45 @@ ROUND7_ROTATION_POOL: tuple[str, ...] = (
     "text_repetition", "text_scrub_pii",
 )
 
-# Round-7 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
-# Final pre-verification (2026-08-15, round-7 close): all 44
-# oracle-backed window members parity-green at sf0.01 via
-# tools/parity.py; the 6 rows-only members (ann_ivf_topk,
-# ann_lsh_topk, dedup_embedding_cosine_bucketed, multimodal_embed_ann,
-# multimodal_features, streaming_stateful) execute with stable
-# row counts — the window the driver grades is rot-free end to end.
-# The same close also re-ran the WHOLE-REPO sweep (last done round 4,
-# then 191 oracles): 202/202 oracle-backed parity-green + 18/18
-# rows-only executing, 0 failures — no green claim anywhere is stale.
+# Round-7 window (all 44 oracle rows + 6 declared rows-only green in
+# CORRECTNESS_r07.json; retained for the audit trail).
 ROUND7_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND7_ROTATION_POOL
 
-DRIVER_WINDOW: tuple[str, ...] = ROUND7_WINDOW_PLAN
-
-# Round-8 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
-# on the round-7 plan until round 8 flips it, updating the pins in
-# tests/test_registry.py in the SAME commit). Freshness recipe:
-#   * the six documented round-7 leftovers, now the oldest green rows
+# Round-8 rotation pool, ACTIVE (flipped with the pins in
+# tests/test_registry.py in the same commit — the round-5 lesson).
+# Freshness recipe:
+#   * the 2 queries NEW in round 8 (never driver-checked, priority):
+#     `dedup_embedding_band_keys` (VERDICT r7 #5 — the oracle-backed
+#     candidate-stage foothold for the bucketed 100-TB embedding
+#     dedup) and `drift_ks_binned` (VERDICT r7 #6 — the quantized-
+#     support KS degrade promoted to a real query); each bumps one
+#     re-proof from the tuple's end (`tpch_q11`, `tpch_q15` — both
+#     keep local parity tests; they roll to round 9);
+#   * the six documented round-7 leftovers, the oldest green rows
 #     (`chunk_overlap` deferred since r6; `udtf_tokenize`,
 #     `train_split_hash`, `tpch_q1`, `token_count_est`,
 #     `tfidf_top_terms` bumped by the r7 additions);
-#   * 35 of the 41 queries whose latest driver row is CORRECTNESS_r03
-#     (the then-oldest era once round 7 re-proves the r2-era rows);
+#   * 33 of the 41 queries whose latest driver row is CORRECTNESS_r03
+#     (the then-oldest era once round 7 re-proved the r2-era rows);
 #     the six deferred r3-era rows are `tpch_q2`, `tpch_q9`,
 #     `tpch_q16`, `tpch_q20`, `tpch_q21`, `tpch_q22` —
 #     family-redundant (two other TPC-H re-proofs remain in the pool)
-#     and each keeps its local parity test; they roll to round 9.
-# Queries ADDED during round 8 take priority — bump re-proofs from the
-# end of this tuple. Existence + recipe pinned by tests/test_registry.
+#     and each keeps its local parity test; they roll to round 9
+#     (pre-staged below, per VERDICT r7 #3).
+# Existence + recipe pinned by tests/test_registry.
 # py::test_round8_pool_is_registered_and_freshness_ordered.
-# Pre-verified at round-7 close (2026-08-15): all 33 oracle-backed
+# Pre-verified at round-7 close (2026-08-15): all r3-era oracle-backed
 # members parity-green at sf0.01 via tools/parity.py; the 8 rows-only
 # members execute with stable row counts — the flip carries no rot.
+# The two round-8 additions were parity-verified the day they landed.
 ROUND8_ROTATION_POOL: tuple[str, ...] = (
+    # new in round 8 (never checked)
+    "dedup_embedding_band_keys",
+    "drift_ks_binned",
+    # round-7 leftovers — the oldest green rows in the repo
     "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
     "token_count_est", "tfidf_top_terms",
+    # r3-era re-proofs (latest driver row = CORRECTNESS_r03)
     "asof_cogroup_pandas", "bm25_topk", "contamination_overlap",
     "corpus_report", "decontaminate_bloom", "dedup_containment",
     "dedup_keep_best", "dedup_minhash_mllib", "dedup_semdedup",
@@ -265,7 +268,51 @@ ROUND8_ROTATION_POOL: tuple[str, ...] = (
     "quality_gopher", "scalar_json", "shingle_fingerprints",
     "stats_agg", "streaming_dedup", "streaming_hopping",
     "streaming_incremental_dedup", "substring_dup_rate",
-    "text_normalize", "tpch_q11", "tpch_q15",
+    "text_normalize",
+)
+
+# Round-8 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
+ROUND8_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND8_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
+
+# Round-9 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
+# on the round-8 plan until round 9 flips it, updating the pins in
+# tests/test_registry.py in the SAME commit). Freshness recipe
+# (VERDICT r7 #3 — pre-staged so the deferred rows cannot silently
+# age):
+#   * the six r3-era TPC-H rows deferred from round 8
+#     (`tpch_q2/q9/q16/q20/q21/q22`) plus the two re-proofs the
+#     round-8 additions bumped (`tpch_q11`, `tpch_q15`);
+#   * 33 of the 41 queries whose latest driver row is CORRECTNESS_r04
+#     (the oldest era once round 8 re-proves the r3-era rows); the
+#     eight deferred r4-era rows roll to round 10, each family-
+#     redundant with a fresher-proven member: `delta_scan` +
+#     `delta_time_travel` (jar-free Delta file-contract tests;
+#     `schema_evolution_scan` re-proved r5), `streaming_dedup_
+#     watermarked`/`streaming_static_join`/`streaming_stream_join`/
+#     `streaming_topk` (streaming_dedup/hopping/incremental_dedup
+#     re-proved r8), `multimodal_dedup` (multimodal_meta r7,
+#     framesample r8), `dup_cluster_histogram` (rides dedup_clusters,
+#     re-proved r7).
+# Queries ADDED during round 9 take priority — bump re-proofs from the
+# end of this tuple. Existence pinned by tests/test_registry.py::
+# test_round9_pool_is_registered.
+ROUND9_ROTATION_POOL: tuple[str, ...] = (
+    "tpch_q2", "tpch_q9", "tpch_q16", "tpch_q20", "tpch_q21",
+    "tpch_q22", "tpch_q11", "tpch_q15",
+    # r4-era re-proofs (latest driver row = CORRECTNESS_r04)
+    "anomaly_zscore", "attribution_last_touch", "bpe_first_merge",
+    "collated_distinct", "compaction_bins", "data_expectations",
+    "dictionary_encode", "embedding_covariance", "funnel_conversion",
+    "heavy_hitters", "incremental_rollup", "json_quarantine",
+    "k_anonymity_suppress", "lateral_join_topn", "lsh_quality_eval",
+    "markov_transitions", "merge_upsert", "ndcg_at_10",
+    "pagerank_events", "paragraph_dedup", "python_datasource_scan",
+    "reachability_bfs", "retention_cohorts", "scd2_history",
+    "sliding_distinct_users", "snapshot_diff", "sql_udf_scoring",
+    "table_profile", "triangle_count", "url_canonicalize",
+    "variant_shred", "window_range_frame", "xml_ingest",
 )
 
 

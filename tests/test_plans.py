@@ -1023,7 +1023,8 @@ def test_ann_footholds_are_narrow_scans(spark, sf_dir):
     mapInPandas (band tagging / cell argmax against a broadcast
     constant) with NO corpus hash-shuffle and NO join — the only
     exchange is the presentation orderBy's range partitioning."""
-    for name in ("ann_lsh_bands", "ann_ivf_cell_assign"):
+    for name in ("ann_lsh_bands", "ann_ivf_cell_assign",
+                 "dedup_embedding_band_keys"):
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "hashpartitioning" not in plan, name
         assert "Join" not in plan, name
@@ -1061,6 +1062,20 @@ def test_ivf_centroid_formula_shared_between_parent_and_foothold():
         src = inspect.getsource(fn)
         assert "_ivf_coarse_centroids(" in src, fn.__name__
         assert "isqrt" not in src, f"{fn.__name__} re-implements the stride clamp"
+
+
+def test_drift_ks_binned_shuffle_is_dimension_sized(spark, sf_dir):
+    """The 100-TB KS degrade (round 8): the per-type extent aggregate
+    BROADCASTS back onto the event scan (the big side never shuffles
+    for the join) and the (type, bin) rollup partial-combines — so
+    shuffle rows are capped at |types| × bins per task. The exact KS's
+    distinct-(type, value) support shuffle must not exist here."""
+    plan = plan_of(spark, sf_dir, "drift_ks_binned", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    # exactly one data-shuffle key shape: the (type, bin) rollup; the
+    # cumulative windows repartition the dimension-sized rollup only
+    assert "Exchange hashpartitioning(event_type#" in plan
 
 
 def test_quality_deciles_has_no_corpus_sized_single_partition_window(spark, sf_dir):

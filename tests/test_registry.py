@@ -37,49 +37,53 @@ def _checked(*rounds: str) -> set[str]:
 ALL_ROUNDS = ("r01", "r02", "r03", "r04", "r05")
 ROUND6_NEW = {"quality_deciles_approx", "session_paths_topk_salted"}
 
-# Rows-only slots in the round-7 window: exactly the declared
-# non-SQL-expressible members of the r2-era re-proof set (ANN probes,
-# multimodal kernels, streaming state — see tests/test_entry.py's
-# pinned rows-only list). Window order.
-ROUND7_ROWS_ONLY = [
-    "ann_ivf_topk", "ann_lsh_topk", "dedup_embedding_cosine_bucketed",
-    "multimodal_embed_ann", "multimodal_features", "streaming_stateful",
+# Rows-only slots in the round-8 window: exactly the declared
+# non-SQL-expressible members of the r3-era re-proof set (iterative
+# kmeans, extension-proof UDAF/cogroup kernels, streaming state — see
+# tests/test_entry.py's pinned rows-only list). Window order.
+ROUND8_ROWS_ONLY = [
+    "asof_cogroup_pandas", "dedup_minhash_mllib", "dedup_simhash_pairs",
+    "kmeans_lloyd", "multimodal_framesample", "pandas_udaf_mean",
+    "streaming_dedup", "streaming_incremental_dedup",
 ]
 
 
 def test_window_covers_rotation_targets():
-    """Round-7 rotation (VERDICT r6 "Next round" #1-2): the 41 rotating
-    slots hold `limit_offset` (the last query whose only driver row is
-    CORRECTNESS_r01) plus re-proofs of the r2-era rows — the oldest
-    remaining green claims — with any round-7 additions taking priority
-    slots. Every rotation slot's latest driver row must predate r03."""
+    """Round-8 rotation (VERDICT r7 "Next round" #1): the 41 rotating
+    slots hold the 2 round-8 additions + the six round-7 leftovers (the
+    oldest green rows in the repo) + r3-era re-proofs. Every re-proof
+    slot's latest driver row must predate r04."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    assert rotation == set(registry.ROUND7_ROTATION_POOL)
-    # limit_offset: the one slot whose only driver proof is r01
-    assert "limit_offset" in rotation
-    # re-proof slots are r1/r2-era only — never re-checked since
-    reproof = rotation - _new_in_round7()
-    assert reproof <= _checked("r01", "r02")
-    assert not (reproof & _checked("r03", "r04", "r05", "r06"))
+    assert rotation == set(registry.ROUND8_ROTATION_POOL)
+    # re-proof slots are r1/r2/r3-era only — never re-checked since
+    reproof = rotation - _new_in_round8()
+    assert reproof <= _checked("r01", "r02", "r03")
+    assert not (reproof & _checked("r04", "r05", "r06", "r07"))
 
 
 def _new_in_round7() -> set[str]:
-    """Queries added during round 7 (never driver-checked in any
+    """Queries added during round 7 (first driver row =
+    CORRECTNESS_r07)."""
+    return _checked("r07") - _checked(*ALL_ROUNDS, "r06")
+
+
+def _new_in_round8() -> set[str]:
+    """Queries added during round 8 (never driver-checked in any
     recorded CORRECTNESS file)."""
-    return set(registry.all_queries()) - _checked(*ALL_ROUNDS, "r06")
+    return set(registry.all_queries()) - _checked(*ALL_ROUNDS, "r06", "r07")
 
 
 def test_window_mostly_oracle_backed():
     oracles = registry.all_oracles()
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
-    # round 7: every window slot is oracle-backed EXCEPT the six
+    # round 8: every window slot is oracle-backed EXCEPT the eight
     # declared rows-only re-proofs (non-SQL-expressible by design; the
     # driver records the weaker rows-only check for each)
-    assert rows_only == ROUND7_ROWS_ONLY, f"unexpected rows-only in window: {rows_only}"
+    assert rows_only == ROUND8_ROWS_ONLY, f"unexpected rows-only in window: {rows_only}"
 
 
 def test_doc_counts_match_registry():
@@ -121,45 +125,41 @@ def test_round6_window_history():
     assert "limit_offset" in r1_era  # the one deferred re-proof
 
 
-def test_round7_pool_is_registered_and_freshness_ordered():
-    """The ACTIVE round-7 pool must contain only names that exist
-    (the ADVICE-r5 anti-phantom pin) and follow its documented recipe:
-    `limit_offset` (the r1-era leftover) + the r2-era rows minus the
-    documented leftovers, + any round-7 additions (which bump re-proofs
-    from the tuple's end). Recomputed from the recorded CORRECTNESS
-    files so it cannot rot."""
+def test_round7_window_history():
+    """History pin (round 7): the driver checked exactly the round-7
+    window — core + the 5 round-7 additions + `limit_offset` + 35
+    r2-era re-proofs, 44 oracle rows + 6 declared rows-only, zero
+    failures. Expressed against the recorded CORRECTNESS files so it
+    stays true as later rounds rotate."""
     pool = set(registry.ROUND7_ROTATION_POOL)
-    assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
-    r2_era = _checked("r02") - _checked("r03", "r04", "r05", "r06") - set(registry.CORE_WINDOW)
+    assert _checked("r07") == set(registry.CORE_WINDOW) | pool
     new7 = _new_in_round7()
-    candidates = {"limit_offset"} | r2_era | new7
-    assert pool <= candidates, pool - candidates
-    # additions never wait — they take priority slots
-    assert new7 <= pool, new7 - pool
-    assert "limit_offset" in pool
-    # chunk_overlap is always deferred (documented since r6); any other
-    # leftover is a re-proof bumped by a round-7 addition, one per
-    leftovers = candidates - pool
-    assert "chunk_overlap" in leftovers
-    assert len(leftovers - {"chunk_overlap"}) == len(new7)
-    # the live window is the round-7 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
+    assert not (new7 & _checked(*ALL_ROUNDS, "r06"))
+    assert new7 <= pool
+    # re-proof slots were r1/r2-era: limit_offset + r2-era rows
+    assert (pool - new7) <= {"limit_offset"} | (
+        _checked("r02") - _checked("r03", "r04", "r05", "r06")
+    )
 
 
 ROUND8_DEFERRED = {"tpch_q2", "tpch_q9", "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22"}
+ROUND8_BUMPED = {"tpch_q11", "tpch_q15"}  # bumped by the 2 round-8 additions
 
 
 def test_round8_pool_is_registered_and_freshness_ordered():
-    """The PRE-STAGED round-8 pool must contain only names that exist
-    (anti-phantom) and follow its documented recipe: the six round-7
-    leftovers (the oldest green rows) + the r3-era rows minus the six
-    named family-redundant TPC-H deferrals. The r3-era set is computed
-    from the recorded CORRECTNESS files minus the round-7 window plan
-    (whose rows CORRECTNESS_r07 will re-prove), so the pin holds both
-    before and after the r07 file lands."""
+    """The ACTIVE round-8 pool must contain only names that exist
+    (anti-phantom) and follow its documented recipe: the round-8
+    additions (priority slots) + the six round-7 leftovers (the oldest
+    green rows) + the r3-era rows minus the six named family-redundant
+    TPC-H deferrals minus the re-proofs the additions bumped. The
+    r3-era set is computed from the recorded CORRECTNESS files minus
+    the round-7 window plan (whose rows CORRECTNESS_r07 re-proved), so
+    the pin cannot rot."""
     pool = set(registry.ROUND8_ROTATION_POOL)
     assert len(registry.ROUND8_ROTATION_POOL) == 41
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    new8 = _new_in_round8()
+    assert new8 <= pool, new8 - pool  # additions never wait
     r7_left = {
         "chunk_overlap", "udtf_tokenize", "train_split_hash", "tpch_q1",
         "token_count_est", "tfidf_top_terms",
@@ -171,9 +171,45 @@ def test_round8_pool_is_registered_and_freshness_ordered():
         - set(registry.ROUND7_WINDOW_PLAN)
     )
     assert ROUND8_DEFERRED <= r3_era
-    assert pool == r7_left | (r3_era - ROUND8_DEFERRED)
-    # pre-staged ≠ active: the live window is still the round-7 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND7_WINDOW_PLAN
+    assert ROUND8_BUMPED <= r3_era
+    assert pool == new8 | r7_left | (r3_era - ROUND8_DEFERRED - ROUND8_BUMPED)
+    # one bumped re-proof per addition — the bumps are not silent drops
+    assert len(ROUND8_BUMPED) == len(new8)
+    # the live window is the round-8 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND8_WINDOW_PLAN
+
+
+# The eight r4-era rows deferred from the round-9 pool, each family-
+# redundant with a fresher-proven member (see registry.py's pool
+# comment); they roll to round 10.
+ROUND9_DEFERRED = {
+    "delta_scan", "delta_time_travel", "streaming_dedup_watermarked",
+    "streaming_static_join", "streaming_stream_join", "streaming_topk",
+    "multimodal_dedup", "dup_cluster_histogram",
+}
+
+
+def test_round9_pool_is_registered():
+    """The PRE-STAGED round-9 pool (VERDICT r7 "Next round" #3) must
+    contain only names that exist (anti-phantom) and follow its
+    documented recipe: the six r8-deferred TPC-H rows + the two
+    re-proofs the round-8 additions bumped + the r4-era rows minus the
+    eight named family-redundant deferrals. The r4-era set is computed
+    from the recorded CORRECTNESS files minus the round-8 window plan,
+    so the pin holds both before and after CORRECTNESS_r08 lands."""
+    pool = set(registry.ROUND9_ROTATION_POOL)
+    assert len(registry.ROUND9_ROTATION_POOL) == 41
+    assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    r4_era = (
+        _checked("r04")
+        - _checked("r05", "r06", "r07")
+        - set(registry.CORE_WINDOW)
+        - set(registry.ROUND8_WINDOW_PLAN)
+    )
+    assert ROUND9_DEFERRED <= r4_era
+    assert pool == ROUND8_DEFERRED | ROUND8_BUMPED | (r4_era - ROUND9_DEFERRED)
+    # pre-staged ≠ active: the live window is still the round-8 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND8_WINDOW_PLAN
 
 
 def test_bench_core_is_pinned():

@@ -634,7 +634,8 @@ def test_transform_with_state_is_protobuf_gated():
     vendored either. Round-6 re-probe (VERDICT r5 "Next round" #7,
     2026-08-14): ``import google.protobuf`` still ModuleNotFoundError.
     Round-7 re-probe (VERDICT r6 "Next round" #6, 2026-08-15): still
-    ModuleNotFoundError. Gate stands."""
+    ModuleNotFoundError. Round-8 re-probe (VERDICT r7 "Next round" #7,
+    2026-08-15): still ModuleNotFoundError. Gate stands."""
     import importlib.util
 
     # the public API surface exists...
