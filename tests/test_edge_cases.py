@@ -237,6 +237,8 @@ def test_new_batches_survive_empty_tables(spark, tmp_path_factory):
         # batch 34
         "gini_label_balance", "burst_detection", "vocab_growth_curve",
         "user_overlap_jaccard",
+        # round 8
+        "drift_ks_binned", "dedup_embedding_band_keys",
     ]:
         assert qs[name](spark, d).count() == expected_rows.get(name, 0), name
 
