@@ -48,6 +48,14 @@ def vec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_planes_cte() -> str:
+    """The deterministic md5-derived hyperplanes as a DuckDB VALUES
+    CTE — same constants ``with_lsh_buckets`` closes over, emitted
+    bit-exactly via ``V.dd_planes_cte`` (the '<repr>'::DOUBLE literal
+    form; see its docstring for the DECIMAL-parse trap, ADVICE r7)."""
+    return V.dd_planes_cte(dim=_DIM, n_planes=_N_PLANES)
+
+
 def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
     """Final exact top-k per query over pre-pruned candidates: window
     rank on (score desc, n_id) — deterministic across engines and
@@ -137,7 +145,44 @@ def cosine_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LSH ANN ---------------------------------------------------------------
 
 
-@query("ann_lsh_topk")  # rows-only: bucketing strategy is engine-specific
+_ANN_LSH_TOPK_ORACLE = f"""
+    WITH planes AS (__PLANES__),
+    bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN {V.dd_dot('e.embedding', 'pl.pl')} >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL) e
+      CROSS JOIN planes pl
+    ),
+    bk AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    e AS (
+      SELECT bk.vec_id, emb.embedding, bk.bucket
+      FROM bk JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE embedding IS NOT NULL) emb USING (vec_id)
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe, bucket
+          FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             round({V.dd_cosine('q.qe', 'c.embedding')}, 5) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {V.dd_cosine('q.qe', 'c.embedding')} DESC, c.vec_id
+             ) AS rn
+      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, n_id, cos FROM scored WHERE rn <= {_K} ORDER BY q_id, n_id
+    """
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_ANN_LSH_TOPK_ORACLE.replace("__PLANES__", V.dd_planes_cte(dim=_DIM, n_planes=_N_PLANES)),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: queries only meet corpus
     vectors sharing their 8-bit bucket (~1/256 of the corpus per probe).
@@ -146,8 +191,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket tagging is a narrow vectorized scan-side pass
     (``with_lsh_buckets``); pair scoring is the ``score_pairs`` einsum
     kernel over the (already bucket-pruned) join output — no
-    interpreted HOF anywhere. Recall is approximate (hence rows-only;
-    the exact baseline is cosine_knn_exact)."""
+    interpreted HOF anywhere. Recall is approximate relative to the
+    exact baseline (``cosine_knn_exact``), but the ALGORITHM is fully
+    deterministic, so it is exactly checkable end-to-end.
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7): the round-7
+    ``ann_lsh_bands`` foothold proved the bucket keys replay bit-
+    exactly in DuckDB ('<repr>'::DOUBLE plane literals), and the
+    remaining half — same-bucket candidate join + cosine + top-k on
+    (score DESC, n_id) — is exactly the ``cosine_knn_exact`` oracle
+    discipline (5-dp display rounding, raw-score rank, deterministic
+    tie-break). Knife-edge caveats inherited from both parents: a sign
+    bit can only diverge for |dot| ≲ 1e-13, and a rank flip needs two
+    candidates within ~1e-14 raw cosine — no fixture vector sits on
+    either."""
     emb = V.with_lsh_buckets(
         vec_table(spark, sf_dir).select("vec_id", "embedding"),
         dim=_DIM, n_planes=_N_PLANES,
@@ -208,7 +265,66 @@ def _ivf_coarse_centroids(emb: DataFrame):
     return stride, cent_ids, cmat
 
 
-@query("ann_ivf_topk")  # rows-only: centroid assignment is engine-specific
+_ANN_IVF_TOPK_ORACLE = f"""
+    WITH par AS (
+      SELECT GREATEST(1, n // LEAST(4096, GREATEST(16,
+               CAST(FLOOR(SQRT(n)) AS BIGINT)))) AS stride
+      FROM (SELECT COUNT(*) AS n FROM embeddings
+            WHERE embedding IS NOT NULL)
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce,
+             GREATEST({V.dd_norm('embedding')}, 1e-12) AS cn
+      FROM embeddings, par
+      WHERE embedding IS NOT NULL AND vec_id % par.stride = 0
+    ),
+    e AS (SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL),
+    d AS (
+      SELECT e.vec_id, c.cent_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                  * (CAST(c.ce[i] AS DOUBLE) / c.cn))) AS s
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q.vec_id AS q_id, c.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {V.dd_cosine('q.embedding', 'c.ce')} DESC,
+                          c.cent_id) AS rn
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS n_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.n_id,
+             round({V.dd_cosine('qe.embedding', 'ne.embedding')}, 5) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY {V.dd_cosine('qe.embedding', 'ne.embedding')} DESC,
+                        cand.n_id) AS rn
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.q_id
+      JOIN e ne ON ne.vec_id = cand.n_id
+    )
+    SELECT q_id, n_id, cos FROM scored WHERE rn <= {_K} ORDER BY q_id, n_id
+    """
+
+
+@query("ann_ivf_topk", oracle=_ANN_IVF_TOPK_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with the classic √n balance: ~√n cells (clamped to
     [16, 4096]), so assignment is n·√n BLAS FLOPs and each probe scans
@@ -231,7 +347,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-sized shuffle left is the per-cell candidate join,
     volume |probes|·√n; candidate scoring is the ``score_pairs`` einsum
     kernel. Centroid math is shared with ``ann_ivf_cell_assign`` via
-    ``_ivf_coarse_centroids`` (ADVICE r7)."""
+    ``_ivf_coarse_centroids`` (ADVICE r7).
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7): the round-7
+    ``ann_ivf_cell_assign`` foothold proved the coarse-cell argmax
+    replays exactly in DuckDB; the full oracle extends that CTE with
+    the probe ranking (top-2 cells per query by cosine DESC, cent_id —
+    the same window the plan runs), the cell-candidate join, and the
+    ``cosine_knn_exact`` top-k discipline. Knife-edge caveats as in
+    the foothold: an argmax/rank flip needs engine sums within ~1e-13,
+    off every fixture vector."""
     import numpy as np
 
     emb = vec_table(spark, sf_dir)
@@ -279,14 +404,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c.embedding").alias("ce"), "qe")
     )
     return _topk(V.score_pairs(cand, "ce", "qe"))
-
-
-def _dd_planes_cte() -> str:
-    """The deterministic md5-derived hyperplanes as a DuckDB VALUES
-    CTE — same constants ``with_lsh_buckets`` closes over, emitted
-    bit-exactly via ``V.dd_planes_cte`` (the '<repr>'::DOUBLE literal
-    form; see its docstring for the DECIMAL-parse trap, ADVICE r7)."""
-    return V.dd_planes_cte(dim=_DIM, n_planes=_N_PLANES)
 
 
 _ANN_LSH_BANDS_ORACLE = """

@@ -18,9 +18,9 @@ def test_registry_alignment():
     assert set(oracles) <= set(qs)
     # rows-only queries are the deliberate, documented exceptions
     rows_only = set(qs) - set(oracles)
+    # ann_lsh_topk / ann_ivf_topk graduated to full oracles in round 8
+    # (deterministic algorithms, replayable end-to-end in DuckDB)
     assert rows_only == {
-        "ann_lsh_topk",
-        "ann_ivf_topk",
         "approx_agg",
         "asof_cogroup_pandas",
         "streaming_dedup",
