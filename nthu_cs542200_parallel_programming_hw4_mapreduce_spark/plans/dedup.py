@@ -421,19 +421,29 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return agged.select("doc_id", F.concat(*bit_chars).alias("simhash"))
 
 
-@query(
-    "dedup_simhash",
-    oracle=rf"""
-    WITH toks AS (
+# Shared CTE prefix: tokenization + the 64-bit signature — the DuckDB
+# replay of simhash_signatures, used by the signature oracle and the
+# round-8 pairs oracle.
+_DD_SIMHASH_SIG_CTES = rf"""
+    toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
       FROM documents
-    )
-    SELECT doc_id,
-           {" || ".join(
-             f"(CASE WHEN list_sum(list_transform(l, t -> {_bit_contrib(j)})) >= 0 THEN '1' ELSE '0' END)"
-             for j in range(_SIMHASH_BITS)
-           )} AS simhash
-    FROM toks WHERE len(l) > 0 ORDER BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {" || ".join(
+               f"(CASE WHEN list_sum(list_transform(l, t -> {_bit_contrib(j)})) >= 0 THEN '1' ELSE '0' END)"
+               for j in range(_SIMHASH_BITS)
+             )} AS simhash
+      FROM toks WHERE len(l) > 0
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_DD_SIMHASH_SIG_CTES}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,15 +454,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@query("dedup_simhash_pairs")  # rows-only: pair search over hamming distance
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_DD_SIMHASH_SIG_CTES},
+    bands AS (
+      SELECT s.doc_id, b.band,
+             substr(s.simhash, b.band * {_SIMHASH_BITS // _SIMHASH_BANDS} + 1,
+                    {_SIMHASH_BITS // _SIMHASH_BANDS}) AS bkey
+      FROM sig s
+      CROSS JOIN (SELECT UNNEST(range({_SIMHASH_BANDS})) AS band) b
+    ),
+    sized AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+      FROM bands a
+      JOIN sized z ON z.band = a.band AND z.bkey = a.bkey
+      JOIN bands c ON c.band = a.band AND c.bkey = a.bkey
+                  AND a.doc_id < c.doc_id
+    ),
+    ham AS (
+      SELECT p.a_id, p.b_id,
+             CAST(list_sum(list_transform(range(1, {_SIMHASH_BITS} + 1),
+               i -> CASE WHEN substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)
+                         THEN 1 ELSE 0 END)) AS INT) AS hamming
+      FROM cand p
+      JOIN sig sa ON sa.doc_id = p.a_id
+      JOIN sig sb ON sb.doc_id = p.b_id
+    )
+    SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+    ORDER BY a_id, b_id
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 64 bits into 4 bands of 16; docs
     sharing any band bucket are candidates; keep Hamming distance ≤ 3
     (the radius the 4×16 banding guarantees to recall — 3 differing
     bits can spoil at most 3 of the 4 bands). Same groupBy+collect shape
     as MinHash-LSH — the collected structs carry the signature so the
-    Hamming filter needs no join back. Rows-only check (the signature
-    itself is oracle-verified by dedup_simhash)."""
+    Hamming filter needs no join back.
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7 as "pair search
+    over hamming distance"): every stage is integer-deterministic on
+    top of the already-oracle-verified signature — the oracle replays
+    banding as 16-char substrings of the shared ``sig`` CTE, mirrors
+    the (>1, ≤``_MAX_BUCKET``) bucket gate, and counts differing bit
+    chars for Hamming. No float anywhere past the signature's own
+    sign sums."""
     sig = simhash_signatures(table(spark, sf_dir, "documents"))
     band_w = _SIMHASH_BITS // _SIMHASH_BANDS
     # Pack each 16-bit band into an int word: members carry 4 ints
@@ -747,7 +798,54 @@ def embedding_cosine_bucketed_pairs(
     )
 
 
-@query("dedup_embedding_cosine_bucketed")  # rows-only: LSH banding is engine-specific
+# Shared CTE prefix: per-(vector, plane) sign bits folded into the
+# per-band int64 keys — the DuckDB replay of embedding_band_tagged,
+# used by both the full bucketed-pairs oracle here and the standalone
+# band-keys foothold below.
+_BAND_KEYS_CTES = """
+    planes AS (__PLANES__),
+    b AS (
+      SELECT e.vec_id, pl.p // 8 AS band, pl.p % 8 AS i,
+             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * pl.pl[j])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL) e
+      CROSS JOIN planes pl
+    ),
+    keys AS (
+      SELECT vec_id, band, CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS key
+      FROM b GROUP BY vec_id, band
+    )"""
+
+_BUCKETED_PAIRS_ORACLE = f"""
+    WITH {_BAND_KEYS_CTES},
+    sized AS (
+      SELECT band, key FROM keys GROUP BY band, key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT ka.vec_id AS a_id, kb.vec_id AS b_id
+      FROM keys ka
+      JOIN sized s ON s.band = ka.band AND s.key = ka.key
+      JOIN keys kb ON kb.band = ka.band AND kb.key = ka.key
+                  AND ka.vec_id < kb.vec_id
+    )
+    SELECT c.a_id, c.b_id
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+    WHERE {V.dd_cosine('ea.embedding', 'eb.embedding')} >= 0.4
+    ORDER BY a_id, b_id
+    """
+
+
+@query(
+    "dedup_embedding_cosine_bucketed",
+    oracle=_BUCKETED_PAIRS_ORACLE.replace(
+        "__PLANES__", V.dd_planes_cte(dim=64, n_planes=32)
+    ),
+)
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB embedding near-dup plan of record: LSH pre-bucketing
     composed with the exact matmul kernel — the composition SCALING.md
@@ -772,25 +870,23 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     tests pin (a) result ⊆ exact-pair set on the fixture and (b)
     recall ≥ 0.9 on synthetic planted near-identical pairs — the regime
     a production near-dup threshold (≥0.9) actually operates in.
-    Rows-only by design: the oracle cannot see the banding."""
+
+    ORACLE-BACKED since round 8 (was rows-only r2-r7 as "the oracle
+    cannot see the banding"): the ``dedup_embedding_band_keys``
+    foothold proved the banding REPLAYS exactly in DuckDB, so the full
+    pipeline is now checked end-to-end — band-key CTEs, the
+    (>1, ≤``_MAX_BUCKET``) bucket-size gate, same-bucket a<b candidates,
+    and the exact twin's ≥0.4 threshold clause (whose fixture margin,
+    ≥1e-5 from every pair, is documented at ``dedup_embedding_cosine``;
+    sign-bit knife edge as in ``ann_lsh_bands``)."""
     return embedding_cosine_bucketed_pairs(
         vec_table(spark, sf_dir).select("vec_id", "embedding")
     )
 
 
-_BAND_KEYS_ORACLE = """
-    WITH planes AS (__PLANES__),
-    b AS (
-      SELECT e.vec_id, pl.p // 8 AS band, pl.p % 8 AS i,
-             CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-                    j -> CAST(e.embedding[j] AS DOUBLE) * pl.pl[j])) >= 0
-                  THEN 1 ELSE 0 END AS bit
-      FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL) e
-      CROSS JOIN planes pl
-    )
-    SELECT vec_id, band, CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS key
-    FROM b GROUP BY vec_id, band ORDER BY vec_id, band
+_BAND_KEYS_ORACLE = f"""
+    WITH {_BAND_KEYS_CTES}
+    SELECT vec_id, band, key FROM keys ORDER BY vec_id, band
     """
 
 

@@ -273,13 +273,30 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("asof_cogroup_pandas")  # rows-only: cogrouped-pandas plumbing
+@query(
+    "asof_cogroup_pandas",
+    oracle="""
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+    FROM events ORDER BY event_id
+    """,
+)
 def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same as-of join as asof_last_signup, via the OTHER mechanism:
     cogrouped applyInPandas with pd.merge_asof per user — the pattern for
     as-of semantics that a window can't express (different left/right
-    tables, nearest-key tolerance). Rows-only here, but the test suite
-    asserts it equals the window implementation row-for-row."""
+    tables, nearest-key tolerance).
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7 as "cogrouped-
+    pandas plumbing"): the declared contract is exactly
+    ``asof_last_signup``'s — the suite has always asserted the two
+    implementations equal row-for-row — so it shares that query's
+    oracle verbatim. Caveat: with MULTIPLE signups at one identical
+    timestamp, merge_asof's within-tie pick is pandas sort-stability
+    while the oracle's is event_id order; no fixture user has such a
+    tie (and the local equality test would catch one)."""
     import pandas as pd
 
     ev = table(spark, sf_dir, "events")

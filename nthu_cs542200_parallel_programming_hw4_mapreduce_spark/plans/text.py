@@ -350,13 +350,24 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pandas_udaf_mean")  # rows-only: numpy reduction order ≠ SQL AVG bitwise
+@query(
+    "pandas_udaf_mean",
+    oracle="""
+    SELECT event_type, round(AVG(value), 4) AS mean_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined aggregate via a GROUPED_AGG pandas UDF (Arrow-batched
     series → scalar): per-event-type mean value. The UDAF extension
-    point; numeric result differs from SQL AVG only in summation order
-    (~1e-15), hence rows-only — the exact-arithmetic path is
-    event_window's DECIMAL mean."""
+    point; the exact-arithmetic path is event_window's DECIMAL mean.
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7 over summation-
+    order caution): numpy's reduction differs from SQL AVG by ~1e-15,
+    11 orders below the 4-dp display rounding — the same
+    margin-vs-rounding argument every cosine oracle already rests on.
+    Knife edge: a group mean sitting within 1e-15 of a x.xxxx5
+    rounding boundary; no fixture group does."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -18,21 +18,21 @@ def test_registry_alignment():
     assert set(oracles) <= set(qs)
     # rows-only queries are the deliberate, documented exceptions
     rows_only = set(qs) - set(oracles)
-    # ann_lsh_topk / ann_ivf_topk graduated to full oracles in round 8
-    # (deterministic algorithms, replayable end-to-end in DuckDB)
+    # Round 8 graduated six deterministic algorithms to full oracles
+    # (ann_lsh_topk, ann_ivf_topk, dedup_embedding_cosine_bucketed,
+    # dedup_simhash_pairs, asof_cogroup_pandas, pandas_udaf_mean);
+    # what remains is exactly the genuinely non-replayable set:
+    # sketches/approximate aggregates, engine-specific hash families,
+    # iterative algorithms, binary featurization, streaming state.
     assert rows_only == {
         "approx_agg",
-        "asof_cogroup_pandas",
         "streaming_dedup",
         "dedup_minhash_mllib",
-        "dedup_simhash_pairs",
         "kmeans_lloyd",
         "hll_user_reach",
-        "dedup_embedding_cosine_bucketed",
         "multimodal_embed_ann",
         "multimodal_features",
         "multimodal_framesample",
-        "pandas_udaf_mean",
         "streaming_incremental_dedup",
         "streaming_stateful",
         "pca_project",

@@ -39,11 +39,12 @@ ROUND6_NEW = {"quality_deciles_approx", "session_paths_topk_salted"}
 
 # Rows-only slots in the round-8 window: exactly the declared
 # non-SQL-expressible members of the r3-era re-proof set (iterative
-# kmeans, extension-proof UDAF/cogroup kernels, streaming state — see
-# tests/test_entry.py's pinned rows-only list). Window order.
+# kmeans, MLlib hash family, binary featurization, streaming state —
+# see tests/test_entry.py's pinned rows-only list; asof_cogroup_pandas
+# / dedup_simhash_pairs / pandas_udaf_mean graduated to full oracles
+# mid-round-8, so the driver oracle-checks them). Window order.
 ROUND8_ROWS_ONLY = [
-    "asof_cogroup_pandas", "dedup_minhash_mllib", "dedup_simhash_pairs",
-    "kmeans_lloyd", "multimodal_framesample", "pandas_udaf_mean",
+    "dedup_minhash_mllib", "kmeans_lloyd", "multimodal_framesample",
     "streaming_dedup", "streaming_incremental_dedup",
 ]
 
