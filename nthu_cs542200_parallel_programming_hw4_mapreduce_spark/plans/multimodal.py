@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import vectors as V
 from ..registry import query
 
 
@@ -111,13 +112,45 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("multimodal_features")  # rows-only: mapInPandas plumbing, fake decoder
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+                  i -> ascii(substr(text, CAST(i AS BIGINT), 1)))), 0)
+                % 2147483648 AS BIGINT) AS byte_sum,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 16 + ascii(substr(text, 1, 1)) % 64 END AS INT) AS width,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 16 + ascii(substr(text, n, 1)) % 64 END AS INT) AS height
+    FROM p ORDER BY doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``: Arrow
     batches of (doc_id, payload) go to Python; ``decode_image`` supplies
     width/height (real PIL decode when installed, deterministic fake
     otherwise — same batch shape either way). Partition-parallel, no
-    shuffle."""
+    shuffle.
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7 as "mapInPandas
+    plumbing, fake decoder"): on this container's fixtures every
+    payload takes the deterministic-fake branch (no PIL; no doc starts
+    with 'BM'), whose byte arithmetic DuckDB replays — with an ASCII
+    nuance: DuckDB v1.0 has no BLOB md5/slicing, so the oracle uses
+    ``ascii(substr(text, i, 1))`` as the byte value, exact because
+    every fixture doc is pure ASCII (verified octet_length == length
+    across all three SFs). DIVERGES LOUDLY rather than silently on a
+    fixture change: a non-ASCII doc breaks byte_sum parity, a
+    'BM'-prefixed doc flips the engine (only) into the BMP branch —
+    either way the driver check fails rather than rubber-stamping.
+    PIL, if ever installed, flips the engine to real decode and is
+    caught the same way."""
     docs = table(spark, sf_dir, "documents")
     # drop NULL media at the scan (ingest hygiene — a NULL payload would
     # reach the Python decoder and kill the task; all-null sweep, round 4)
@@ -147,14 +180,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-@query("multimodal_framesample")  # rows-only: mapInPandas plumbing
+@query(
+    "multimodal_framesample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             md5(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS frame_md5
+      FROM p, LATERAL (SELECT UNNEST(range(0, length(text) // 16, 4)) AS i) t
+    )
+    SELECT doc_id, frame_idx, frame_md5 FROM f ORDER BY doc_id, frame_idx
+    """,
+)
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over a 'video' payload (the byte stream chunked
     into fixed 16-byte frames; every 4th frame sampled) — the exact
     batch shape of a real video frame-sampler, with the codec swapped
     for deterministic byte arithmetic. Emits one row per sampled frame:
     (doc_id, frame_idx, frame_md5). Arrow-batched, partition-parallel,
-    no shuffle until the caller aggregates."""
+    no shuffle until the caller aggregates.
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7 as "mapInPandas
+    plumbing"): the frame grid and per-frame md5 replay in DuckDB with
+    the same ASCII nuance as ``multimodal_features`` — v1.0 lacks BLOB
+    md5, so frames slice as CHAR ranges, exact because every fixture
+    doc is pure ASCII (byte grid == char grid). A multibyte doc would
+    shift the engine's BYTE-aligned frames off the oracle's char
+    frames and fail the check loudly, never silently."""
     import hashlib
 
     docs = table(spark, sf_dir, "documents")
@@ -185,7 +239,65 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
-@query("multimodal_embed_ann")  # rows-only: composed media→embedding→ANN pipeline
+_EMBED_ANN_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hist AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), b ->
+               CAST(len(list_filter(range(1, n + 1),
+                 i -> ascii(substr(text, CAST(i AS BIGINT), 1)) // 16 = b))
+               AS DOUBLE)) AS h
+      FROM p
+    ),
+    emb AS (
+      SELECT doc_id,
+             CASE WHEN nrm = 0 THEN h
+                  ELSE list_transform(h, v -> v / nrm) END AS e
+      FROM (SELECT doc_id, h,
+                   sqrt(list_sum(list_transform(h, v -> v * v))) AS nrm
+            FROM hist)
+    ),
+    planes AS (__PLANES__),
+    bits AS (
+      SELECT emb.doc_id, pl.p,
+             CASE WHEN list_sum(list_transform(range(1, 17),
+                    i -> emb.e[i] * pl.pl[i])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM emb CROSS JOIN planes pl
+    ),
+    bk AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY doc_id
+    ),
+    v AS (SELECT emb.doc_id, emb.e, bk.bucket,
+                 sqrt(list_sum(list_transform(emb.e, x -> x * x))) AS nv
+          FROM emb JOIN bk USING (doc_id)),
+    q AS (SELECT doc_id AS q_id, e AS qe, nv AS nq, bucket
+          FROM v WHERE doc_id < 5),
+    scored AS (
+      SELECT q.q_id, c.doc_id AS n_id,
+             round(list_sum(list_transform(range(1, 17),
+                     i -> q.qe[i] * c.e[i])) / (q.nq * c.nv), 5) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_sum(list_transform(range(1, 17),
+                          i -> q.qe[i] * c.e[i])) / (q.nq * c.nv) DESC,
+                        c.doc_id) AS rn
+      FROM q JOIN v c ON c.bucket = q.bucket AND c.doc_id <> q.q_id
+    )
+    SELECT q_id, n_id, cos FROM scored WHERE rn <= 3 ORDER BY q_id, n_id
+    """
+
+
+@query(
+    "multimodal_embed_ann",
+    oracle=_EMBED_ANN_ORACLE.replace(
+        "__PLANES__", V.dd_planes_cte(dim=16, n_planes=8)
+    ),
+)
 def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal retrieval pipeline composed end-to-end:
     binary payload → Arrow-batched featurizer (deterministic 16-bin byte
@@ -195,7 +307,18 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the first 5 docs as queries. Exercises every seam a production
     media-retrieval pipeline has: binary columns, Python batch compute,
     vector columns, vectorized LSH bucketing, broadcast probe join,
-    window top-k."""
+    window top-k.
+
+    ORACLE-BACKED since round 8 (was rows-only r1-r7 as "composed
+    pipeline"): every stage is deterministic — the 16-bin high-nibble
+    histogram is exact integer arithmetic in both engines (ASCII
+    contract as in ``multimodal_features``; counts, their squares, and
+    the sums are all < 2^53 so normalization is bit-identical), the
+    dim-16 planes ride ``V.dd_planes_cte``, and scoring/ranking is the
+    ``cosine_knn_exact`` discipline with ``score_pairs``' renormalizing
+    division mirrored (q.nq · c.nv, not plain dot). Knife edges: sign
+    bits and rank flips need engine sums within ~1e-13 — none on the
+    fixture, and a fixture change diverges loudly."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window

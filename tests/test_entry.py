@@ -18,21 +18,18 @@ def test_registry_alignment():
     assert set(oracles) <= set(qs)
     # rows-only queries are the deliberate, documented exceptions
     rows_only = set(qs) - set(oracles)
-    # Round 8 graduated six deterministic algorithms to full oracles
-    # (ann_lsh_topk, ann_ivf_topk, dedup_embedding_cosine_bucketed,
-    # dedup_simhash_pairs, asof_cogroup_pandas, pandas_udaf_mean);
-    # what remains is exactly the genuinely non-replayable set:
-    # sketches/approximate aggregates, engine-specific hash families,
-    # iterative algorithms, binary featurization, streaming state.
+    # Round 8 graduated nine deterministic algorithms to full oracles
+    # (both ANN top-k probes, the bucketed embedding dedup, the SimHash
+    # pair search, the cogrouped as-of join, the pandas UDAF, and the
+    # whole multimodal family); what remains is exactly the genuinely
+    # non-replayable set: sketches/approximate aggregates, the MLlib
+    # hash family, iterative algorithms, streaming state.
     assert rows_only == {
         "approx_agg",
         "streaming_dedup",
         "dedup_minhash_mllib",
         "kmeans_lloyd",
         "hll_user_reach",
-        "multimodal_embed_ann",
-        "multimodal_features",
-        "multimodal_framesample",
         "streaming_incremental_dedup",
         "streaming_stateful",
         "pca_project",

@@ -39,12 +39,12 @@ ROUND6_NEW = {"quality_deciles_approx", "session_paths_topk_salted"}
 
 # Rows-only slots in the round-8 window: exactly the declared
 # non-SQL-expressible members of the r3-era re-proof set (iterative
-# kmeans, MLlib hash family, binary featurization, streaming state —
-# see tests/test_entry.py's pinned rows-only list; asof_cogroup_pandas
-# / dedup_simhash_pairs / pandas_udaf_mean graduated to full oracles
-# mid-round-8, so the driver oracle-checks them). Window order.
+# kmeans, MLlib hash family, streaming state — see tests/test_entry.
+# py's pinned rows-only list; asof_cogroup_pandas, dedup_simhash_pairs,
+# pandas_udaf_mean, and multimodal_framesample graduated to full
+# oracles mid-round-8, so the driver oracle-checks them). Window order.
 ROUND8_ROWS_ONLY = [
-    "dedup_minhash_mllib", "kmeans_lloyd", "multimodal_framesample",
+    "dedup_minhash_mllib", "kmeans_lloyd",
     "streaming_dedup", "streaming_incremental_dedup",
 ]
 
