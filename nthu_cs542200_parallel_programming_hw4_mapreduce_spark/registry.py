@@ -284,34 +284,49 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
 #   * the six r3-era TPC-H rows deferred from round 8
 #     (`tpch_q2/q9/q16/q20/q21/q22`) plus the two re-proofs the
 #     round-8 additions bumped (`tpch_q11`, `tpch_q15`);
-#   * 33 of the 41 queries whose latest driver row is CORRECTNESS_r04
+#   * the five queries whose oracles were UPGRADED mid-round-8 from
+#     rows-only to full DuckDB replay but which sit outside the
+#     round-8 window (`ann_lsh_topk`, `ann_ivf_topk`,
+#     `dedup_embedding_cosine_bucketed`, `multimodal_features`,
+#     `multimodal_embed_ann`) — their r7 driver rows are rows-only
+#     proofs, so the new oracles deserve a driver row before they age
+#     (the other four round-8 upgrades sit IN the round-8 window and
+#     get their oracle rows in CORRECTNESS_r08);
+#   * 28 of the 41 queries whose latest driver row is CORRECTNESS_r04
 #     (the oldest era once round 8 re-proves the r3-era rows); the
-#     eight deferred r4-era rows roll to round 10, each family-
+#     thirteen deferred r4-era rows roll to round 10, each family-
 #     redundant with a fresher-proven member: `delta_scan` +
 #     `delta_time_travel` (jar-free Delta file-contract tests;
 #     `schema_evolution_scan` re-proved r5), `streaming_dedup_
 #     watermarked`/`streaming_static_join`/`streaming_stream_join`/
 #     `streaming_topk` (streaming_dedup/hopping/incremental_dedup
 #     re-proved r8), `multimodal_dedup` (multimodal_meta r7,
-#     framesample r8), `dup_cluster_histogram` (rides dedup_clusters,
-#     re-proved r7).
+#     framesample r8 with the new oracle), `dup_cluster_histogram`
+#     (rides dedup_clusters, re-proved r7), `anomaly_zscore`
+#     (stats_agg re-proved r8), `url_canonicalize` (text_normalize
+#     r8), `sql_udf_scoring` (udtf_tokenize r8), `json_quarantine`
+#     (scalar_json r8), `collated_distinct` (exact_distinct_agg r8).
 # Queries ADDED during round 9 take priority — bump re-proofs from the
 # end of this tuple. Existence pinned by tests/test_registry.py::
 # test_round9_pool_is_registered.
 ROUND9_ROTATION_POOL: tuple[str, ...] = (
     "tpch_q2", "tpch_q9", "tpch_q16", "tpch_q20", "tpch_q21",
     "tpch_q22", "tpch_q11", "tpch_q15",
+    # round-8 oracle upgrades outside the round-8 window — re-prove
+    # under the NEW oracles
+    "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_cosine_bucketed",
+    "multimodal_features", "multimodal_embed_ann",
     # r4-era re-proofs (latest driver row = CORRECTNESS_r04)
-    "anomaly_zscore", "attribution_last_touch", "bpe_first_merge",
-    "collated_distinct", "compaction_bins", "data_expectations",
+    "attribution_last_touch", "bpe_first_merge",
+    "compaction_bins", "data_expectations",
     "dictionary_encode", "embedding_covariance", "funnel_conversion",
-    "heavy_hitters", "incremental_rollup", "json_quarantine",
+    "heavy_hitters", "incremental_rollup",
     "k_anonymity_suppress", "lateral_join_topn", "lsh_quality_eval",
     "markov_transitions", "merge_upsert", "ndcg_at_10",
     "pagerank_events", "paragraph_dedup", "python_datasource_scan",
     "reachability_bfs", "retention_cohorts", "scd2_history",
-    "sliding_distinct_users", "snapshot_diff", "sql_udf_scoring",
-    "table_profile", "triangle_count", "url_canonicalize",
+    "sliding_distinct_users", "snapshot_diff",
+    "table_profile", "triangle_count",
     "variant_shred", "window_range_frame", "xml_ingest",
 )
 

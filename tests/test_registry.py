@@ -180,13 +180,23 @@ def test_round8_pool_is_registered_and_freshness_ordered():
     assert registry.DRIVER_WINDOW == registry.ROUND8_WINDOW_PLAN
 
 
-# The eight r4-era rows deferred from the round-9 pool, each family-
+# The thirteen r4-era rows deferred from the round-9 pool, each family-
 # redundant with a fresher-proven member (see registry.py's pool
 # comment); they roll to round 10.
 ROUND9_DEFERRED = {
     "delta_scan", "delta_time_travel", "streaming_dedup_watermarked",
     "streaming_static_join", "streaming_stream_join", "streaming_topk",
-    "multimodal_dedup", "dup_cluster_histogram",
+    "multimodal_dedup", "dup_cluster_histogram", "anomaly_zscore",
+    "url_canonicalize", "sql_udf_scoring", "json_quarantine",
+    "collated_distinct",
+}
+
+# Queries whose oracles were upgraded mid-round-8 from rows-only to
+# full DuckDB replay while sitting OUTSIDE the round-8 window — they
+# take round-9 slots so the new oracles earn a driver row.
+ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW = {
+    "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_cosine_bucketed",
+    "multimodal_features", "multimodal_embed_ann",
 }
 
 
@@ -194,13 +204,21 @@ def test_round9_pool_is_registered():
     """The PRE-STAGED round-9 pool (VERDICT r7 "Next round" #3) must
     contain only names that exist (anti-phantom) and follow its
     documented recipe: the six r8-deferred TPC-H rows + the two
-    re-proofs the round-8 additions bumped + the r4-era rows minus the
-    eight named family-redundant deferrals. The r4-era set is computed
-    from the recorded CORRECTNESS files minus the round-8 window plan,
-    so the pin holds both before and after CORRECTNESS_r08 lands."""
+    re-proofs the round-8 additions bumped + the five round-8 oracle
+    upgrades outside the round-8 window + the r4-era rows minus the
+    thirteen named family-redundant deferrals. The r4-era set is
+    computed from the recorded CORRECTNESS files minus the round-8
+    window plan, so the pin holds both before and after
+    CORRECTNESS_r08 lands."""
     pool = set(registry.ROUND9_ROTATION_POOL)
     assert len(registry.ROUND9_ROTATION_POOL) == 41
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    # the upgrades really are oracle-backed and really sit outside the
+    # round-8 window
+    oracles = set(registry.all_oracles())
+    assert ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW <= oracles
+    assert not (ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW
+                & set(registry.ROUND8_WINDOW_PLAN))
     r4_era = (
         _checked("r04")
         - _checked("r05", "r06", "r07")
@@ -208,7 +226,11 @@ def test_round9_pool_is_registered():
         - set(registry.ROUND8_WINDOW_PLAN)
     )
     assert ROUND9_DEFERRED <= r4_era
-    assert pool == ROUND8_DEFERRED | ROUND8_BUMPED | (r4_era - ROUND9_DEFERRED)
+    assert pool == (
+        ROUND8_DEFERRED | ROUND8_BUMPED
+        | ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW
+        | (r4_era - ROUND9_DEFERRED)
+    )
     # pre-staged ≠ active: the live window is still the round-8 plan
     assert registry.DRIVER_WINDOW == registry.ROUND8_WINDOW_PLAN
 
