@@ -279,6 +279,11 @@ ROUND8_ROTATION_POOL: tuple[str, ...] = (
 # DuckDB replay mid-round): 213/213 oracle-backed parity-green + 9/9
 # rows-only executing, 0 failures. Every ROUND9_ROTATION_POOL member
 # was in that sweep, so the round-9 flip is pre-verified rot-free.
+# The sweep was then repeated at sf0.001 AND sf0.1 (first-ever full
+# tri-SF pass): 213/213 green at every scale, 0 failures — the oracles
+# hold across a 100× fixture range, not just the driver's sf0.01
+# check point (retires the ADVICE r7 "fixture-luck-fragile" class:
+# the CAST-AS-DOUBLE LSH literals survive all three corpora).
 ROUND8_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND8_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
