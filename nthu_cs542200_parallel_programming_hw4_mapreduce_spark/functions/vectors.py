@@ -47,8 +47,14 @@ def norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    """Cosine similarity in DOUBLE."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity in DOUBLE. The denominator rides the same
+    ``max(‖a‖·‖b‖, 1e-12)`` floor as ``score_pairs``: a zero-norm
+    vector scores a deterministic 0.0 in every engine path instead of
+    NULL (Spark) / NULL (DuckDB) — NULLs rank NULLS-LAST in one engine
+    and are dropped from sums in the other, so an unguarded zero vector
+    is exactly the kind of silent cross-engine divergence the oracles
+    exist to catch."""
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(_EPS))
 
 
 # Shared DuckDB fragments computing the same nominal arithmetic (explicit
@@ -68,7 +74,13 @@ def dd_norm(a: str) -> str:
 
 
 def dd_cosine(a: str, b: str) -> str:
-    return f"({dd_dot(a, b)} / ({dd_norm(a)} * {dd_norm(b)}))"
+    # GREATEST floor mirrors score_pairs/cosine: a zero-norm vector
+    # scores 0.0 (ranking above negative cosines, below positives) in
+    # BOTH engines, where DuckDB's bare x/0.0 would yield NULL and sort
+    # NULLS LAST while the engine's eps floor yields 0.0. Threshold
+    # consumers (dd_cosine >= 0.4) are unaffected: 0.0 and NULL both
+    # fail the predicate.
+    return f"({dd_dot(a, b)} / GREATEST({dd_norm(a)} * {dd_norm(b)}, 1e-12))"
 
 
 # ---------------------------------------------------------------------------

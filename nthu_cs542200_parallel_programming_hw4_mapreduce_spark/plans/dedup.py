@@ -712,11 +712,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The bucketed-embedding-dedup geometry, bound ONCE: the tagger
+# defaults, the oracle plane constants, and the band/bit arithmetic in
+# _BAND_KEYS_CTES all derive from these three numbers, so a parameter
+# change cannot leave a same-oracle foothold green while the production
+# kernel moves (the ADVICE-r7 IVF lesson, applied to the planes too).
+_BAND_DIM, _N_BANDS, _BAND_PLANES = 64, 4, 8
+
+
 def embedding_band_tagged(
     emb: DataFrame,
-    dim: int = 64,
-    n_bands: int = 4,
-    n_planes: int = 8,
+    dim: int = _BAND_DIM,
+    n_bands: int = _N_BANDS,
+    n_planes: int = _BAND_PLANES,
 ) -> DataFrame:
     """The LSH band-tagging stage of the bucketed embedding dedup —
     every (vec_id, embedding) row leaves the scan as ``n_bands`` rows
@@ -754,9 +762,9 @@ def embedding_band_tagged(
 
 def embedding_cosine_bucketed_pairs(
     emb: DataFrame,
-    dim: int = 64,
-    n_bands: int = 4,
-    n_planes: int = 8,
+    dim: int = _BAND_DIM,
+    n_bands: int = _N_BANDS,
+    n_planes: int = _BAND_PLANES,
     threshold: float = 0.4,
 ) -> DataFrame:
     """LSH-banded embedding near-dup pairs over a (vec_id, embedding)
@@ -801,11 +809,14 @@ def embedding_cosine_bucketed_pairs(
 # Shared CTE prefix: per-(vector, plane) sign bits folded into the
 # per-band int64 keys — the DuckDB replay of embedding_band_tagged,
 # used by both the full bucketed-pairs oracle here and the standalone
-# band-keys foothold below.
-_BAND_KEYS_CTES = """
+# band-keys foothold below. The plane constants are substituted ONCE
+# (module import) from the same _BAND_* geometry the tagger defaults
+# to, so the two oracles cannot drift from the kernel or each other.
+_BAND_KEYS_CTES = f"""
     planes AS (__PLANES__),
     b AS (
-      SELECT e.vec_id, pl.p // 8 AS band, pl.p % 8 AS i,
+      SELECT e.vec_id, pl.p // {_BAND_PLANES} AS band,
+             pl.p % {_BAND_PLANES} AS i,
              CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
                     j -> CAST(e.embedding[j] AS DOUBLE) * pl.pl[j])) >= 0
                   THEN 1 ELSE 0 END AS bit
@@ -817,6 +828,8 @@ _BAND_KEYS_CTES = """
       SELECT vec_id, band, CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS key
       FROM b GROUP BY vec_id, band
     )"""
+
+_BAND_PLANES_SQL = V.dd_planes_cte(dim=_BAND_DIM, n_planes=_N_BANDS * _BAND_PLANES)
 
 _BUCKETED_PAIRS_ORACLE = f"""
     WITH {_BAND_KEYS_CTES},
@@ -842,9 +855,7 @@ _BUCKETED_PAIRS_ORACLE = f"""
 
 @query(
     "dedup_embedding_cosine_bucketed",
-    oracle=_BUCKETED_PAIRS_ORACLE.replace(
-        "__PLANES__", V.dd_planes_cte(dim=64, n_planes=32)
-    ),
+    oracle=_BUCKETED_PAIRS_ORACLE.replace("__PLANES__", _BAND_PLANES_SQL),
 )
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB embedding near-dup plan of record: LSH pre-bucketing
@@ -892,9 +903,7 @@ _BAND_KEYS_ORACLE = f"""
 
 @query(
     "dedup_embedding_band_keys",
-    oracle=_BAND_KEYS_ORACLE.replace(
-        "__PLANES__", V.dd_planes_cte(dim=64, n_planes=32)
-    ),
+    oracle=_BAND_KEYS_ORACLE.replace("__PLANES__", _BAND_PLANES_SQL),
 )
 def dedup_embedding_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed foothold for ``dedup_embedding_cosine_bucketed``

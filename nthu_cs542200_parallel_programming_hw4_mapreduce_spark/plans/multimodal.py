@@ -280,11 +280,13 @@ _EMBED_ANN_ORACLE = """
     scored AS (
       SELECT q.q_id, c.doc_id AS n_id,
              round(list_sum(list_transform(range(1, 17),
-                     i -> q.qe[i] * c.e[i])) / (q.nq * c.nv), 5) AS cos,
+                     i -> q.qe[i] * c.e[i])) / GREATEST(q.nq * c.nv, 1e-12),
+                   5) AS cos,
              ROW_NUMBER() OVER (
                PARTITION BY q.q_id
                ORDER BY list_sum(list_transform(range(1, 17),
-                          i -> q.qe[i] * c.e[i])) / (q.nq * c.nv) DESC,
+                          i -> q.qe[i] * c.e[i]))
+                        / GREATEST(q.nq * c.nv, 1e-12) DESC,
                         c.doc_id) AS rn
       FROM q JOIN v c ON c.bucket = q.bucket AND c.doc_id <> q.q_id
     )
@@ -316,7 +318,12 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sums are all < 2^53 so normalization is bit-identical), the
     dim-16 planes ride ``V.dd_planes_cte``, and scoring/ranking is the
     ``cosine_knn_exact`` discipline with ``score_pairs``' renormalizing
-    division mirrored (q.nq · c.nv, not plain dot). Knife edges: sign
+    division mirrored (q.nq · c.nv, not plain dot), INCLUDING its
+    GREATEST(·, 1e-12) zero-norm floor: an empty-payload doc has an
+    all-zero histogram (nrm = 0, so the emb CTE keeps the zero vector)
+    and scores a deterministic 0.0 in both engines — a bare division
+    would give DuckDB NULL (NULLS LAST) vs the engine's 0.0 (above
+    negative cosines), a silent rank divergence. Knife edges: sign
     bits and rank flips need engine sums within ~1e-13 — none on the
     fixture, and a fixture change diverges loudly."""
     import numpy as np

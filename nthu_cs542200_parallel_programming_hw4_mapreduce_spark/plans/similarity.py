@@ -181,7 +181,7 @@ _ANN_LSH_TOPK_ORACLE = f"""
 
 @query(
     "ann_lsh_topk",
-    oracle=_ANN_LSH_TOPK_ORACLE.replace("__PLANES__", V.dd_planes_cte(dim=_DIM, n_planes=_N_PLANES)),
+    oracle=_ANN_LSH_TOPK_ORACLE.replace("__PLANES__", _dd_planes_cte()),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: queries only meet corpus
@@ -201,10 +201,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining half — same-bucket candidate join + cosine + top-k on
     (score DESC, n_id) — is exactly the ``cosine_knn_exact`` oracle
     discipline (5-dp display rounding, raw-score rank, deterministic
-    tie-break). Knife-edge caveats inherited from both parents: a sign
-    bit can only diverge for |dot| ≲ 1e-13, and a rank flip needs two
-    candidates within ~1e-14 raw cosine — no fixture vector sits on
-    either."""
+    tie-break), and ``dd_cosine``'s GREATEST(·, 1e-12) floor mirrors
+    ``score_pairs`` for zero-norm embeddings (both engines score 0.0;
+    a bare SQL division would NULL out and sort NULLS LAST). Knife-edge
+    caveats inherited from both parents: a sign bit can only diverge
+    for |dot| ≲ 1e-13, and a rank flip needs two candidates within
+    ~1e-14 raw cosine — no fixture vector sits on either."""
     emb = V.with_lsh_buckets(
         vec_table(spark, sf_dir).select("vec_id", "embedding"),
         dim=_DIM, n_planes=_N_PLANES,
@@ -354,7 +356,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays exactly in DuckDB; the full oracle extends that CTE with
     the probe ranking (top-2 cells per query by cosine DESC, cent_id —
     the same window the plan runs), the cell-candidate join, and the
-    ``cosine_knn_exact`` top-k discipline. Knife-edge caveats as in
+    ``cosine_knn_exact`` top-k discipline (``dd_cosine``'s zero-norm
+    floor included — see ``ann_lsh_topk``). Knife-edge caveats as in
     the foothold: an argmax/rank flip needs engine sums within ~1e-13,
     off every fixture vector."""
     import numpy as np

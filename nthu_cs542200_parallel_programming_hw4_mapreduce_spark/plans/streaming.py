@@ -278,7 +278,10 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id
+                   ORDER BY ts,
+                            CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                            event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
     FROM events ORDER BY event_id
     """,
@@ -290,13 +293,19 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables, nearest-key tolerance).
 
     ORACLE-BACKED since round 8 (was rows-only r1-r7 as "cogrouped-
-    pandas plumbing"): the declared contract is exactly
-    ``asof_last_signup``'s — the suite has always asserted the two
-    implementations equal row-for-row — so it shares that query's
-    oracle verbatim. Caveat: with MULTIPLE signups at one identical
-    timestamp, merge_asof's within-tie pick is pandas sort-stability
-    while the oracle's is event_id order; no fixture user has such a
-    tie (and the local equality test would catch one)."""
+    pandas plumbing"). The oracle is ``asof_last_signup``'s last_value
+    window with ONE deliberate difference: signups sort BEFORE
+    non-signups within a timestamp tie. merge_asof's contract is
+    value-based — a signup at exactly the event's ts matches
+    (signup_ts <= ts) no matter how event_ids order the tied rows —
+    whereas the plain (ts, event_id) window would hide a tied signup
+    whose event_id sorts after the event. The signup-first tie-break
+    makes the replay exact under ALL data, including ties absent from
+    the fixtures: a multi-signup tie emits the tied ts under either
+    engine's pick, and a signup/event tie resolves to the tied ts in
+    both. (The two as-of twins therefore have genuinely different tie
+    contracts — window-positional vs value-based — equal on tie-free
+    data; the row-for-row equality test would flag a tie fixture.)"""
     import pandas as pd
 
     ev = table(spark, sf_dir, "events")
@@ -2469,7 +2478,7 @@ _HIST_BINS = 20
                            AS BIGINT), {_HIST_BINS - 1}) AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events e JOIN ext USING (event_type)
-    WHERE vmax > vmin
+    WHERE vmax > vmin AND value IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -2486,14 +2495,17 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (subtract, divide by precomputed width, floor, clamp the
     vmax edge into the last bin), so bins match exactly; degenerate
     all-equal types drop out via the vmax > vmin guard rather than
-    dividing by zero."""
+    dividing by zero. NULL measurements are filtered explicitly: both
+    engines' LEAST/least skip NULL arguments, so an unguarded NULL
+    value would silently become a phantom observation in the top bin
+    IN BOTH ENGINES — a wrong answer parity can never catch."""
     ev = table(spark, sf_dir, "events")
     ext = ev.groupBy("event_type").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
     binned = (
         ev.join(F.broadcast(ext), "event_type")
-        .filter(F.col("vmax") > F.col("vmin"))
+        .filter((F.col("vmax") > F.col("vmin")) & F.col("value").isNotNull())
         .select(
             "event_type",
             F.least(
@@ -2529,7 +2541,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT), {_HIST_BINS - 1}) AS bin,
              CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS is_a
       FROM events e JOIN ext USING (event_type)
-      WHERE vmax > vmin
+      WHERE vmax > vmin AND value IS NOT NULL AND ts IS NOT NULL
     ), vals AS (
       SELECT event_type, bin,
              CAST(SUM(is_a) AS DOUBLE) AS ca,
@@ -2575,7 +2587,16 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios in both engines, so 6-dp rounding is stable. 1000× probe
     (round 8): see SCALING.md — the (type, bin) shuffle stays
     dimension-sized where the exact KS's distinct-support shuffle goes
-    event-sized."""
+    event-sized.
+
+    NULL hygiene (post-review hardening): ``value IS NULL`` rows are
+    filtered in both engines — least()/LEAST skip NULLs identically,
+    so an unguarded NULL would land as a phantom top-bin observation
+    in BOTH engines and distort D with no parity failure. ``ts IS
+    NULL`` rows are filtered too: Spark's ``(NULL < split)`` is NULL
+    (dropped from BOTH sample sums) while SQL's CASE would route the
+    row to sample B — the one place the two engines would otherwise
+    read the same row differently."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -2584,7 +2605,11 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = (
         ev.join(F.broadcast(ext), "event_type")
-        .filter(F.col("vmax") > F.col("vmin"))
+        .filter(
+            (F.col("vmax") > F.col("vmin"))
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .select(
             "event_type",
             F.least(

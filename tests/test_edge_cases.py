@@ -505,3 +505,147 @@ def test_nonfinite_values_gate_then_parity(spark, tmp_path_factory):
         ddf = con.execute(E.oracle_sql()[name]).df()
         problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
     assert not problems, "\n".join(problems)
+
+
+def test_drift_ks_binned_ignores_null_value_and_null_ts(spark, tmp_path_factory):
+    """NULL hygiene (round-8 review hardening): a NULL ``value`` must
+    not become a phantom top-bin observation — least()/LEAST skip NULL
+    arguments in BOTH engines, so the unguarded formula produced the
+    same wrong answer on both sides, invisible to parity — and a NULL
+    ``ts`` must not be counted in sample B by the oracle's CASE while
+    Spark's (NULL < split) drops the row from both sums. Both classes
+    are now filtered; this corpus carries one of each plus four clean
+    rows and pins engine == oracle AND the exact counts."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("ks_nulls"))
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-10 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-11 00:00:00", 1, "view", 3.0, "{}"),
+        (3, "2024-01-20 00:00:00", 1, "view", 9.0, "{}"),
+        (4, "2024-01-21 00:00:00", 1, "view", 11.0, "{}"),
+        (5, "2024-01-12 00:00:00", 1, "view", None, "{}"),  # NULL value
+        (6, None, 1, "view", 5.0, "{}"),  # NULL ts
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+
+    sdf = E.queries()["drift_ks_binned"](spark, d).toPandas()
+    ddf = con.execute(E.oracle_sql()["drift_ks_binned"]).df()
+    assert not compare("drift_ks_binned", sdf, ddf)
+    # both null rows excluded: samples are {1, 3} vs {9, 11}
+    assert len(sdf) == 1
+    assert (int(sdf.iloc[0]["n_a"]), int(sdf.iloc[0]["n_b"])) == (2, 2)
+    assert sdf.iloc[0]["ks_stat"] == 1.0  # disjoint halves
+
+    # value_histogram shares the bin formula and the NULL-value guard
+    # (ts does not feed it, so the NULL-ts row still counts)
+    sh = E.queries()["value_histogram"](spark, d).toPandas()
+    dh = con.execute(E.oracle_sql()["value_histogram"]).df()
+    assert not compare("value_histogram", sh, dh)
+    assert int(sh["n"].sum()) == 5  # 6 rows - 1 NULL value
+
+
+def test_asof_cogroup_tied_signup_visible(spark, tmp_path_factory):
+    """A signup tied in ts with another event of the same user, with a
+    LARGER event_id (round-8 review): merge_asof's value contract
+    (signup_ts <= ts) matches it, so the cogroup oracle's signup-first
+    tie-break must surface it — the plain (ts, event_id) window would
+    order the signup AFTER the event and hide it. Also pins the genuine
+    contract split between the two as-of twins: ``asof_last_signup``
+    keeps window-positional semantics (engine AND oracle both hide the
+    tied signup), equal to the cogroup twin only on tie-free data."""
+    import duckdb
+    import pandas as pd
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("asof_tie"))
+    rows = [
+        (10, "2024-01-01 10:00:00", 1, "pageview", 1.0, "{}"),
+        (20, "2024-01-01 10:00:00", 1, "signup", 1.0, "{}"),  # tied, larger id
+        (30, "2024-01-02 10:00:00", 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    tied = pd.Timestamp("2024-01-01 10:00:00")
+
+    sdf = E.queries()["asof_cogroup_pandas"](spark, d).toPandas()
+    ddf = con.execute(E.oracle_sql()["asof_cogroup_pandas"]).df()
+    assert not compare("asof_cogroup_pandas", sdf, ddf)
+    got = dict(zip(sdf["event_id"], sdf["last_signup"]))
+    assert got[10] == tied  # value contract: the tied signup matches
+    assert got[20] == tied and got[30] == tied
+
+    s2 = E.queries()["asof_last_signup"](spark, d).toPandas()
+    d2 = con.execute(E.oracle_sql()["asof_last_signup"]).df()
+    assert not compare("asof_last_signup", s2, d2)
+    got2 = dict(zip(s2["event_id"], s2["last_signup"]))
+    assert pd.isna(got2[10])  # positional contract: tied signup hidden
+    assert got2[20] == tied and got2[30] == tied
+
+
+def test_zero_norm_embedding_scores_zero_not_null(spark, tmp_path_factory):
+    """dd_cosine's GREATEST(·, 1e-12) floor vs DuckDB's x/0.0 → NULL
+    (round-8 review): a zero-norm vector must score a deterministic 0.0
+    in BOTH engines — mirroring score_pairs — rather than NULL-ranking
+    last in the oracle only. The corpus plants a zero QUERY (vec_id 0)
+    and a zero CANDIDATE (vec_id 6); both bucket to all-ones sign bits,
+    so they meet in ann_lsh_topk, and before the guard the oracle
+    emitted NULL cos for every pair either side of."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("zero_norm"))
+    dim = 64
+    rows = []
+    for i in range(10):
+        if i in (0, 6):
+            vec = [0.0] * dim  # zero-norm: query 0 and candidate 6
+        else:
+            # small exact-in-float32 integers; no sign-bit knife edges
+            vec = [float(((i * 31 + j * 17) % 13) - 6) for j in range(dim)]
+        rows.append((i, vec, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+
+    sdf = E.queries()["ann_lsh_topk"](spark, d).toPandas()
+    ddf = con.execute(E.oracle_sql()["ann_lsh_topk"]).df()
+    assert not compare("ann_lsh_topk", sdf, ddf)
+    pair = sdf[(sdf["q_id"] == 0) & (sdf["n_id"] == 6)]
+    assert len(pair) == 1 and pair.iloc[0]["cos"] == 0.0
+
+    # the exact baseline rides the same guard: zero query scores 0.0
+    # against everything, ranked purely by n_id, identically in both
+    s2 = E.queries()["cosine_knn_exact"](spark, d).toPandas()
+    d2 = con.execute(E.oracle_sql()["cosine_knn_exact"]).df()
+    assert not compare("cosine_knn_exact", s2, d2)
+    q0 = s2[s2["q_id"] == 0]
+    assert list(q0["n_id"]) == [1, 2, 3] and set(q0["cos"]) == {0.0}
