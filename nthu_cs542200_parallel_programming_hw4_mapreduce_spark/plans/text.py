@@ -31,15 +31,21 @@ def _dd_stopword_hits(lang: str) -> str:
 
 @query(
     "text_quality",
+    # the coalesce(·, 0) wrappers mirror the engine's explode_outer
+    # aggregates on NULL text (round-8 review): the engine emits
+    # n_tokens = n_punct = 0 for a NULL doc and scores the punct term
+    # 1.0 / prose term 0.0; the bare fragments emitted NULL counts and
+    # — by a different least/greatest NULL-skip path — the SAME 0.666667
+    # quality, a coincidence one formula edit away from breaking.
     oracle=f"""
     SELECT doc_id,
            length(text) AS n_chars,
-           {_DD_NTOKS} AS n_tokens,
-           {_DD_PUNCT} AS n_punct,
+           coalesce({_DD_NTOKS}, 0) AS n_tokens,
+           coalesce({_DD_PUNCT}, 0) AS n_punct,
            round(
              ( least(length(text) / 200.0, 1.0)
-             + greatest(0.0, 1.0 - ({_DD_PUNCT} / greatest(length(text), 1)) * 5)
-             + least(({_dd_stopword_hits('en')} / greatest({_DD_NTOKS}, 1)) * 4, 1.0)
+             + greatest(0.0, 1.0 - (coalesce({_DD_PUNCT}, 0) / greatest(length(text), 1)) * 5)
+             + least((coalesce({_dd_stopword_hits('en')}, 0) / greatest(coalesce({_DD_NTOKS}, 0), 1)) * 4, 1.0)
              ) / 3, 6) AS quality
     FROM documents ORDER BY doc_id
     """,
@@ -101,15 +107,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_DD_LANG_CASE = None
-
-
 def _dd_lang_case() -> str:
     """DuckDB CASE replicating functions.text.lang_id's fold exactly:
     languages iterated in sorted order, strictly-greater replaces, so the
-    earliest language wins ties; 'und' when the max score < 1."""
+    earliest language wins ties; 'und' when the max score < 1.
+
+    Scores are COALESCE'd to 0 (round-8 review): on NULL text every
+    list_filter score is NULL, so the bare CASE's ``greatest(...) < 1``
+    guard is NULL (not taken) and every >= comparison is NULL, falling
+    through to the ELSE — the LAST language alphabetically — while the
+    engine's explode_outer path coalesces to 0 and answers 'und'."""
     langs = sorted(X.STOPWORDS)
-    scores = {lang: _dd_stopword_hits(lang) for lang in langs}
+    scores = {lang: f"coalesce({_dd_stopword_hits(lang)}, 0)" for lang in langs}
     branches = []
     for i, lang in enumerate(langs):
         later = langs[i + 1 :]
@@ -243,7 +252,7 @@ def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf.doc_id, tf.t AS term,
              round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score,
              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf * ln(n.n * 1.0 / df.df) DESC, tf.t) AS rn
+                                ORDER BY round(tf.tf * ln(n.n * 1.0 / df.df), 6) DESC, tf.t) AS rn
       FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
     )
     SELECT doc_id, term, score FROM scored WHERE rn <= 3 ORDER BY doc_id, term
@@ -254,10 +263,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts are integers; the only float op is the final ln and
     multiply, identical expression order in both engines (rounded 1e-6,
-    tie-broken on term). Plan: one token explode feeding two partial-agg
-    shuffles (tf by (doc,term), df by term), then a broadcast of the df
-    table (|vocab| rows, tiny relative to the corpus) back onto tf —
-    no join of the corpus against itself."""
+    tie-broken on term). The top-3 window ranks on the ROUNDED score —
+    the family convention set by pmi_collocations/tfidf_cosine_pairs
+    (round-8 review aligned this query): JVM Math.log and libm ln can
+    disagree by 1 ulp on identical input, and a raw-score window lets
+    that flip which term takes rank 3; inside a 1e-6 rounding bucket
+    the term tie-break decides identically in both engines. Plan: one
+    token explode feeding two partial-agg shuffles (tf by (doc,term),
+    df by term), then a broadcast of the df table (|vocab| rows, tiny
+    relative to the corpus) back onto tf — no join of the corpus
+    against itself."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -266,7 +281,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("t").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     score = F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))
-    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("t"))
+    w = Window.partitionBy("doc_id").orderBy(F.round(score, 6).desc(), F.col("t"))
     return (
         tf.join(F.broadcast(df), "t")
         .crossJoin(F.broadcast(n))
@@ -327,16 +342,26 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UDF/UDAF/UDTF pluggable surface. Row-at-a-time Python is the
     SLOW path (explode+split stays JVM-side and is what every other
     query uses); this exists to prove the extension point, scoped to a
-    50-doc slice so the bench doesn't pay for it."""
+    50-doc slice so the bench doesn't pay for it.
+
+    The split is an ASCII ``\\s+`` regex, NOT ``str.split()`` (round-8
+    review): Python's split treats Unicode whitespace (NBSP, U+2028…)
+    as separators while the oracle's RE2 ``\\s`` is ASCII-only — a
+    non-ASCII-space doc would tokenize differently per engine. Latent
+    on the pure-ASCII fixtures, but the contract shouldn't rest on
+    that."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="token: string")
     class Tokenize:
         # defined inline: ships by value (see streaming/stateful.py note)
         def eval(self, text: str):
+            import re
+
             if text:
-                for tok in text.split():
-                    yield (tok,)
+                for tok in re.split(r"\s+", text, flags=re.ASCII):
+                    if tok:
+                        yield (tok,)
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     docs.createOrReplaceTempView("_udtf_docs")
@@ -411,16 +436,22 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
-           (length(text) <> length(regexp_replace(
+           (text <> regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'))) AS had_pii
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS had_pii
     FROM documents ORDER BY doc_id
     """,
 )
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails, phone numbers → placeholder tokens) — the
     compliance pass every training-data pipeline runs. Regex kept to the
-    Java/RE2-compatible subset so engine and oracle agree."""
+    Java/RE2-compatible subset so engine and oracle agree.
+
+    ``had_pii`` compares CONTENT (scrubbed <> text), not lengths
+    (round-8 review): a 7-char email scrubs to the 7-char '<EMAIL>'
+    token, and mixed email/phone deltas can cancel — a length compare
+    under-reports identically in both engines, the silent class parity
+    can never catch."""
     docs = table(spark, sf_dir, "documents")
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
@@ -430,7 +461,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
-        (F.length("text") != F.length(scrubbed)).alias("had_pii"),
+        (F.col("text") != scrubbed).alias("had_pii"),
     ).orderBy("doc_id")
 
 
@@ -605,9 +636,11 @@ def _contamination_grams(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "decontaminate_ngram",
-    oracle=f"""
+# ONE oracle for both decontamination paths (round-8 review: the bloom
+# variant's documented same-semantics-as-exact contract was backed by a
+# second hand-maintained copy of this SQL — an edit to one copy could
+# break the exact/bloom equivalence with no test noticing).
+_DECONTAMINATE_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, lang, source, {_DD_TOKS} AS ws FROM documents
     ), grams AS (
@@ -618,8 +651,10 @@ def _contamination_grams(docs: DataFrame) -> DataFrame:
     WHERE doc_id % 97 <> 0
       AND g IN (SELECT g FROM grams WHERE doc_id % 97 = 0)
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("decontaminate_ngram", oracle=_DECONTAMINATE_ORACLE)
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word 4-gram with a held-out eval set (here ``doc_id % 97 = 0`` stands
@@ -1087,18 +1122,9 @@ def quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "decontaminate_bloom",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang, source, {_DD_TOKS} AS ws FROM documents
-    ), grams AS (
-      SELECT doc_id, lang, source, array_to_string(ws[i:i + 3], ' ') AS g
-      FROM toks, UNNEST(range(1, len(ws) - 2)) AS r(i)
-    )
-    SELECT DISTINCT doc_id, lang, source FROM grams
-    WHERE doc_id % 97 <> 0
-      AND g IN (SELECT g FROM grams WHERE doc_id % 97 = 0)
-    ORDER BY doc_id
-    """,
+    # shares _DECONTAMINATE_ORACLE verbatim: the bloom path's declared
+    # contract IS the exact path's answer (see docstring)
+    oracle=_DECONTAMINATE_ORACLE,
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a BLOOM-FILTER prefilter — same declared
@@ -1202,8 +1228,14 @@ _ASCII_LETTERS = "".join(chr(c) for r in (range(65, 91), range(97, 123)) for c i
     "quality_gopher",
     oracle=rf"""
     WITH s AS (
+      -- coalesce(text, ''): a NULL doc must token-count as EMPTY (the
+      -- engine's explode_outer path gives n_words = 0, flags 0/1),
+      -- not propagate NULL through every count and flag (round-8
+      -- review); n_hash/n_ellipsis stay bare — the engine's length()
+      -- arithmetic is NULL there too, so both agree on NULL
       SELECT doc_id,
-             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         t -> t <> '') AS l,
              length(text) - length(replace(text, '#', '')) AS n_hash,
              (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
       FROM documents
@@ -1653,6 +1685,35 @@ def _hh_sketch_and_verify(spark: SparkSession, sf_dir: str):
 _BPE_ROUNDS = 5
 
 
+def _bpe_pair_counts(vocab: DataFrame, syms: str) -> DataFrame:
+    """Weighted adjacent-symbol-pair counts over a (cnt, <syms>) word-
+    frequency frame — the ONE pair-statistics implementation shared by
+    the ``bpe_merges`` trainer and its oracle-backed foothold
+    ``bpe_first_merge`` (round-8 review: with the pair explode
+    duplicated, the foothold could keep passing while no longer
+    pinning the trainer's actual pair construction — the same
+    drift-risk class the IVF centroid helper closed). Empty and
+    single-symbol words contribute no pairs via the when/otherwise
+    empty-array guard."""
+    npairs = F.size(syms) - 1
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.when(
+                npairs >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), npairs - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("l"),
+                        F.element_at(syms, i + 2).alias("r"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("cnt").alias("pair_cnt"))
+
+
 @query("bpe_merges")  # rows-only: iterative greedy merging isn't SQL-expressible
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge learning (5 rounds) over the corpus —
@@ -1695,25 +1756,8 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = []
     for rnd in range(1, _BPE_ROUNDS + 1):
-        npairs = F.size("syms") - 1
-        pairs = vocab.select(
-            "cnt",
-            F.explode(
-                F.when(
-                    npairs >= 1,
-                    F.transform(
-                        F.sequence(F.lit(0), npairs - 1),
-                        lambda i: F.struct(
-                            F.element_at("syms", i + 1).alias("l"),
-                            F.element_at("syms", i + 2).alias("r"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-            ).alias("p"),
-        )
         best = (
-            pairs.groupBy("p.l", "p.r")
-            .agg(F.sum("cnt").alias("pair_cnt"))
+            _bpe_pair_counts(vocab, "syms")
             .orderBy(F.desc("pair_cnt"), "l", "r")
             .limit(1)
             .collect()  # bounded: exactly one row
@@ -1747,6 +1791,54 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DICT_RANGE_PARTS = 8
 
 
+def _two_phase_rank(df: DataFrame, key: str = "tok") -> DataFrame | None:
+    """Distributed global dense rank by ``key`` (the scalable
+    zipWithIndex pattern) — the single implementation behind
+    ``dictionary_encode`` and ``encode_corpus`` (round-8 review: the
+    block was duplicated verbatim, leaving the safety-critical
+    boundary pin maintainable in two places):
+
+    1. range-repartition by key (each bucket sorts independently);
+    2. count per bucket → a #buckets-sized bounded collect →
+       exclusive prefix offsets;
+    3. id = bucket offset + intra-bucket row_number.
+
+    The ids are invariant to where the range boundaries fall, which is
+    what makes the sampled RangePartitioner safe under a deterministic-
+    output contract. The localCheckpoint PINS the sampled boundaries:
+    repartitionByRange re-samples per job, so without materialization
+    the offsets job and the output job could see DIFFERENT bucketings
+    (caught live on the numeric twin, quantile_normalize) — ids must
+    come from one concrete partitioning.
+
+    Returns the frame with an ``id`` column added (other columns pass
+    through), or None for an empty input."""
+    from pyspark.sql import Window
+
+    bucketed = (
+        df.repartitionByRange(_DICT_RANGE_PARTS, key)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in bucketed.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }  # bounded: one row per range bucket
+    if not sizes:
+        return None
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )  # bounded literal map: #buckets entries
+    local = Window.partitionBy("pid").orderBy(key)
+    return bucketed.withColumn(
+        "id", (off[F.col("pid")] + F.row_number().over(local)).cast("long")
+    ).drop("pid")
+
+
 @query(
     "dictionary_encode",
     oracle=f"""
@@ -1775,11 +1867,11 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. id = bucket offset + intra-bucket row_number (the window
        partitions by bucket id, so every bucket ranks in its own task).
 
-    The ids are invariant to where the range boundaries fall (offsets +
-    local ranks always compose to the global rank), which is what makes
-    the sampled RangePartitioner safe under a deterministic-output
-    contract. The oracle uses the naive global window — same answer,
-    DuckDB's problem is oracle-sized.
+    The mechanics (and the boundary-pinning localCheckpoint they rest
+    on) live in the shared ``_two_phase_rank`` helper, which
+    ``encode_corpus`` also builds its dictionary with. The oracle uses
+    the naive global window — same answer, DuckDB's problem is
+    oracle-sized.
     """
     docs = table(spark, sf_dir, "documents")
     vocab = (
@@ -1787,40 +1879,10 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    # localCheckpoint PINS the sampled range boundaries: repartitionByRange
-    # re-samples per job, so without materialization the offsets job and
-    # the output job could see DIFFERENT bucketings (caught live on the
-    # numeric twin, quantile_normalize) — ids must come from one concrete
-    # partitioning.
-    bucketed = (
-        vocab.repartitionByRange(_DICT_RANGE_PARTS, "tok")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sizes = {
-        r["pid"]: r["n"]
-        for r in bucketed.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    }  # bounded: one row per range bucket
-    if not sizes:  # degenerate: empty corpus → empty dictionary
+    ranked = _two_phase_rank(vocab)
+    if ranked is None:  # degenerate: empty corpus → empty dictionary
         return spark.createDataFrame([], "tok string, id long, cnt long")
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )  # bounded literal map: #buckets entries
-    from pyspark.sql import Window
-
-    local = Window.partitionBy("pid").orderBy("tok")
-    return (
-        bucketed.select(
-            "tok",
-            (off[F.col("pid")] + F.row_number().over(local)).cast("long").alias("id"),
-            "cnt",
-        )
-        .orderBy("tok")
-    )
+    return ranked.select("tok", "id", "cnt").orderBy("tok")
 
 
 @query(
@@ -1855,31 +1917,12 @@ def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong-answer trap this plan avoids; the per-doc state is the
     document's own length."""
     docs = table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
-        .distinct()
-        .repartitionByRange(_DICT_RANGE_PARTS, "tok")
-        .withColumn("pid", F.spark_partition_id())
-        # pinned partitioning — see dictionary_encode's boundary note
-        .localCheckpoint(eager=True)
+    ranked = _two_phase_rank(
+        docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok")).distinct()
     )
-    sizes = {
-        r["pid"]: r["n"]
-        for r in vocab.groupBy("pid").agg(F.count("*").alias("n")).collect()
-    }  # bounded: one row per range bucket
-    if not sizes:  # degenerate: empty corpus → nothing to encode
+    if ranked is None:  # degenerate: empty corpus → nothing to encode
         return spark.createDataFrame([], "doc_id long, ids string, n long")
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    from pyspark.sql import Window
-
-    local = Window.partitionBy("pid").orderBy("tok")
-    dictionary = vocab.select(
-        "tok", (off[F.col("pid")] + F.row_number().over(local)).cast("long").alias("id")
-    )
+    dictionary = ranked.select("tok", "id")
     ex = docs.select(
         "doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "tok")
     )
@@ -1927,6 +1970,8 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale property as the full trainer: the corpus is scanned once
     for word counts; pair counting runs on the VOCAB (distinct words),
     so the pair shuffle is alphabet²-keyed regardless of corpus size.
+    Pair construction is the trainer's own ``_bpe_pair_counts`` — the
+    foothold pins the production kernel, not a copy of it.
     """
     docs = table(spark, sf_dir, "documents")
     vocab = (
@@ -1935,25 +1980,8 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select("cnt", F.filter(F.split("w", "(?!^)"), lambda c: c != "").alias("cs"))
     )
-    npairs = F.size("cs") - 1
-    pairs = vocab.select(
-        "cnt",
-        F.explode(
-            F.when(
-                npairs >= 1,
-                F.transform(
-                    F.sequence(F.lit(0), npairs - 1),
-                    lambda i: F.struct(
-                        F.element_at("cs", i + 1).alias("l"),
-                        F.element_at("cs", i + 2).alias("r"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        ).alias("p"),
-    )
     return (
-        pairs.groupBy("p.l", "p.r")
-        .agg(F.sum("cnt").alias("pair_cnt"))
+        _bpe_pair_counts(vocab, "cs")
         .orderBy(F.desc("pair_cnt"), "l", "r")
         .limit(10)
     )
@@ -1994,7 +2022,15 @@ def udtf_analyze_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, n: int):
-            toks = [] if text is None else [t for t in text.split() if t]
+            import re
+
+            # ASCII \s+ to match the oracle's RE2 semantics — str.split
+            # would also split on Unicode whitespace (udtf_tokenize note)
+            toks = (
+                []
+                if text is None
+                else [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
+            )
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     split_n = udtf(SplitN)

@@ -649,3 +649,106 @@ def test_zero_norm_embedding_scores_zero_not_null(spark, tmp_path_factory):
     assert not compare("cosine_knn_exact", s2, d2)
     q0 = s2[s2["q_id"] == 0]
     assert list(q0["n_id"]) == [1, 2, 3] and set(q0["cos"]) == {0.0}
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+
+def test_text_oracles_on_null_text_doc(spark, tmp_path_factory):
+    """NULL-text documents must take the ENGINE's path in every text
+    oracle (round-8 review): lang_id's bare CASE fell through to the
+    last language alphabetically ('und' in the engine), text_quality
+    emitted NULL token/punct counts (0 in the engine), and
+    quality_gopher NULL'd every count and flag. All three oracles now
+    coalesce; this corpus carries one NULL doc plus two real ones and
+    pins engine == oracle per query plus the headline values."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("null_text"))
+    _write_docs(spark, d, [
+        (1, "the quick brown fox and the lazy dog have it", "en", "web", 45),
+        (2, None, "en", "web", 0),
+        (3, "le chat et le chien sont dans le jardin", "fr", "web", 40),
+    ])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    problems = []
+    for name in ["lang_id", "text_quality", "quality_gopher",
+                 "token_count_est", "text_scrub_pii"]:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
+
+    lang = dict(zip(*(lambda df: (df["doc_id"], df["lang_pred"]))(
+        E.queries()["lang_id"](spark, d).toPandas())))
+    assert lang[2] == "und"  # NULL doc: undetermined, never 'fr'-by-CASE-fallthrough
+    tq = E.queries()["text_quality"](spark, d).toPandas().set_index("doc_id")
+    assert tq.loc[2, "n_tokens"] == 0 and tq.loc[2, "n_punct"] == 0
+    qg = E.queries()["quality_gopher"](spark, d).toPandas().set_index("doc_id")
+    assert qg.loc[2, "n_words"] == 0 and qg.loc[2, "f_stopwords"] == 0
+
+
+def test_scrub_pii_flags_length_preserving_scrub(spark, tmp_path_factory):
+    """had_pii compares content, not lengths (round-8 review): a 7-char
+    email scrubs to the 7-char '<EMAIL>' token, so the old length
+    compare reported had_pii=false in BOTH engines after replacing
+    PII — the silent shared-wrong-answer class."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("pii_len"))
+    _write_docs(spark, d, [
+        (1, "contact ab@c.de now", "en", "web", 19),      # 7-char email == token len
+        (2, "call 555-123-4567 or mail a.very.long.address@example.com", "en", "web", 58),
+        (3, "no pii here at all", "en", "web", 18),
+    ])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    sdf = E.queries()["text_scrub_pii"](spark, d).toPandas()
+    ddf = con.execute(E.oracle_sql()["text_scrub_pii"]).df()
+    assert not compare("text_scrub_pii", sdf, ddf)
+    got = sdf.set_index("doc_id")
+    assert bool(got.loc[1, "had_pii"]) is True  # length-preserving scrub caught
+    assert got.loc[1, "scrubbed"] == "contact <EMAIL> now"
+    assert bool(got.loc[2, "had_pii"]) is True
+    assert got.loc[2, "scrubbed"] == "call <PHONE> or mail <EMAIL>"
+    assert bool(got.loc[3, "had_pii"]) is False
+
+
+def test_udtf_tokenize_ascii_whitespace_contract(spark, tmp_path_factory):
+    """The UDTF splits on ASCII \\s+ exactly like the oracle's RE2
+    regex (round-8 review): Python's str.split() also treats Unicode
+    whitespace (NBSP here) as a separator, which would tokenize
+    'a\\u00a0b' into two tokens while DuckDB keeps one."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("nbsp"))
+    _write_docs(spark, d, [
+        (1, "plain ascii words", "en", "web", 17),
+        # the \u00a0 (NBSP) between fused/pair is the point of the test
+        (2, "fused\u00a0pair stays one", "en", "web", 20),
+    ])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for name in ["udtf_tokenize", "udtf_analyze_split"]:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        assert not compare(name, sdf, ddf), name
+    toks = E.queries()["udtf_tokenize"](spark, d).toPandas()
+    doc2 = sorted(toks[toks["doc_id"] == 2]["token"])
+    assert doc2 == ["fused\u00a0pair", "one", "stays"]  # NBSP does NOT split
