@@ -87,7 +87,8 @@ def tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "project_lit",
     oracle="""
-    SELECT l_orderkey, 1 AS one FROM lineitem ORDER BY l_orderkey LIMIT 100
+    SELECT l_orderkey, 1 AS one FROM lineitem
+    ORDER BY l_orderkey NULLS LAST LIMIT 100
     """,
 )
 def project_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +97,10 @@ def project_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", F.lit(1).alias("one"))
-        .orderBy("l_orderkey")
+        # NULLS LAST pins membership under the LIMIT: Spark ASC defaults
+        # NULLS FIRST, DuckDB NULLS LAST (round-8 review, all ORDER BY +
+        # LIMIT selections in this file)
+        .orderBy(F.asc_nulls_last("l_orderkey"))
         .limit(100)
     )
 
@@ -259,13 +263,23 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_semi_anti",
     oracle="""
     SELECT
-      (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
-      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders
+      (SELECT COUNT(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
     """,
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (EXISTS / NOT EXISTS). At scale both sides are one
-    shuffle on the key with early exit per match — no row multiplication."""
+    shuffle on the key with early exit per match — no row multiplication.
+
+    The oracle is spelled NOT EXISTS, not NOT IN (round-8 review): a
+    single NULL o_custkey makes SQL's NOT IN never-true (every
+    comparison yields NULL) while Spark's left_anti keeps all unmatched
+    customers — EXISTS/NOT EXISTS is the exact SQL twin of
+    left_semi/left_anti under NULLs."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").select("o_custkey")
     semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").agg(
@@ -367,7 +381,7 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_text",
     oracle="""
     SELECT lower(p_type) AS t, length(p_name) AS l, round(p_retailprice, 1) AS pr
-    FROM part ORDER BY p_partkey LIMIT 50
+    FROM part ORDER BY p_partkey NULLS LAST LIMIT 50
     """,
 )
 def scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +389,7 @@ def scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd expressions, never Python."""
     return (
         table(spark, sf_dir, "part")
-        .orderBy("p_partkey")
+        .orderBy(F.asc_nulls_last("p_partkey"))  # membership pin (project_lit note)
         .limit(50)
         .select(
             F.lower("p_type").alias("t"),
@@ -700,14 +714,14 @@ def sql_api_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(extract(month FROM o_orderdate) AS INT) AS m,
            CAST(extract(day FROM o_orderdate) AS INT) AS d,
            date_trunc('month', o_orderdate) AS month_start
-    FROM orders ORDER BY o_orderkey LIMIT 200
+    FROM orders ORDER BY o_orderkey NULLS LAST LIMIT 200
     """,
 )
 def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar functions over the NTZ timestamp column."""
     o = table(spark, sf_dir, "orders")
     return (
-        o.orderBy("o_orderkey")
+        o.orderBy(F.asc_nulls_last("o_orderkey"))  # membership pin (project_lit note)
         .limit(200)
         .select(
             "o_orderkey",
@@ -743,7 +757,7 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "limit_offset",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_orderkey LIMIT 25 OFFSET 50
+    ORDER BY o_orderkey NULLS LAST LIMIT 25 OFFSET 50
     """,
 )
 def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,7 +765,7 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderkey"))  # membership pin (project_lit note)
         .offset(50)
         .limit(25)
     )
@@ -913,7 +927,8 @@ def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_string_list",
     oracle="""
-    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    SELECT r_name,
+           coalesce(string_agg(n_name, ',' ORDER BY n_name), '') AS nations
     FROM region JOIN nation ON r_regionkey = n_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
@@ -921,7 +936,13 @@ def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_string_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (collect → sort → join) — collect_list
     order is nondeterministic under parallelism, so the sort inside the
-    aggregate is what makes the result stable at any partitioning."""
+    aggregate is what makes the result stable at any partitioning.
+
+    The oracle coalesces to '' (round-8 review): a group whose joined
+    names are ALL NULL aggregates to '' through Spark's concat_ws-over-
+    empty-collect_list but to NULL through SQL string_agg — both
+    engines skip NULL elements, they just disagree on the empty
+    result."""
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     return (
@@ -1789,8 +1810,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
-    HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2)))
-           > (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier) * 0.04
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 25
+           > (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier)
     ORDER BY value DESC, n_name
     """,
 )
@@ -1800,7 +1821,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncorrelated-scalar-subquery pattern. The global total is a 1-row
     aggregate crossJoin-broadcast into the per-group HAVING filter; both
     aggregates partial-aggregate map-side, and at 100 TB the global pass
-    reads the same scan Catalyst already column-pruned to one column."""
+    reads the same scan Catalyst already column-pruned to one column.
+
+    The 4% threshold compares as ``value * 25 > grand`` in DECIMAL
+    (round-8 review, the q17/q20/q22 exact-arithmetic discipline):
+    ``value > grand * 0.04`` coerces the decimal sums to DOUBLE (Spark)
+    or DECIMAL(38,4) (DuckDB), and a group landing within one double
+    ulp of the boundary could flip between engines; multiplying by the
+    integer reciprocal keeps both comparisons exact."""
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     bal = F.col("s_acctbal").cast("decimal(18,2)")
@@ -1810,7 +1838,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(bal).alias("_value"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("_value") > F.col("_grand") * 0.04)
+        .filter(F.col("_value") * 25 > F.col("_grand"))
         .select("n_name", F.col("_value").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), F.col("n_name"))
     )
@@ -1822,16 +1850,20 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_brand <> 'Brand#45'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l_suppkey AND s.s_name LIKE '%7%')
     GROUP BY p_brand, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_size
     """,
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (supplier relationship), adapted: distinct-supplier
-    counts per part attribute with a NOT IN exclusion list (complaint
-    suppliers in real Q16; a name pattern here). NOT IN over a non-null
-    key decorrelates to a broadcast anti-join; COUNT(DISTINCT) expands
+    counts per part attribute with an exclusion list (complaint
+    suppliers in real Q16; a name pattern here), decorrelated to a
+    broadcast anti-join. The oracle is spelled NOT EXISTS, not NOT IN
+    (round-8 review, the join_semi_anti rule): one NULL s_suppkey in
+    the exclusion list would make NOT IN never-true while left_anti
+    keeps every unmatched row; COUNT(DISTINCT) expands
     to a two-phase aggregate (partial distinct on (group, suppkey), then
     count) so duplicates die map-side before the shuffle."""
     li = table(spark, sf_dir, "lineitem")
@@ -2095,21 +2127,16 @@ def delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan, so pushdown/pruning/codegen apply unchanged, and
     filters on partition columns constant-fold per branch — real
     partition pruning (pinned by tests/test_delta.py)."""
-    import hashlib
-    import os
-    import tempfile
-
+    from ..sources.cache import materialize_once
     from ..sources.delta import write_delta_commit0
     from ..sources.readers import read_delta
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_delta_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    base = materialize_once(
+        "delta", sf_dir, "documents",
+        lambda tmp: write_delta_commit0(
+            spark, table(spark, sf_dir, "documents"), tmp, partition_by=["lang"]
+        ),
     )
-    if not os.path.exists(os.path.join(base, "_delta_log", f"{0:020d}.json")):
-        write_delta_commit0(
-            spark, table(spark, sf_dir, "documents"), base, partition_by=["lang"]
-        )
     return (
         read_delta(spark, base)
         .groupBy("lang", "source")
@@ -2169,7 +2196,7 @@ def _z_sql(a: str, b: str) -> str:
     SELECT l_orderkey, l_partkey,
            CAST({_z_sql("sx", "sy")} AS BIGINT) AS z
     FROM sc
-    ORDER BY z, l_orderkey, l_partkey
+    ORDER BY z NULLS LAST, l_orderkey NULLS LAST, l_partkey NULLS LAST
     LIMIT 100
     """,
 )
@@ -2216,7 +2243,11 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             zvalue(F.col("sx"), F.col("sy")).alias("z"),
         )
-        .orderBy("z", "l_orderkey", "l_partkey")
+        .orderBy(
+            F.asc_nulls_last("z"),
+            F.asc_nulls_last("l_orderkey"),
+            F.asc_nulls_last("l_partkey"),
+        )  # membership pin (project_lit note)
         .limit(100)
     )
 
@@ -2292,7 +2323,12 @@ def arrow_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType="string", useArrow=True)
     def rev(s: str) -> str:
-        return s[::-1]
+        # NULL-safe (round-8 review): a NULL payload reaches the UDF as
+        # None and None[::-1] kills the task, while the oracle's
+        # reverse(NULL) is NULL — the one un-null-safe query left after
+        # the round-4 "every query null-safe" sweep (its .count()-based
+        # probe never executes a pruned UDF projection).
+        return None if s is None else s[::-1]
 
     docs = table(spark, sf_dir, "documents")
     return (
@@ -2414,10 +2450,7 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture matches delta_scan: the log is driver-side metadata;
     both snapshot scans are Spark's native parquet reader."""
-    import hashlib
-    import os
-    import tempfile
-
+    from ..sources.cache import materialize_once
     from ..sources.delta import (
         append_delta_commit,
         read_delta_via_log,
@@ -2425,13 +2458,12 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_deltatt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    if not os.path.exists(os.path.join(base, "_delta_log", f"{1:020d}.json")):
-        write_delta_commit0(spark, docs.filter(F.col("doc_id") < 250), base)
-        append_delta_commit(spark, docs.filter(F.col("doc_id") >= 250), base)
+
+    def _write(tmp: str) -> None:
+        write_delta_commit0(spark, docs.filter(F.col("doc_id") < 250), tmp)
+        append_delta_commit(spark, docs.filter(F.col("doc_id") >= 250), tmp)
+
+    base = materialize_once("deltatt", sf_dir, "documents", _write)
     v0 = read_delta_via_log(spark, base, version=0).agg(
         F.count("*").cast("long").alias("v0_rows"),
         F.sum("n_chars").cast("long").alias("v0_chars"),
@@ -2614,23 +2646,16 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar batches — ``delta_scan``'s docstring economics in
     reverse), so its role is INGEST: land once, convert to parquet;
     this query is the fidelity check for that landing step."""
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.cache import materialize_once
 
     docs = table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_xml_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    base = materialize_once(
+        "xml", sf_dir, "documents",
+        lambda tmp: docs.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "doc")
+        .save(tmp),
     )
-    marker = os.path.join(base, "_SUCCESS")
-    if not os.path.exists(marker):
-        (
-            docs.write.mode("overwrite")
-            .format("xml")
-            .option("rowTag", "doc")
-            .save(base)
-        )
     return (
         spark.read.format("xml")
         .option("rowTag", "doc")
@@ -2923,22 +2948,21 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null values for the missing column. Cost note: mergeSchema
     reconciles footers at planning time; production tables pin the
     merged schema in a catalog instead of re-deriving it per query."""
-    import hashlib
     import os
-    import tempfile
+
+    from ..sources.cache import materialize_once
 
     docs = table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    if not os.path.exists(base):
+
+    def _write(tmp: str) -> None:
         docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
-            os.path.join(base, "gen=1")
+            os.path.join(tmp, "gen=1")
         )
         docs.filter(F.col("doc_id") % 2 == 1).select(
             "doc_id", "lang", (F.col("n_chars") % 100).alias("quality")
-        ).write.parquet(os.path.join(base, "gen=2"))
+        ).write.parquet(os.path.join(tmp, "gen=2"))
+
+    base = materialize_once("evo", sf_dir, "documents", _write)
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
     )

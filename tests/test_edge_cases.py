@@ -752,3 +752,146 @@ def test_udtf_tokenize_ascii_whitespace_contract(spark, tmp_path_factory):
     toks = E.queries()["udtf_tokenize"](spark, d).toPandas()
     doc2 = sorted(toks[toks["doc_id"] == 2]["token"])
     assert doc2 == ["fused\u00a0pair", "one", "stays"]  # NBSP does NOT split
+
+
+def test_core_oracles_on_null_bearing_relational_fixtures(spark, tmp_path_factory):
+    """Round-8 core review: four latent engine/oracle divergences that
+    only null-bearing fixtures exercise, each now pinned green —
+
+    * arrow_udf_reverse: NULL text reached the UDF as None[::-1]
+      (TypeError) while the oracle returned NULL;
+    * join_semi_anti: one NULL o_custkey made the oracle's old NOT IN
+      never-true (0 customers without orders) while left_anti keeps
+      all unmatched — the oracle is now NOT EXISTS;
+    * agg_string_list: a region whose nations all have NULL n_name is
+      '' through concat_ws but was NULL through string_agg;
+    * ORDER BY + LIMIT membership: Spark ASC defaults NULLS FIRST,
+      DuckDB NULLS LAST — under LIMIT 100 a NULL-keyed row set differs;
+      both sides now pin NULLS LAST (zorder_layout here).
+    """
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("core_nulls"))
+    spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "spark")],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(coalesce(length(text), 0) AS LONG) AS n_chars",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)],
+        "o_orderkey long, o_custkey long",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "'O' AS o_orderstatus",
+        "100.0 AS o_totalprice",
+        "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "Alice"), (20, "Bob"), (30, "Carol"), (40, "Dave")],
+        "c_custkey long, c_name string",
+    ).selectExpr(
+        "c_custkey", "c_name", "CAST(1 AS INT) AS c_nationkey",
+        "0.0 AS c_acctbal", "'BUILDING' AS c_mktsegment",
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "FRANCE", 0), (1, None, 1), (2, None, 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(0, "EUROPE"), (1, "NOWHERE")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.parquet(f"{d}/region.parquet")
+    rows = [(i, None if i % 3 == 0 else i * 7) for i in range(1, 151)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").selectExpr(
+        "l_orderkey", "l_partkey", "CAST(1 AS LONG) AS l_suppkey",
+        "CAST(1 AS INT) AS l_linenumber", "1.0 AS l_quantity",
+        "10.0 AS l_extendedprice", "0.0 AS l_discount", "0.0 AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "CAST('2024-01-01' AS TIMESTAMP) AS l_shipdate",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+
+    con = duckdb.connect()
+    for t in ["documents", "orders", "customer", "nation", "region", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    problems = []
+    for name in ["arrow_udf_reverse", "join_semi_anti", "agg_string_list",
+                 "zorder_layout", "project_lit"]:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
+
+    ja = E.queries()["join_semi_anti"](spark, d).toPandas()
+    # customers 10, 20 have orders; 30, 40 do not — the NULL o_custkey
+    # row matches nobody and must not zero out the anti count
+    assert int(ja.loc[0, "n_with_orders"]) == 2
+    assert int(ja.loc[0, "n_without_orders"]) == 2
+    al = E.queries()["agg_string_list"](spark, d).toPandas().set_index("r_name")
+    assert al.loc["NOWHERE", "nations"] == ""  # all-NULL names -> '' in BOTH
+    zl = E.queries()["zorder_layout"](spark, d).toPandas()
+    assert len(zl) == 100 and zl["z"].notna().all()  # NULL-z rows rank last
+
+
+def test_materialize_once_is_atomic_and_content_keyed(tmp_path):
+    """sources.cache.materialize_once (round-8 core review): a writer
+    crash must not publish a half-cache the guard then trusts forever
+    (the old bare-directory guard did exactly that), and regenerating
+    the source fixture at the same path must produce a NEW cache key
+    instead of serving stale data."""
+    import os
+    import time
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.cache import (
+        materialize_once,
+    )
+
+    src_dir = str(tmp_path / "sf")
+    os.makedirs(src_dir)
+    src = os.path.join(src_dir, "documents.parquet")
+    with open(src, "w") as f:
+        f.write("v1")
+
+    calls = []
+
+    def boom(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "partial"), "w") as f:
+            f.write("half")
+        raise RuntimeError("killed mid-write")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        materialize_once("cachetest", src_dir, "documents", boom)
+    # the crash left NO published cache — a second call runs the writer again
+    def ok(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data"), "w") as f:
+            f.write("full")
+
+    base1 = materialize_once("cachetest", src_dir, "documents", ok)
+    assert os.path.exists(os.path.join(base1, "data"))
+    assert len(calls) == 2  # boom, then ok — the half-write never satisfied the guard
+
+    # same fixture content -> cache hit, writer NOT invoked
+    base2 = materialize_once("cachetest", src_dir, "documents", ok)
+    assert base2 == base1 and len(calls) == 2
+
+    # regenerate the fixture (content change) -> new key, writer re-runs
+    time.sleep(0.01)  # ensure mtime_ns moves
+    with open(src, "w") as f:
+        f.write("v2-regenerated")
+    base3 = materialize_once("cachetest", src_dir, "documents", ok)
+    assert base3 != base1 and len(calls) == 3
+
+    import shutil
+
+    shutil.rmtree(base1, ignore_errors=True)  # test residue in tempdir
+    shutil.rmtree(base3, ignore_errors=True)
