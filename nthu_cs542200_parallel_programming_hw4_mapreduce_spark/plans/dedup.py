@@ -68,26 +68,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, s): distinct k-shingles, exploded.
-
-    Gram formation is narrow: explode the start index (a codegen'd
-    Generate) and element_at the token array k times. The earlier
-    window-lead form shuffled every token row just to line up neighbors
-    (and the interpreted transform+slice array form runs outside codegen
-    — 3.7 s at sf0.1). The distinct the consumers genuinely need
-    (Jaccard/containment math is over shingle SETS) is a lag-compare
-    after a per-doc sort, NOT dropDuplicates: one shuffle keyed on
-    doc_id alone, so the output stays doc_id-partitioned and every
-    downstream doc_id window/aggregate reuses the exchange. (A
-    dropDuplicates here hashes on (doc_id, s) — the consumers then
-    re-shuffle the whole posting set by doc_id again, which is the
-    difference between the 100× verify pass completing and running a
-    single node out of shuffle disk.)"""
-    from pyspark.sql import Window
-
+def _positional_grams(docs: DataFrame, k: int, out: str = "s") -> DataFrame:
+    """(doc_id, <out>): positional word k-grams WITH multiplicity — the
+    one gram builder (round-8 review: substring_dup_rate carried its
+    own copy). Formation is narrow: explode the start index (a
+    codegen'd Generate) and element_at the token array k times. The
+    earlier window-lead form shuffled every token row just to line up
+    neighbors, and the interpreted transform+slice array form runs
+    outside codegen (3.7 s at sf0.1). Dedup is the CALLER's choice —
+    the two consumers legitimately differ (see shingle_rows vs
+    substring_dup_rate)."""
     t = X.tokens("text", r"\s+")
-    grams = (
+    return (
         docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
         .filter(F.col("_n") >= k)
         .select(
@@ -99,9 +91,26 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
             "doc_id",
             F.concat_ws(
                 " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(k)]
-            ).alias("s"),
+            ).alias(out),
         )
     )
+
+
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s): distinct k-shingles, exploded.
+
+    Grams come from ``_positional_grams``; the distinct the consumers
+    genuinely need (Jaccard/containment math is over shingle SETS) is
+    a lag-compare after a per-doc sort, NOT dropDuplicates: one shuffle
+    keyed on doc_id alone, so the output stays doc_id-partitioned and
+    every downstream doc_id window/aggregate reuses the exchange. (A
+    dropDuplicates here hashes on (doc_id, s) — the consumers then
+    re-shuffle the whole posting set by doc_id again, which is the
+    difference between the 100× verify pass completing and running a
+    single node out of shuffle disk.)"""
+    from pyspark.sql import Window
+
+    grams = _positional_grams(docs, k)
     w = Window.partitionBy("doc_id").orderBy("s")
     return (
         grams.withColumn("_prev", F.lag("s").over(w))
@@ -167,6 +176,32 @@ def _dd_minhash_sig() -> list[str]:
             f"list_min(list_transform(shingles, s -> substr(md5(s || ':{seed}'), {start}, 8)))"
         )
     return out
+
+
+# ONE sig + bands CTE pair for every MinHash oracle (round-8 review:
+# the block was copy-pasted five times with rows-per-band hardcoded as
+# mh{2b}/mh{2b+1}). Band keys derive from _ROWS_PER_BAND exactly like
+# the Spark-side minhash_bands, so a K/b geometry change moves the
+# engine and all the oracles together instead of leaving five stale
+# copies on r=2.
+_DD_SIG_CTE = (
+    "sig AS (\n      SELECT doc_id, "
+    + ", ".join(f"{e} AS mh{j}" for j, e in enumerate(_dd_minhash_sig()))
+    + "\n      FROM sh WHERE len(shingles) > 0\n    )"
+)
+_DD_BANDS_CTE = (
+    "bands AS (\n      "
+    + " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh{_ROWS_PER_BAND * b + i}" for i in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    + "\n    )"
+)
 
 
 def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
@@ -287,16 +322,8 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
-    sig AS (
-      SELECT doc_id, {", ".join(f"{e} AS mh{j}" for j, e in enumerate(_dd_minhash_sig()))}
-      FROM sh WHERE len(shingles) > 0
-    ),
-    bands AS (
-      {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
-        for b in range(_BANDS)
-      )}
-    )
+    {_DD_SIG_CTE},
+    {_DD_BANDS_CTE}
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -447,10 +474,12 @@ _DD_SIMHASH_SIG_CTES = rf"""
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (64-bit, md5-nibble-parity family): per bit j,
-    sum ±1 over all tokens by the parity of a nibble of md5(token:seed);
-    the sign of the sum is the signature bit. GroupBy excludes token-less
-    docs, matching the oracle's ``len(l) > 0``."""
+    """SimHash signatures (64-bit, single-digest md5 family — see
+    ``_bit_contrib``): per bit j, sum ±1 over all tokens by bit j%4 of
+    hex nibble j//4 of ONE md5(token) digest (the seedless family that
+    superseded the per-seed md5(token:seed) nibble-parity cut — one
+    digest per token instead of 64). GroupBy excludes token-less docs,
+    matching the oracle's ``len(l) > 0``."""
     return simhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
@@ -637,8 +666,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
-    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) a
+    JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) b
       ON a.vec_id < b.vec_id
     WHERE {V.dd_cosine('a.embedding', 'b.embedding')} >= 0.4
     ORDER BY a_id, b_id
@@ -685,10 +714,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    eps = V._EPS  # bind as a local: a V.* reference inside the shipped
+    # closure pickles the whole package by reference and breaks any
+    # worker without the repo on PYTHONPATH (vectors.py score_pairs note
+    # — caught live by the vanilla-session driver mimic, round 8)
+
     def _unpack(cell) -> tuple[np.ndarray, np.ndarray]:
         ids = np.array([v["vec_id"] for v in cell], dtype=np.int64)
         mat = np.stack([np.asarray(v["embedding"], dtype=np.float64) for v in cell])
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # eps floor (round-8 review): a zero-norm vector must score
+        # ~0 deterministically, not emit NaN rows through a 0/0 divide
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), eps)
         return ids, mat
 
     def kernel(batches):
@@ -821,7 +857,7 @@ _BAND_KEYS_CTES = f"""
                     j -> CAST(e.embedding[j] AS DOUBLE) * pl.pl[j])) >= 0
                   THEN 1 ELSE 0 END AS bit
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN planes pl
     ),
     keys AS (
@@ -1026,16 +1062,8 @@ def connected_components(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE sh AS ({_DD_SHINGLES}),
-    sig AS (
-      SELECT doc_id, {", ".join(f"{e} AS mh{j}" for j, e in enumerate(_dd_minhash_sig()))}
-      FROM sh WHERE len(shingles) > 0
-    ),
-    bands AS (
-      {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
-        for b in range(_BANDS)
-      )}
-    ),
+    {_DD_SIG_CTE},
+    {_DD_BANDS_CTE},
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -1115,16 +1143,8 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_lsh_jaccard_verified",
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
-    sig AS (
-      SELECT doc_id, {", ".join(f"{e} AS mh{j}" for j, e in enumerate(_dd_minhash_sig()))}
-      FROM sh WHERE len(shingles) > 0
-    ),
-    bands AS (
-      {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
-        for b in range(_BANDS)
-      )}
-    ),
+    {_DD_SIG_CTE},
+    {_DD_BANDS_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -1387,16 +1407,8 @@ _DD_REPDOCS = r"""
     oracle=f"""
     WITH repdocs AS ({_DD_REPDOCS}),
     sh AS ({_DD_REP_SHINGLES}),
-    sig AS (
-      SELECT doc_id, {", ".join(f"{e} AS mh{j}" for j, e in enumerate(_dd_minhash_sig()))}
-      FROM sh WHERE len(shingles) > 0
-    ),
-    bands AS (
-      {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
-        for b in range(_BANDS)
-      )}
-    ),
+    {_DD_SIG_CTE},
+    {_DD_BANDS_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -1478,36 +1490,22 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner reads before deciding whether ExactSubstr-style dedup is worth
     running.
 
-    Plan shape: positional 8-grams come from the narrow index-explode
-    build (codegen'd Generate + element_at — the module-header rule;
-    the word_shingles higher-order form computes the same grams but
-    runs interpreted, measured 4.3 s vs 2.6 s here at sf0.1), deduped
-    per (doc_id, g); the gram-keyed count window's groups are
-    docs-per-gram (near-dup-cluster sized, never corpus sized), and the
-    filtered stream partial-aggregates into two distinct counts. The
-    final 1×1 crossJoin attaches the corpus count — both sides single
-    rows, no data motion."""
+    Plan shape: positional 8-grams come from the shared
+    ``_positional_grams`` builder (codegen'd Generate + element_at —
+    the module-header rule; the word_shingles higher-order form
+    computes the same grams but runs interpreted, measured 4.3 s vs
+    2.6 s here at sf0.1), deduped per (doc_id, g) by a hash distinct —
+    NOT shingle_rows' doc_id-window lag-compare, because the next op
+    re-keys by g anyway, so there is no doc_id exchange to reuse and
+    the hash distinct is one shuffle either way. The gram-keyed count
+    window's groups are docs-per-gram (near-dup-cluster sized, never
+    corpus sized), and the filtered stream partial-aggregates into two
+    distinct counts. The final 1×1 crossJoin attaches the corpus count
+    — both sides single rows, no data motion."""
     from pyspark.sql import Window
 
-    k = 8
     docs = table(spark, sf_dir, "documents")
-    t = X.tokens("text", r"\s+")
-    gd = (
-        docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
-        .filter(F.col("_n") >= k)
-        .select(
-            "doc_id",
-            "_ws",
-            F.explode(F.sequence(F.lit(1), F.col("_n") - (k - 1))).alias("_i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(k)]
-            ).alias("g"),
-        )
-        .distinct()
-    )
+    gd = _positional_grams(docs, k=8, out="g").distinct()
     dup = gd.withColumn(
         "c", F.count("*").over(Window.partitionBy("g"))
     ).filter(F.col("c") > 1)
@@ -1533,7 +1531,7 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8) s
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) ORDER BY vec_id LIMIT 8) s
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cluster,
@@ -1541,7 +1539,7 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
              )) AS d2
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN cents c
     ),
     a AS (
@@ -1604,13 +1602,17 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign, schema="vec_id long, embedding array<float>, cluster long"
     )
 
+    eps = V._EPS  # local bind — closures ship by value (see _unpack)
+
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]
         mat = np.stack(
             [np.asarray(e, dtype=np.float64) for e in pdf["embedding"].iloc[order]]
         )
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.maximum(  # eps floor — see _unpack
+            np.linalg.norm(mat, axis=1, keepdims=True), eps
+        )
         # blocked upper-triangle matmul: a skewed cluster of c vectors
         # must not allocate the full c×c sim matrix (25k vectors would
         # be 5 GB); B-row strips bound kernel memory at B·c doubles

@@ -38,13 +38,31 @@ def vec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     or arithmetic that assumes a real array. A 100 TB embedding store
     always carries failed-encode rows; without this filter a NULL
     array reaches ``np.stack``/``einsum`` and kills the task (caught
-    by the all-null robustness sweep, round 4). Oracle SQL of
-    vector-consuming oracle-backed queries mirrors the filter
-    (``embedding IS NOT NULL``) so both engines see the same rows.
-    Label-only consumers (``gini_label_balance``) intentionally do NOT
-    use this loader — a null vector still carries a valid label."""
+    by the all-null robustness sweep, round 4). Round 8 widened the
+    gate to the full failed-encode class: EMPTY arrays (np.stack over
+    mixed shapes raises), and NaN/Inf elements (numpy compares NaN
+    False while DuckDB sorts NaN greater-than-everything, so a single
+    NaN row silently flips `>= threshold` oracles the other way).
+    The NaN/Inf clause rides array_min/array_max — NaN sorts GREATER
+    than everything in both engines, so isnan(max) catches any NaN and
+    the min/max extremes catch ±Inf — deliberately NOT an exists()
+    higher-order lambda, which would put an interpreted per-element
+    fold on every corpus scan (the hot-path discipline
+    tests/test_plans.py::test_vector_hot_paths_not_interpreted pins).
+    Oracle SQL of vector-consuming oracle-backed queries mirrors the
+    exact same three-clause predicate so both engines see the same
+    rows. Label-only consumers (``gini_label_balance``) intentionally
+    do NOT use this loader — a null vector still carries a valid
+    label; metadata-only consumers (``scalar_array``) keep the raw
+    table too."""
     return table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~(
+            F.isnan(F.array_max("embedding").cast("double"))
+            | (F.array_max("embedding").cast("double") == F.lit(float("inf")))
+            | (F.array_min("embedding").cast("double") == F.lit(float("-inf")))
+        )
     )
 
 
@@ -72,7 +90,7 @@ def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
 @query(
     "cosine_knn_exact",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {_N_QUERIES}),
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.q_id, c.vec_id AS n_id,
              round({V.dd_cosine('q.qe', 'c.embedding')}, 5) AS cos,
@@ -80,7 +98,7 @@ def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
                PARTITION BY q.q_id
                ORDER BY {V.dd_cosine('q.qe', 'c.embedding')} DESC, c.vec_id
              ) AS rn
-      FROM q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c
+      FROM q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) c
         ON c.vec_id <> q.q_id
     )
     SELECT q_id, n_id, cos FROM scored WHERE rn <= {_K} ORDER BY q_id, n_id
@@ -152,7 +170,7 @@ _ANN_LSH_TOPK_ORACLE = f"""
              CASE WHEN {V.dd_dot('e.embedding', 'pl.pl')} >= 0
                   THEN '1' ELSE '0' END AS bit
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN planes pl
     ),
     bk AS (
@@ -162,7 +180,7 @@ _ANN_LSH_TOPK_ORACLE = f"""
     e AS (
       SELECT bk.vec_id, emb.embedding, bk.bucket
       FROM bk JOIN (SELECT vec_id, embedding FROM embeddings
-                    WHERE embedding IS NOT NULL) emb USING (vec_id)
+                    WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) emb USING (vec_id)
     ),
     q AS (SELECT vec_id AS q_id, embedding AS qe, bucket
           FROM e WHERE vec_id < {_N_QUERIES}),
@@ -272,16 +290,16 @@ _ANN_IVF_TOPK_ORACLE = f"""
       SELECT GREATEST(1, n // LEAST(4096, GREATEST(16,
                CAST(FLOOR(SQRT(n)) AS BIGINT)))) AS stride
       FROM (SELECT COUNT(*) AS n FROM embeddings
-            WHERE embedding IS NOT NULL)
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE))
     ),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS ce,
              GREATEST({V.dd_norm('embedding')}, 1e-12) AS cn
       FROM embeddings, par
-      WHERE embedding IS NOT NULL AND vec_id % par.stride = 0
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND vec_id % par.stride = 0
     ),
     e AS (SELECT vec_id, embedding FROM embeddings
-          WHERE embedding IS NOT NULL),
+          WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)),
     d AS (
       SELECT e.vec_id, c.cent_id,
              list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -417,7 +435,7 @@ _ANN_LSH_BANDS_ORACLE = """
                     i -> CAST(e.embedding[i] AS DOUBLE) * pl.pl[i])) >= 0
                   THEN '1' ELSE '0' END AS bit
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN planes pl
     )
     SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
@@ -457,14 +475,14 @@ def ann_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT GREATEST(1, n // LEAST(4096, GREATEST(16,
                CAST(FLOOR(SQRT(n)) AS BIGINT)))) AS stride
       FROM (SELECT COUNT(*) AS n FROM embeddings
-            WHERE embedding IS NOT NULL)
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE))
     ),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS ce,
              GREATEST(sqrt(list_sum(list_transform(embedding,
                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-12) AS cn
       FROM embeddings, par
-      WHERE embedding IS NOT NULL AND vec_id % par.stride = 0
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND vec_id % par.stride = 0
     ),
     d AS (
       SELECT e.vec_id, c.cent_id,
@@ -472,7 +490,7 @@ def ann_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CAST(e.embedding[i] AS DOUBLE)
                   * (CAST(c.ce[i] AS DOUBLE) / c.cn))) AS s
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN cents c
     ),
     r AS (
@@ -609,7 +627,7 @@ _KM_K = 8
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_KM_K}) s
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) ORDER BY vec_id LIMIT {_KM_K}) s
     ),
     d AS (
       SELECT e.vec_id, c.cluster,
@@ -617,7 +635,7 @@ _KM_K = 8
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
              )) AS d2
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN cents c
     ),
     r AS (
@@ -792,7 +810,7 @@ _PQ_SUBDIM = _DIM // _PQ_M
     WITH cb AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_PQ_K}) s
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) ORDER BY vec_id LIMIT {_PQ_K}) s
     ),
     d AS (
       SELECT e.vec_id, m.m, cb.code,
@@ -802,7 +820,7 @@ _PQ_SUBDIM = _DIM // _PQ_M
                   * (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
                      - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
              )) AS d2
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
       CROSS JOIN (SELECT UNNEST(range(0, {_PQ_M})) AS m) m
       CROSS JOIN cb
     ),

@@ -895,3 +895,48 @@ def test_materialize_once_is_atomic_and_content_keyed(tmp_path):
 
     shutil.rmtree(base1, ignore_errors=True)  # test residue in tempdir
     shutil.rmtree(base3, ignore_errors=True)
+
+
+def test_vector_family_on_failed_encode_embeddings(spark, tmp_path_factory):
+    """Round-8 dedup review: the failed-encode row classes a 100 TB
+    embedding store actually carries — NULL arrays, EMPTY arrays
+    (np.stack raises on mixed shapes), and NaN/Inf elements (numpy
+    compares NaN False while DuckDB sorts NaN above everything, so a
+    single NaN vector silently pairs with EVERY doc in the >= 0.4
+    oracles and flips LSH sign bits) — must be dropped identically by
+    vec_table's three-clause gate and its SQL mirror. This corpus
+    plants one of each among clean vectors and pins engine == oracle
+    across the vector-math family."""
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("dirty_emb"))
+    dim = 64
+    rows = []
+    for i in range(16):
+        vec = [float(((i * 31 + j * 17) % 13) - 6) for j in range(dim)]
+        rows.append((i, vec, i % 3))
+    rows.append((16, None, 1))                            # failed encode: NULL
+    rows.append((17, [], 2))                              # failed encode: empty
+    rows.append((18, [float("nan")] * dim, 0))            # failed encode: NaN
+    rows.append((19, [float("inf")] + [0.0] * (dim - 1), 1))  # failed encode: Inf
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    problems = []
+    for name in ["cosine_knn_exact", "ann_lsh_topk", "ann_ivf_topk",
+                 "ann_lsh_bands", "ann_ivf_cell_assign", "dedup_embedding_cosine",
+                 "dedup_embedding_cosine_bucketed", "dedup_embedding_band_keys",
+                 "dedup_semdedup", "kmeans_assign", "pq_encode"]:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
+    # the gate actually dropped the four dirty rows everywhere
+    bands = E.queries()["ann_lsh_bands"](spark, d).toPandas()
+    assert set(bands["vec_id"]) == set(range(16))
