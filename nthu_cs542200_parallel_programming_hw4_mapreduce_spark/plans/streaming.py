@@ -132,7 +132,7 @@ def streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
     FROM events ORDER BY event_id
     """,
@@ -143,7 +143,10 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it by the same user, via last_value IGNORE NULLS over an ordered
     window. One shuffle on user_id; no row multiplication — the shape
     that replaces a range-join at scale when the 'right side' can ride
-    the same partition."""
+    the same partition. The oracle pins ``ts NULLS FIRST`` — Spark's
+    ASC window default — so a NULL-ts event sits at the partition head
+    and answers NULL in both engines (a NULL-ts signup's marker is
+    NULL either way, skipped by IGNORE NULLS)."""
     from pyspark.sql import Window
 
     w = (
@@ -196,6 +199,12 @@ def range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join fan-out is bounded by bucket occupancy, not by events-per-user²,
     and the equi-join keys shuffle-partition uniformly. The oracle is the
     naive inequality join — results are identical, only the plan differs.
+
+    No dedup after the join (round-8 review removed a dead .distinct()
+    that re-shuffled every matched pair): a signup's two probe buckets
+    are distinct values and each follow row carries exactly one bucket,
+    so a (signup_id, follow_id) pair can match at most one probe row by
+    construction.
     """
     bucket_us = 600_000_000  # == the range width → probe exactly 2 buckets
     ev = table(spark, sf_dir, "events")
@@ -223,7 +232,6 @@ def range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b_us") - F.col("a_us") <= bucket_us)
         )
         .select("signup_id", "follow_id")
-        .distinct()
         .orderBy("signup_id", "follow_id")
     )
 
@@ -279,7 +287,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
              OVER (PARTITION BY user_id
-                   ORDER BY ts,
+                   ORDER BY ts NULLS FIRST,
                             CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
                             event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
@@ -315,7 +323,15 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        l = l.sort_values(["ts", "event_id"])
+        # NULL-ts rows split out BEFORE merge_asof (round-8 review):
+        # NaT keys break merge_asof's monotonicity validation
+        # (ValueError mid-worker). The contract matches the window
+        # twin's NULLS FIRST semantics: a timestampless event precedes
+        # everything and matches nothing; a timestampless signup is
+        # visible to nobody.
+        null_ts = l[l["ts"].isna()]
+        l = l[l["ts"].notna()].sort_values(["ts", "event_id"])
+        r = r[r["signup_ts"].notna()]
         if r.empty:
             out = l.assign(last_signup=pd.NaT)
         else:
@@ -327,7 +343,12 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 by="user_id",
                 direction="backward",
             ).rename(columns={"signup_ts": "last_signup"})
-        return out[["event_id", "last_signup"]]
+        out = out[["event_id", "last_signup"]]
+        if len(null_ts):
+            out = pd.concat(
+                [null_ts[["event_id"]].assign(last_signup=pd.NaT), out]
+            )
+        return out
 
     out = (
         left.groupBy("user_id")
@@ -351,7 +372,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = src.dropDuplicates(["user_id", "event_type"])
     counts = deduped.groupBy("event_type").count()
-    name = f"stream_dedup_{abs(hash(sf_dir)) % 10_000}"
+    # collision-free sink name (round-8 review): abs(hash(sf_dir)) is
+    # per-process randomized and can collide mod 10k; the module
+    # counter is what the sibling sinks already use
+    name = f"stream_dedup_{next(_STREAM_STATIC_SINKS)}"
     q = (
         counts.writeStream.outputMode("complete")
         .format("memory")
@@ -373,7 +397,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-backed index — the Delta-upsert seat in production). The
     test suite asserts the discovered pair set equals the one-shot batch
     LSH exactly."""
-    from ..catalog import table
     from ..streaming.incremental import incremental_minhash_dedup
 
     return incremental_minhash_dedup(spark, table(spark, sf_dir, "documents"))
@@ -819,18 +842,20 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorized_stats",
     oracle="""
-    WITH p AS (
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), p AS (
       SELECT event_type,
              quantile_cont(value, 0.05) AS p5,
              quantile_cont(value, 0.95) AS p95
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     )
     SELECT e.event_type,
            round(p5, 4) AS p5r, round(p95, 4) AS p95r,
            CAST(SUM(CAST(round(least(greatest(value, p5), p95), 6)
                          AS DECIMAL(18,6))) AS DOUBLE)
              / count(*) AS w_mean
-    FROM events e JOIN p USING (event_type)
+    FROM ev e JOIN p USING (event_type)
     GROUP BY e.event_type, p5, p95
     ORDER BY e.event_type
     """,
@@ -849,8 +874,14 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding modes), and the sum accumulates exactly in DECIMAL. Scale:
     exact per-type percentiles sort within each type partition — at a
     true 100 TB the drop-in substitute is percentile_approx (see
-    ``approx_agg``), same plan otherwise."""
-    ev = table(spark, sf_dir, "events")
+    ``approx_agg``), same plan otherwise.
+
+    NULL measurements are filtered explicitly (round-8 review, the
+    ``value_histogram`` rule): greatest/least skip NULLs in BOTH
+    engines, so an unguarded NULL row would clamp to a phantom p5
+    observation while count(*) still counted it — w_mean drifting
+    toward p5 identically on both sides, invisible to parity."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pcts = F.expr("percentile(value, array(0.05D, 0.95D))")
     p = ev.groupBy("event_type").agg(
         pcts[0].alias("p5"), pcts[1].alias("p95")
@@ -1001,11 +1032,11 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_type,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept,
+           round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept,
            round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
     FROM m ORDER BY event_type
     """,
 )
@@ -1034,7 +1065,15 @@ def linreg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # nullif guards (round-8 review, the anomaly_zscore/ab_test idiom):
+    # a degenerate group — all events at one hour-of-day, or constant
+    # value — zeroes a denominator; under Spark 4's default ANSI mode
+    # that is a DIVIDE_BY_ZERO crash at collect time (the .count()-only
+    # degenerate sweep prunes the division and never sees it), while
+    # NULL is the honest undefined-fit answer both engines agree on.
+    den = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
     slope = num / den
     return m.select(
         "event_type",
@@ -1044,7 +1083,10 @@ def linreg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             (num * num)
-            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            / F.nullif(
+                den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            ),
             6,
         ).alias("r2"),
     ).orderBy("event_type")
@@ -1133,11 +1175,18 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     experimentation readout every product pipeline ships.
 
     Scale shape: per-user conversion is one partial-agg'd groupBy
-    (users-sized shuffle), arm totals collapse to TWO rows, and the
-    z arithmetic is driver-trivial — spelled with identical double ops
-    in both engines and rounded (the PageRank reassociation rule).
-    Counts stay exact (integers), so the only float work is the final
-    closed form."""
+    (users-sized shuffle), arm totals collapse to ONE conditional-
+    aggregate row, and the z arithmetic is driver-trivial — spelled
+    with identical double ops in both engines and rounded (the
+    PageRank reassociation rule). Counts stay exact (integers), so the
+    only float work is the final closed form.
+
+    The arm totals are ONE global conditional aggregate, not two
+    filtered branches crossJoined (round-8 review): with an empty arm
+    (or an empty table) the old crossJoin returned ZERO rows while the
+    oracle's scalar subqueries always emit one row with NULL totals;
+    sum-of-when yields exactly those NULLs, so the shapes agree on any
+    input."""
     ev = table(spark, sf_dir, "events")
     assign = ev.groupBy("user_id").agg(
         (
@@ -1147,17 +1196,16 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("converted")
     ).withColumn("grp", F.col("user_id") % 2)
-    g = assign.groupBy("grp").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum("converted").cast("double").alias("conv"),
+    w = assign.agg(
+        F.sum(F.when(F.col("grp") == 0, 1)).cast("double").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")))
+        .cast("double")
+        .alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, 1)).cast("double").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")))
+        .cast("double")
+        .alias("c_b"),
     )
-    a = g.filter("grp = 0").select(
-        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
-    )
-    b = g.filter("grp = 1").select(
-        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
-    )
-    w = a.crossJoin(b)
     pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
     diff = F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b")
     return w.select(
@@ -1240,7 +1288,7 @@ _QN_RANGE_PARTS = 8
     WITH r AS (
       SELECT event_id, value,
              CAST(rank() OVER (ORDER BY value, event_id) - 1 AS DOUBLE)
-               / (COUNT(*) OVER () - 1) AS q
+               / NULLIF(COUNT(*) OVER () - 1, 0) AS q
       FROM events
     )
     SELECT event_id, value, round(q, 6) AS q FROM r
@@ -1292,7 +1340,9 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.round(
                 (off[F.col("pid")] + F.row_number().over(local) - 1).cast("double")
-                / (n - 1),
+                # nullif: a 1-row table zeroes N-1 — ANSI mode would
+                # crash where the oracle answers NULL (round-8 review)
+                / F.nullif(F.lit(float(n - 1)), F.lit(0.0)),
                 6,
             ).alias("q"),
         )
@@ -1819,6 +1869,7 @@ _KS_SPLIT = "2024-01-16"  # first half vs second half of the fixture month
       SELECT event_type, value,
              CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS is_a
       FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
     ), vals AS (
       SELECT event_type, value,
              CAST(SUM(is_a) AS DOUBLE) AS ca,
@@ -1854,10 +1905,19 @@ def drift_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     support) which bounds rows per type at the bucket count while
     keeping D exact on the quantized CDFs. Cumulative fractions are
     exact count ratios — both engines divide the same integers, so
-    6-dp rounding is stable."""
+    6-dp rounding is stable.
+
+    NULL hygiene mirrors ``drift_ks_binned`` (round-8 review): a NULL
+    ts would vanish from both Spark sample sums but land in the SQL
+    CASE's sample B, and a NULL value would form a (type, NULL) group
+    that Spark's window orders NULLS FIRST and DuckDB's NULLS LAST —
+    shifting every cumulative prefix. Both classes are filtered on
+    both sides."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     is_a = (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("int")
     vals = (
         ev.select("event_type", "value", is_a.alias("is_a"))

@@ -940,3 +940,111 @@ def test_vector_family_on_failed_encode_embeddings(spark, tmp_path_factory):
     # the gate actually dropped the four dirty rows everywhere
     bands = E.queries()["ann_lsh_bands"](spark, d).toPandas()
     assert set(bands["vec_id"]) == set(range(16))
+
+
+def test_streaming_stats_on_degenerate_and_null_events(spark, tmp_path_factory):
+    """Round-8 streaming review: degenerate and null-bearing event
+    fixtures must neither crash under ANSI mode nor diverge from the
+    oracles —
+
+    * linreg_by_key: a single-event type (zero x-variance) and a
+      constant-value type (zero y-variance) zeroed denominators; both
+      engines now answer NULL via nullif instead of Spark raising
+      DIVIDE_BY_ZERO;
+    * drift_ks_test: NULL ts routed to sample B by the oracle's CASE
+      but dropped from both Spark sums; NULL value formed a (type,
+      NULL) group ordered NULLS FIRST vs NULLS LAST — both classes now
+      filtered like drift_ks_binned;
+    * winsorized_stats: a NULL value clamped to a phantom p5
+      observation in BOTH engines (parity-invisible bias); now
+      filtered;
+    * ab_test_ztest: with one arm empty the old crossJoin emitted ZERO
+      rows vs the oracle's one — the conditional aggregate emits one
+      row of NULL totals in both;
+    * asof twins: a NULL-ts event crashed merge_asof's monotonicity
+      check; the contract is now NULLS FIRST (matches nothing) in both
+      engines.
+    """
+    import duckdb
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("stream_edge"))
+    rows = [
+        # lonely: ONE event -> zero x-variance for linreg
+        (1, "2024-01-10 03:00:00", 2, "lonely", 5.0, "{}"),
+        # flat: constant value -> zero y-variance
+        (2, "2024-01-10 04:00:00", 2, "flat", 7.0, "{}"),
+        (3, "2024-01-20 09:00:00", 2, "flat", 7.0, "{}"),
+        # view: healthy spread + one NULL value + one NULL ts
+        (4, "2024-01-10 01:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-11 05:00:00", 2, "view", 3.0, "{}"),
+        (6, "2024-01-20 07:00:00", 2, "view", 9.0, "{}"),
+        (7, "2024-01-21 11:00:00", 2, "view", 11.0, "{}"),
+        (8, "2024-01-12 02:00:00", 2, "view", None, "{}"),
+        (9, None, 2, "view", 5.0, "{}"),
+        # a signup so the asof twins have a right side
+        (10, "2024-01-15 00:00:00", 2, "signup", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    problems = []
+    for name in ["linreg_by_key", "drift_ks_test", "winsorized_stats",
+                 "ab_test_ztest", "asof_last_signup", "asof_cogroup_pandas",
+                 "range_join_follow"]:
+        sdf = E.queries()[name](spark, d).toPandas()
+        ddf = con.execute(E.oracle_sql()[name]).df()
+        problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
+    assert not problems, "\n".join(problems)
+
+    import pandas as pd
+
+    lr = E.queries()["linreg_by_key"](spark, d).toPandas().set_index("event_type")
+    assert pd.isna(lr.loc["lonely", "slope"]) and pd.isna(lr.loc["lonely", "r2"])
+    assert pd.isna(lr.loc["flat", "r2"])  # zero y-variance
+    assert not pd.isna(lr.loc["view", "slope"])
+    # all user_ids even -> arm B empty -> ONE row with NULL B totals
+    ab = E.queries()["ab_test_ztest"](spark, d).toPandas()
+    assert len(ab) == 1 and pd.isna(ab.loc[0, "n_b"]) and pd.isna(ab.loc[0, "z"])
+    # winsorized mean of view excludes the NULL row (no phantom p5)
+    ks = E.queries()["drift_ks_test"](spark, d).toPandas().set_index("event_type")
+    assert (int(ks.loc["view", "n_a"]), int(ks.loc["view", "n_b"])) == (2, 2)
+    # the NULL-ts event matches nothing in both asof twins
+    asof = E.queries()["asof_cogroup_pandas"](spark, d).toPandas()
+    assert pd.isna(asof.set_index("event_id").loc[9, "last_signup"])
+
+
+def test_quantile_normalize_single_row(spark, tmp_path_factory):
+    """A one-row table zeroes N-1: Spark's ANSI mode would crash on the
+    division while DuckDB answers NULL — both now answer NULL via
+    nullif (round-8 review)."""
+    import duckdb
+    import pandas as pd
+
+    from tools.parity import compare
+
+    d = str(tmp_path_factory.mktemp("qn_single"))
+    spark.createDataFrame(
+        [(1, "2024-01-10 03:00:00", 2, "view", 5.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    sdf = E.queries()["quantile_normalize"](spark, d).toPandas()
+    ddf = con.execute(E.oracle_sql()["quantile_normalize"]).df()
+    assert not compare("quantile_normalize", sdf, ddf)
+    assert len(sdf) == 1 and pd.isna(sdf.loc[0, "q"])
