@@ -49,6 +49,18 @@ def vec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order lambda, which would put an interpreted per-element
     fold on every corpus scan (the hot-path discipline
     tests/test_plans.py::test_vector_hot_paths_not_interpreted pins).
+    Round 9 (ADVICE r8) closed the last failed-encode class the
+    min/max clauses skip over: an array CONTAINING a NULL element
+    ([1.0, NULL, ...]) passes array_max (null-skipping in both
+    engines) but numpy coerces the hole to NaN (silently dropping the
+    row from >= threshold pairs) while DuckDB's list_sum skips the
+    NULL term and yields a finite cosine. The clause stays lambda-free
+    on the Spark side via sort_array: ascending sort places NULL
+    elements FIRST, so a null first element ⇔ some element is null
+    (F.get is the non-ANSI element access — returns NULL, never
+    INVALID_ARRAY_INDEX, on the empty arrays the size clause already
+    drops). The SQL mirror is the direct form,
+    len(list_filter(embedding, x -> x IS NULL)) = 0.
     Oracle SQL of vector-consuming oracle-backed queries mirrors the
     exact same three-clause predicate so both engines see the same
     rows. Label-only consumers (``gini_label_balance``) intentionally
@@ -63,6 +75,7 @@ def vec_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.array_max("embedding").cast("double") == F.lit(float("inf")))
             | (F.array_min("embedding").cast("double") == F.lit(float("-inf")))
         )
+        & F.get(F.sort_array("embedding"), 0).isNotNull()
     )
 
 
@@ -90,7 +103,7 @@ def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
 @query(
     "cosine_knn_exact",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND vec_id < {_N_QUERIES}),
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.q_id, c.vec_id AS n_id,
              round({V.dd_cosine('q.qe', 'c.embedding')}, 5) AS cos,
@@ -98,7 +111,7 @@ def _topk(scored: DataFrame, k: int = _K) -> DataFrame:
                PARTITION BY q.q_id
                ORDER BY {V.dd_cosine('q.qe', 'c.embedding')} DESC, c.vec_id
              ) AS rn
-      FROM q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) c
+      FROM q JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) c
         ON c.vec_id <> q.q_id
     )
     SELECT q_id, n_id, cos FROM scored WHERE rn <= {_K} ORDER BY q_id, n_id
@@ -170,7 +183,7 @@ _ANN_LSH_TOPK_ORACLE = f"""
              CASE WHEN {V.dd_dot('e.embedding', 'pl.pl')} >= 0
                   THEN '1' ELSE '0' END AS bit
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) e
       CROSS JOIN planes pl
     ),
     bk AS (
@@ -180,7 +193,7 @@ _ANN_LSH_TOPK_ORACLE = f"""
     e AS (
       SELECT bk.vec_id, emb.embedding, bk.bucket
       FROM bk JOIN (SELECT vec_id, embedding FROM embeddings
-                    WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) emb USING (vec_id)
+                    WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) emb USING (vec_id)
     ),
     q AS (SELECT vec_id AS q_id, embedding AS qe, bucket
           FROM e WHERE vec_id < {_N_QUERIES}),
@@ -290,16 +303,16 @@ _ANN_IVF_TOPK_ORACLE = f"""
       SELECT GREATEST(1, n // LEAST(4096, GREATEST(16,
                CAST(FLOOR(SQRT(n)) AS BIGINT)))) AS stride
       FROM (SELECT COUNT(*) AS n FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE))
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS ce,
              GREATEST({V.dd_norm('embedding')}, 1e-12) AS cn
       FROM embeddings, par
-      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND vec_id % par.stride = 0
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND vec_id % par.stride = 0
     ),
     e AS (SELECT vec_id, embedding FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)),
+          WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     d AS (
       SELECT e.vec_id, c.cent_id,
              list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -435,7 +448,7 @@ _ANN_LSH_BANDS_ORACLE = """
                     i -> CAST(e.embedding[i] AS DOUBLE) * pl.pl[i])) >= 0
                   THEN '1' ELSE '0' END AS bit
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) e
       CROSS JOIN planes pl
     )
     SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
@@ -475,14 +488,14 @@ def ann_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT GREATEST(1, n // LEAST(4096, GREATEST(16,
                CAST(FLOOR(SQRT(n)) AS BIGINT)))) AS stride
       FROM (SELECT COUNT(*) AS n FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE))
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0)
     ),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS ce,
              GREATEST(sqrt(list_sum(list_transform(embedding,
                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-12) AS cn
       FROM embeddings, par
-      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND vec_id % par.stride = 0
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND vec_id % par.stride = 0
     ),
     d AS (
       SELECT e.vec_id, c.cent_id,
@@ -490,7 +503,7 @@ def ann_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CAST(e.embedding[i] AS DOUBLE)
                   * (CAST(c.ce[i] AS DOUBLE) / c.cn))) AS s
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) e
       CROSS JOIN cents c
     ),
     r AS (
@@ -627,7 +640,7 @@ _KM_K = 8
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
              embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) ORDER BY vec_id LIMIT {_KM_K}) s
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0 ORDER BY vec_id LIMIT {_KM_K}) s
     ),
     d AS (
       SELECT e.vec_id, c.cluster,
@@ -635,7 +648,7 @@ _KM_K = 8
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
              )) AS d2
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) e
       CROSS JOIN cents c
     ),
     r AS (
@@ -810,7 +823,7 @@ _PQ_SUBDIM = _DIM // _PQ_M
     WITH cb AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
       FROM (SELECT vec_id, embedding FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) ORDER BY vec_id LIMIT {_PQ_K}) s
+            WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0 ORDER BY vec_id LIMIT {_PQ_K}) s
     ),
     d AS (
       SELECT e.vec_id, m.m, cb.code,
@@ -820,7 +833,7 @@ _PQ_SUBDIM = _DIM // _PQ_M
                   * (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
                      - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
              )) AS d2
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE)) e
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0) e
       CROSS JOIN (SELECT UNNEST(range(0, {_PQ_M})) AS m) m
       CROSS JOIN cb
     ),

@@ -344,12 +344,14 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     query uses); this exists to prove the extension point, scoped to a
     50-doc slice so the bench doesn't pay for it.
 
-    The split is an ASCII ``\\s+`` regex, NOT ``str.split()`` (round-8
-    review): Python's split treats Unicode whitespace (NBSP, U+2028…)
-    as separators while the oracle's RE2 ``\\s`` is ASCII-only — a
-    non-ASCII-space doc would tokenize differently per engine. Latent
-    on the pure-ASCII fixtures, but the contract shouldn't rest on
-    that."""
+    The split is the explicit class ``[ \\t\\n\\r\\f]+``, NOT
+    ``str.split()`` (round-8 review: Python's split treats Unicode
+    whitespace — NBSP, U+2028… — as separators) and NOT Python's
+    ASCII ``\\s`` either (round-9, ADVICE r8: Python's ASCII ``\\s``
+    includes ``\\v`` while the oracle's RE2 ``\\s`` is exactly
+    ``[ \\t\\n\\r\\f]`` — a vertical-tab doc would still tokenize
+    differently per engine). Latent on the pure-ASCII fixtures, but
+    the contract shouldn't rest on that."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="token: string")
@@ -359,7 +361,7 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             import re
 
             if text:
-                for tok in re.split(r"\s+", text, flags=re.ASCII):
+                for tok in re.split(r"[ \t\n\r\f]+", text):
                     if tok:
                         yield (tok,)
 
@@ -2024,12 +2026,13 @@ def udtf_analyze_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str, n: int):
             import re
 
-            # ASCII \s+ to match the oracle's RE2 semantics — str.split
-            # would also split on Unicode whitespace (udtf_tokenize note)
+            # explicit [ \t\n\r\f]+ to match the oracle's RE2 \s exactly
+            # — str.split would also split on Unicode whitespace, and
+            # Python's ASCII \s adds \v that RE2 lacks (udtf_tokenize)
             toks = (
                 []
                 if text is None
-                else [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
+                else [t for t in re.split(r"[ \t\n\r\f]+", text) if t]
             )
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 

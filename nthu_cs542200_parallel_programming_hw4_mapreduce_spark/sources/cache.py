@@ -62,7 +62,14 @@ def materialize_once(
         try:
             os.rename(tmp, base)  # atomic publish
         except OSError:
-            # lost the publish race — another session's cache is live
+            # Only a lost publish race is survivable — and a lost race
+            # means the winner's cache is LIVE. Any other OSError here
+            # (writer never created tmp → ENOENT, tempdir spanning
+            # filesystems → EXDEV) would otherwise hand back a path
+            # that does not exist and defer the cache bug to an
+            # obscure downstream read failure (ADVICE r8).
+            if not os.path.exists(base):
+                raise
             shutil.rmtree(tmp, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -50,11 +50,61 @@ def test_knn_single_query(spark, sf_dir):
     assert scored.count() == 3
 
 
-def test_mllib_lsh_runs(spark, sf_dir):
-    pairs = E.queries()["dedup_minhash_mllib"](spark, sf_dir)
-    rows = pairs.collect()
-    assert len(rows) > 0  # fixtures contain near-dups; empty = regression
-    assert all(r["a_id"] < r["b_id"] for r in rows)
+def test_mllib_lsh_matches_exact_jaccard_truth(spark, sf_dir):
+    """dedup_minhash_mllib's deterministic correctness anchor (VERDICT
+    r8 #5 — the last dedup-family rows-only query gets more than a row
+    count). Two halves:
+
+    * SOUNDNESS (guaranteed by semantics, any data): every emitted
+      pair's jaccard_dist must equal the EXACT 3-shingle Jaccard
+      distance recomputed independently in DuckDB and sit under the
+      0.5 threshold — this also proves HashingTF's 2^18-bucket
+      hashing introduced no collision distortion on this corpus;
+    * RECALL (fixture-pinned, seed 42): on this corpus the MLlib
+      candidate set happens to cover ALL true pairs, so the pair SET
+      equals the exact truth. LSH recall is probabilistic in general —
+      if the fixture or MLlib's hash family changes this half may
+      legitimately become ⊂; soundness is the invariant half."""
+    import duckdb
+
+    pairs = E.queries()["dedup_minhash_mllib"](spark, sf_dir).toPandas()
+    assert len(pairs) > 0  # fixtures contain near-dups; empty = regression
+    assert (pairs["a_id"] < pairs["b_id"]).all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    truth = con.execute(r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(l) - 2, 0) + 1),
+                   i -> array_to_string(l[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+                FROM documents)
+        ),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE AS jac
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+        )
+        SELECT a_id, b_id, round(1.0 - jac, 6) AS jaccard_dist
+        FROM p WHERE jac > 0.5 ORDER BY a_id, b_id
+    """).df()
+    mset = set(zip(pairs["a_id"], pairs["b_id"]))
+    tset = set(zip(truth["a_id"], truth["b_id"]))
+    # soundness: no emitted pair outside the exact truth...
+    assert mset <= tset, f"unsound pairs: {sorted(mset - tset)[:5]}"
+    # ...and each emitted distance is the exact distance, bit-for-bit
+    # after the query's own 6-dp rounding (no HashingTF collision skew)
+    merged = pairs.merge(truth, on=["a_id", "b_id"], suffixes=("_ml", "_ex"))
+    assert len(merged) == len(pairs)
+    assert (merged["jaccard_dist_ml"] == merged["jaccard_dist_ex"]).all()
+    # fixture-pinned recall (seed 42): full coverage on this corpus
+    assert mset == tset, f"missed true pairs: {sorted(tset - mset)[:5]}"
 
 
 def test_salted_join_rejects_outer(spark, sf_dir):
@@ -727,10 +777,12 @@ def test_scrub_pii_flags_length_preserving_scrub(spark, tmp_path_factory):
 
 
 def test_udtf_tokenize_ascii_whitespace_contract(spark, tmp_path_factory):
-    """The UDTF splits on ASCII \\s+ exactly like the oracle's RE2
-    regex (round-8 review): Python's str.split() also treats Unicode
-    whitespace (NBSP here) as a separator, which would tokenize
-    'a\\u00a0b' into two tokens while DuckDB keeps one."""
+    """The UDTF splits on the explicit class [ \\t\\n\\r\\f]+ exactly
+    like the oracle's RE2 \\s (round-8 review + ADVICE r8): Python's
+    str.split() also treats Unicode whitespace (NBSP here) as a
+    separator, and Python's ASCII \\s additionally includes \\v that
+    RE2's \\s lacks \u2014 so a vertical-tab doc must stay ONE token in
+    both engines, and an NBSP doc likewise."""
     import duckdb
 
     from tools.parity import compare
@@ -740,6 +792,8 @@ def test_udtf_tokenize_ascii_whitespace_contract(spark, tmp_path_factory):
         (1, "plain ascii words", "en", "web", 17),
         # the \u00a0 (NBSP) between fused/pair is the point of the test
         (2, "fused\u00a0pair stays one", "en", "web", 20),
+        # \x0b (vertical tab): inside Python's ASCII \s, OUTSIDE RE2's
+        (3, "vt\x0bfused also one", "en", "web", 16),
     ])
     con = duckdb.connect()
     con.execute(
@@ -752,6 +806,8 @@ def test_udtf_tokenize_ascii_whitespace_contract(spark, tmp_path_factory):
     toks = E.queries()["udtf_tokenize"](spark, d).toPandas()
     doc2 = sorted(toks[toks["doc_id"] == 2]["token"])
     assert doc2 == ["fused\u00a0pair", "one", "stays"]  # NBSP does NOT split
+    doc3 = sorted(toks[toks["doc_id"] == 3]["token"])
+    assert doc3 == ["also", "one", "vt\x0bfused"]  # \v does NOT split
 
 
 def test_core_oracles_on_null_bearing_relational_fixtures(spark, tmp_path_factory):
@@ -891,6 +947,20 @@ def test_materialize_once_is_atomic_and_content_keyed(tmp_path):
     base3 = materialize_once("cachetest", src_dir, "documents", ok)
     assert base3 != base1 and len(calls) == 3
 
+    # a writer that "succeeds" without creating tmp (broken writer, not
+    # a lost race): the publish rename fails with ENOENT and NO winner
+    # cache exists — must RAISE, not return a phantom path whose read
+    # failure surfaces somewhere obscure downstream (ADVICE r8)
+    time.sleep(0.01)
+    with open(src, "w") as f:
+        f.write("v3-regenerated")
+
+    def noop_writer(tmp):
+        calls.append(tmp)  # never creates tmp
+
+    with _pytest.raises(OSError):
+        materialize_once("cachetest", src_dir, "documents", noop_writer)
+
     import shutil
 
     shutil.rmtree(base1, ignore_errors=True)  # test residue in tempdir
@@ -921,6 +991,10 @@ def test_vector_family_on_failed_encode_embeddings(spark, tmp_path_factory):
     rows.append((17, [], 2))                              # failed encode: empty
     rows.append((18, [float("nan")] * dim, 0))            # failed encode: NaN
     rows.append((19, [float("inf")] + [0.0] * (dim - 1), 1))  # failed encode: Inf
+    # NULL ELEMENT (ADVICE r8): array_max/list_max skip nulls so the
+    # min/max clauses pass this row; numpy would coerce the hole to NaN
+    # while DuckDB's list_sum skips the term — both engines must DROP it
+    rows.append((20, [1.0, None] + [2.0] * (dim - 2), 2))
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
@@ -937,7 +1011,7 @@ def test_vector_family_on_failed_encode_embeddings(spark, tmp_path_factory):
         ddf = con.execute(E.oracle_sql()[name]).df()
         problems += [f"{name}: {p}" for p in compare(name, sdf, ddf)]
     assert not problems, "\n".join(problems)
-    # the gate actually dropped the four dirty rows everywhere
+    # the gate actually dropped the five dirty rows everywhere
     bands = E.queries()["ann_lsh_bands"](spark, d).toPandas()
     assert set(bands["vec_id"]) == set(range(16))
 
