@@ -358,13 +358,36 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
-@query("streaming_dedup")  # rows-only: stateful streaming dropDuplicates
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS "count"
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicates on a keyed stream with a
     watermark bounding the dedup state — the streaming counterpart of
     dedup_exact (new docs dedup against everything inside the watermark
     horizon). Counts surviving events per type after keep-first dedup on
-    (user_id, event_type)."""
+    (user_id, event_type).
+
+    ORACLE-BACKED since round 9 (was rows-only r1-r8; VERDICT r8 #4,
+    the python_stream_source precedent): the stream drains a STATIC
+    single-file source to completion, so the final complete-mode table
+    is deterministic and equals the batch DISTINCT aggregate. Why the
+    replay is exact: (a) the file source stages ONE symlinked parquet
+    and sets no maxFilesPerTrigger, so the whole fixture arrives in
+    micro-batch 0 while the watermark is still unset — no row can be
+    late-dropped; (b) the dedup keys (user_id, event_type) exclude the
+    event-time column, so state never evicts mid-drain and keep-first
+    keeps exactly one row per distinct key (NULL keys compare equal in
+    dropDuplicates and in SQL DISTINCT alike); (c) complete output
+    mode re-emits the final counts table. On an UNBOUNDED stream the
+    result would be the watermark-horizon dedup the docstring
+    describes — the oracle pins the drained-static contract, the same
+    one the driver exercises."""
     from ..streaming.windows import events_stream
 
     src = events_stream(spark, f"{sf_dir}/events.parquet").withWatermark(
@@ -389,14 +412,37 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("event_type")
 
 
-@query("streaming_incremental_dedup")  # rows-only: foreachBatch topology
+# dedup's module import registers its oracles; _load() already orders
+# dedup before streaming, this import just makes the dependency explicit
+# so a direct `import plans.streaming` can't hit a KeyError below.
+from .dedup import minhash_bands as _ensure_dedup_registered  # noqa: E402,F401
+from ..registry import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
+
+
+@query(
+    "streaming_incremental_dedup",
+    # the drained stream's invariant IS the one-shot batch LSH pair set
+    # (each pair is discovered when its second member arrives), so the
+    # oracle is dedup_minhash_lsh's, reused verbatim
+    oracle=_REGISTERED_ORACLES["dedup_minhash_lsh"],
+)
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion fuzzy dedup: documents arrive in micro-
     batches; each batch is MinHash-banded and joined against the
     accumulated band index, then appended to it (foreachBatch with a
     parquet-backed index — the Delta-upsert seat in production). The
     test suite asserts the discovered pair set equals the one-shot batch
-    LSH exactly."""
+    LSH exactly.
+
+    ORACLE-BACKED since round 9 (was rows-only r1-r8; VERDICT r8 #4):
+    the input is a static fixture sliced into deterministic doc_id
+    ranges, so the drained union-of-matches is deterministic and — by
+    the tested invariant above — equals ``dedup_minhash_lsh``'s pair
+    set, whose DuckDB replay this query reuses verbatim. (The batch
+    plan's ``_MAX_BUCKET`` degenerate-bucket guard is the one nominal
+    difference; the incremental join has no bucket stage to cap, and
+    no fixture bucket approaches the cap — the tri-SF sweep checks all
+    three corpora.)"""
     from ..streaming.incremental import incremental_minhash_dedup
 
     return incremental_minhash_dedup(spark, table(spark, sf_dir, "documents"))

@@ -291,11 +291,16 @@ ROUND8_ROTATION_POOL: tuple[str, ...] = (
 # vanilla-session driver mimic.
 ROUND8_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND8_ROTATION_POOL
 
-DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
-
-# Round-9 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
-# on the round-8 plan until round 9 flips it, updating the pins in
-# tests/test_registry.py in the SAME commit). Freshness recipe
+# Round-9 rotation pool, ACTIVE (flipped with the pins in
+# tests/test_registry.py in the same commit — the round-5 lesson).
+# Pre-staged at round-8 close; round 9 added the two streaming-dedup
+# ORACLE GRADUATIONS (VERDICT r8 #4: streaming_dedup /
+# streaming_incremental_dedup upgraded from rows-only to full DuckDB
+# oracles this round — drained-static replay, see plans/streaming.py)
+# so the new oracles earn hash-checked driver rows immediately; per
+# the standing recipe each bumps one re-proof from the tuple's end
+# (`window_range_frame`, `xml_ingest` — both keep local parity tests;
+# they lead the round-10 pool below). Freshness recipe
 # (VERDICT r7 #3 — pre-staged so the deferred rows cannot silently
 # age):
 #   * the six r3-era TPC-H rows deferred from round 8
@@ -327,6 +332,9 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND8_WINDOW_PLAN
 # end of this tuple. Existence pinned by tests/test_registry.py::
 # test_round9_pool_is_registered.
 ROUND9_ROTATION_POOL: tuple[str, ...] = (
+    # round-9 oracle graduations (VERDICT r8 #4) — first driver rows
+    # under the NEW oracles (r1-r8 rows were the weaker rows-only check)
+    "streaming_dedup", "streaming_incremental_dedup",
     "tpch_q2", "tpch_q9", "tpch_q16", "tpch_q20", "tpch_q21",
     "tpch_q22", "tpch_q11", "tpch_q15",
     # round-8 oracle upgrades outside the round-8 window — re-prove
@@ -344,7 +352,68 @@ ROUND9_ROTATION_POOL: tuple[str, ...] = (
     "reachability_bfs", "retention_cohorts", "scd2_history",
     "sliding_distinct_users", "snapshot_diff",
     "table_profile", "triangle_count",
-    "variant_shred", "window_range_frame", "xml_ingest",
+    "variant_shred",
+)
+
+# Round-9 window, ACTIVE: 9 core + 41-slot pool = exactly 50. All 50
+# slots are oracle-backed — the first all-oracle window (the two
+# streaming members graduated this round; every prior window carried
+# declared rows-only slots). Round-9 flip pre-verification: every pool
+# member was parity-green in the round-8 tri-SF whole-repo sweep
+# (213/213 at sf0.001/sf0.01/sf0.1); the two graduated oracles and the
+# null-element gate hardening (ADVICE r8) were parity-verified at
+# sf0.01 the day they landed (see tests/test_edge_cases.py and
+# tests/test_oracle_parity.py, which run the identical driver check).
+ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND9_WINDOW_PLAN
+
+# Round-10 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
+# on the round-9 plan until round 10 flips it, updating the pins in
+# tests/test_registry.py in the SAME commit; VERDICT r8 #2). Freshness
+# recipe:
+#   * the two re-proofs the round-9 graduations bumped
+#     (`window_range_frame`, `xml_ingest`);
+#   * the thirteen r4-era rows deferred from the round-9 pool (named
+#     in the round-9 comment above);
+#   * 26 of the 41 queries whose latest driver row is CORRECTNESS_r05
+#     (the oldest era once round 9 re-proves the r4-era rows); the
+#     fifteen deferred r5-era rows roll to round 11, each family-
+#     redundant with a fresher-proven member: `arrow_map_batches`
+#     (arrow_udf_reverse in this pool), `bounce_rate_daily`/
+#     `session_paths_topk`/`time_weighted_avg` (salted twins r7, the
+#     documented production defaults), `bpe_merges` (bpe_first_merge
+#     r9), `decayed_engagement` (event_session r7), `drift_ks_test`
+#     (drift_ks_binned r8), `funnel_weekly_trend` (funnel_conversion
+#     r9), `fuzzy_name_match` (dedup_fuzzy_production r7),
+#     `hll_user_reach` (approx_agg r6 + error-bound test),
+#     `pca_project` (embedding_covariance r9), `python_stream_source`
+#     (streaming dedup pair r9 under full oracles),
+#     `revenue_yoy_growth` (retention_cohorts r9),
+#     `schema_evolution_scan` (delta twins in this pool),
+#     `udtf_analyze_split` (udtf_tokenize r8).
+# Queries ADDED during round 10 take priority — bump re-proofs from
+# the end of this tuple. Existence pinned by tests/test_registry.py::
+# test_round10_pool_is_registered.
+ROUND10_ROTATION_POOL: tuple[str, ...] = (
+    # bumped by the round-9 graduations
+    "window_range_frame", "xml_ingest",
+    # r4-era rows deferred from round 9
+    "anomaly_zscore", "collated_distinct", "delta_scan",
+    "delta_time_travel", "dup_cluster_histogram", "json_quarantine",
+    "multimodal_dedup", "sql_udf_scoring", "streaming_dedup_watermarked",
+    "streaming_static_join", "streaming_stream_join", "streaming_topk",
+    "url_canonicalize",
+    # r5-era re-proofs (latest driver row = CORRECTNESS_r05)
+    "ab_test_ztest", "abc_analysis", "anomaly_mad", "arrow_udf_reverse",
+    "burst_detection", "chi2_independence", "encode_corpus",
+    "entropy_profile", "gini_label_balance", "join_nullsafe_keys",
+    "l_diversity_check", "latency_percentile_bands", "linreg_by_key",
+    "null_semantics", "pit_state_at_event", "pmi_collocations",
+    "quantile_normalize", "readability_flesch", "skew_report",
+    "sql_parameterized", "tfidf_cosine_pairs", "user_overlap_jaccard",
+    "value_histogram", "vocab_growth_curve", "winsorized_stats",
+    "zorder_layout",
 )
 
 

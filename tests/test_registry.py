@@ -37,33 +37,45 @@ def _checked(*rounds: str) -> set[str]:
 ALL_ROUNDS = ("r01", "r02", "r03", "r04", "r05")
 ROUND6_NEW = {"quality_deciles_approx", "session_paths_topk_salted"}
 
-# Rows-only slots in the round-8 window: exactly the declared
-# non-SQL-expressible members of the r3-era re-proof set (iterative
-# kmeans, MLlib hash family, streaming state — see tests/test_entry.
-# py's pinned rows-only list; asof_cogroup_pandas, dedup_simhash_pairs,
-# pandas_udaf_mean, and multimodal_framesample graduated to full
-# oracles mid-round-8, so the driver oracle-checks them). Window order.
+# Rows-only slots that held round-8 window seats (historical — the
+# round-8 window carried these four under the driver's weaker check;
+# streaming_dedup / streaming_incremental_dedup graduated to full
+# oracles in round 9 and re-prove under them in the round-9 window).
 ROUND8_ROWS_ONLY = [
     "dedup_minhash_mllib", "kmeans_lloyd",
     "streaming_dedup", "streaming_incremental_dedup",
 ]
 
+# The two r4-era re-proofs the round-9 oracle graduations bumped from
+# the round-9 pool (per the standing one-bump-per-addition recipe);
+# they lead the round-10 pool.
+ROUND9_BUMPED = {"window_range_frame", "xml_ingest"}
+
+# The round-9 oracle graduations (VERDICT r8 #4): driver-checked
+# rows-only in r1-r8, oracle-backed since round 9.
+ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
+
 
 def test_window_covers_rotation_targets():
-    """Round-8 rotation (VERDICT r7 "Next round" #1): the 41 rotating
-    slots hold the 2 round-8 additions + the six round-7 leftovers (the
-    oldest green rows in the repo) + r3-era re-proofs. Every re-proof
-    slot's latest driver row must predate r04."""
+    """Round-9 rotation (VERDICT r8 "Next round" #1 + #4): the 41
+    rotating slots hold the 2 streaming oracle graduations + the 8
+    deferred/bumped TPC-H rows (the oldest, r3-era driver rows) + the
+    5 round-8 oracle upgrades + r4-era re-proofs. Every plain re-proof
+    slot's latest driver row must predate r05."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    assert rotation == set(registry.ROUND8_ROTATION_POOL)
-    # re-proof slots are r1/r2/r3-era only — never re-checked since
-    reproof = rotation - _new_in_round8()
-    assert reproof <= _checked("r01", "r02", "r03")
-    assert not (reproof & _checked("r04", "r05", "r06", "r07"))
+    assert rotation == set(registry.ROUND9_ROTATION_POOL)
+    # re-proof slots are r3/r4-era only — never re-checked since
+    reproof = (
+        rotation
+        - ROUND9_GRADUATIONS
+        - ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW
+    )
+    assert reproof <= _checked("r01", "r02", "r03", "r04")
+    assert not (reproof & _checked("r05", "r06", "r07", "r08"))
 
 
 def _new_in_round7() -> set[str]:
@@ -73,18 +85,17 @@ def _new_in_round7() -> set[str]:
 
 
 def _new_in_round8() -> set[str]:
-    """Queries added during round 8 (never driver-checked in any
-    recorded CORRECTNESS file)."""
-    return set(registry.all_queries()) - _checked(*ALL_ROUNDS, "r06", "r07")
+    """Queries added during round 8 (first driver row =
+    CORRECTNESS_r08)."""
+    return _checked("r08") - _checked(*ALL_ROUNDS, "r06", "r07")
 
 
 def test_window_mostly_oracle_backed():
     oracles = registry.all_oracles()
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
-    # round 8: every window slot is oracle-backed EXCEPT the eight
-    # declared rows-only re-proofs (non-SQL-expressible by design; the
-    # driver records the weaker rows-only check for each)
-    assert rows_only == ROUND8_ROWS_ONLY, f"unexpected rows-only in window: {rows_only}"
+    # round 9: the first ALL-ORACLE window — every slot hash-checked
+    # (the two streaming members graduated from rows-only this round)
+    assert rows_only == [], f"unexpected rows-only in window: {rows_only}"
 
 
 def test_doc_counts_match_registry():
@@ -176,8 +187,19 @@ def test_round8_pool_is_registered_and_freshness_ordered():
     assert pool == new8 | r7_left | (r3_era - ROUND8_DEFERRED - ROUND8_BUMPED)
     # one bumped re-proof per addition — the bumps are not silent drops
     assert len(ROUND8_BUMPED) == len(new8)
-    # the live window is the round-8 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND8_WINDOW_PLAN
+
+
+def test_round8_window_history():
+    """History pin (round 8): the driver checked exactly the round-8
+    window — 46 oracle rows + the 4 declared rows-only slots, zero
+    failures. Expressed against the recorded CORRECTNESS files so it
+    stays true as later rounds rotate."""
+    import json
+
+    assert _checked("r08") == set(registry.ROUND8_WINDOW_PLAN)
+    rows = json.load(open(REPO / "CORRECTNESS_r08.json"))
+    hash_checked = {n for n, r in rows.items() if r.get("hash_match")}
+    assert set(registry.ROUND8_WINDOW_PLAN) - hash_checked == set(ROUND8_ROWS_ONLY)
 
 
 # The thirteen r4-era rows deferred from the round-9 pool, each family-
@@ -201,22 +223,23 @@ ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW = {
 
 
 def test_round9_pool_is_registered():
-    """The PRE-STAGED round-9 pool (VERDICT r7 "Next round" #3) must
+    """The ACTIVE round-9 pool (VERDICT r8 "Next round" #1 + #4) must
     contain only names that exist (anti-phantom) and follow its
-    documented recipe: the six r8-deferred TPC-H rows + the two
-    re-proofs the round-8 additions bumped + the five round-8 oracle
-    upgrades outside the round-8 window + the r4-era rows minus the
-    thirteen named family-redundant deferrals. The r4-era set is
-    computed from the recorded CORRECTNESS files minus the round-8
-    window plan, so the pin holds both before and after
-    CORRECTNESS_r08 lands."""
+    documented recipe: the two round-9 streaming oracle graduations +
+    the six r8-deferred TPC-H rows + the two re-proofs the round-8
+    additions bumped + the five round-8 oracle upgrades outside the
+    round-8 window + the r4-era rows minus the thirteen named family-
+    redundant deferrals minus the two re-proofs the graduations bumped.
+    The r4-era set is computed from the recorded CORRECTNESS files
+    minus the round-8 window plan, so the pin cannot rot."""
     pool = set(registry.ROUND9_ROTATION_POOL)
     assert len(registry.ROUND9_ROTATION_POOL) == 41
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
-    # the upgrades really are oracle-backed and really sit outside the
-    # round-8 window
+    # the upgrades/graduations really are oracle-backed; the upgrades
+    # really sat outside the round-8 window
     oracles = set(registry.all_oracles())
     assert ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW <= oracles
+    assert ROUND9_GRADUATIONS <= oracles
     assert not (ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW
                 & set(registry.ROUND8_WINDOW_PLAN))
     r4_era = (
@@ -226,13 +249,56 @@ def test_round9_pool_is_registered():
         - set(registry.ROUND8_WINDOW_PLAN)
     )
     assert ROUND9_DEFERRED <= r4_era
+    assert ROUND9_BUMPED <= r4_era
     assert pool == (
-        ROUND8_DEFERRED | ROUND8_BUMPED
+        ROUND9_GRADUATIONS
+        | ROUND8_DEFERRED | ROUND8_BUMPED
         | ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW
-        | (r4_era - ROUND9_DEFERRED)
+        | (r4_era - ROUND9_DEFERRED - ROUND9_BUMPED)
     )
-    # pre-staged ≠ active: the live window is still the round-8 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND8_WINDOW_PLAN
+    # one bumped re-proof per graduation — the bumps are not silent drops
+    assert len(ROUND9_BUMPED) == len(ROUND9_GRADUATIONS)
+    # the live window is the round-9 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND9_WINDOW_PLAN
+
+
+# The fifteen r5-era rows deferred from the round-10 pool, each family-
+# redundant with a fresher-proven member (see registry.py's pool
+# comment); they roll to round 11.
+ROUND10_DEFERRED = {
+    "arrow_map_batches", "bounce_rate_daily", "bpe_merges",
+    "decayed_engagement", "drift_ks_test", "funnel_weekly_trend",
+    "fuzzy_name_match", "hll_user_reach", "pca_project",
+    "python_stream_source", "revenue_yoy_growth",
+    "schema_evolution_scan", "session_paths_topk", "time_weighted_avg",
+    "udtf_analyze_split",
+}
+
+
+def test_round10_pool_is_registered():
+    """The PRE-STAGED round-10 pool (VERDICT r8 "Next round" #2) must
+    contain only names that exist (anti-phantom) and follow its
+    documented recipe: the two re-proofs the round-9 graduations
+    bumped + the thirteen r4-era rows deferred from round 9 + the
+    r5-era rows minus the fifteen named family-redundant deferrals.
+    The r5-era set is computed from the recorded CORRECTNESS files
+    minus the round-9 window plan, so the pin holds both before and
+    after CORRECTNESS_r09 lands."""
+    pool = set(registry.ROUND10_ROTATION_POOL)
+    assert len(registry.ROUND10_ROTATION_POOL) == 41
+    assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    r5_era = (
+        _checked("r05")
+        - _checked("r06", "r07", "r08")
+        - set(registry.CORE_WINDOW)
+        - set(registry.ROUND9_WINDOW_PLAN)
+    )
+    assert ROUND10_DEFERRED <= r5_era
+    assert pool == (
+        ROUND9_BUMPED | ROUND9_DEFERRED | (r5_era - ROUND10_DEFERRED)
+    )
+    # pre-staged ≠ active: the live window is the round-9 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND9_WINDOW_PLAN
 
 
 def test_bench_core_is_pinned():
@@ -264,6 +330,11 @@ def test_bench_core_is_pinned():
             "n_queries": len(bench.HEADLINE),
             "full_map": "bench_full.json",
             "sf": 0.1,
+            # round-9 load indicators (VERDICT r8 #3) ride the line too
+            "load1": 99.99,
+            "load1_end": 99.99,
+            "calib_ms": 9999.9,
+            "calib_ms_end": 9999.9,
         },
         separators=(",", ":"),
     )

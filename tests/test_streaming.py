@@ -641,7 +641,9 @@ def test_transform_with_state_is_protobuf_gated():
     2026-08-14): ``import google.protobuf`` still ModuleNotFoundError.
     Round-7 re-probe (VERDICT r6 "Next round" #6, 2026-08-15): still
     ModuleNotFoundError. Round-8 re-probe (VERDICT r7 "Next round" #7,
-    2026-08-15): still ModuleNotFoundError. Gate stands."""
+    2026-08-15): still ModuleNotFoundError. Round-9 re-probe (VERDICT
+    r8 "Next round" #6, 2026-08-15): still ModuleNotFoundError. Gate
+    stands."""
     import importlib.util
 
     # the public API surface exists...
