@@ -215,8 +215,26 @@ HEADLINE = [
 BENCH_CORE = HEADLINE[:30]
 
 
+def _calib_ms() -> float:
+    """Fixed-work single-thread calibration: 100k chained md5 digests,
+    reported in ms. On an idle machine this sits in a tight band
+    (~40-80 ms here); co-runner load inflates it roughly in proportion
+    to CPU contention. Together with load1 it lets a reader tell
+    driver-run bench noise from a real plan regression WITHOUT the
+    forensic idle-rerun round 8 needed (VERDICT r8 #3)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"spark-graft-calibration-block-64b-of-fixed-input-for-md5-loop!!"
+    for _ in range(100_000):
+        h = hashlib.md5(h).digest()
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load1_start = round(os.getloadavg()[0], 2)
+    calib_start = _calib_ms()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -253,6 +271,13 @@ def main() -> None:
     # longer depend on the gitignored bench_full_warm.json side file.
     warm_core = {name: round(run(name), 3) for name in BENCH_CORE}
     core_total_warm = round(sum(warm_core.values()), 3)
+    # machine-load indicators bracketing the run (VERDICT r8 #3)
+    load = {
+        "load1": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
+        "calib_ms": calib_start,
+        "calib_ms_end": _calib_ms(),
+    }
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -261,6 +286,7 @@ def main() -> None:
         "queries_core_warm": warm_core,
         "core_total_warm": core_total_warm,
         "sf": sf,
+        **load,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:
@@ -279,6 +305,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "full_map": "bench_full.json",
                 "sf": sf,
+                **load,
             },
             separators=(",", ":"),
         )
