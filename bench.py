@@ -278,6 +278,8 @@ def main() -> None:
         "calib_ms": calib_start,
         "calib_ms_end": _calib_ms(),
     }
+    # capture time rides only the full map (the compact line stays small)
+    captured = {"captured_unix": int(time.time())}
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -287,6 +289,7 @@ def main() -> None:
         "core_total_warm": core_total_warm,
         "sf": sf,
         **load,
+        **captured,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:
