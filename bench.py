@@ -231,10 +231,35 @@ def _calib_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _calib_mt_ms() -> float:
+    """Fixed-work ALL-CORES calibration: one thread per CPU, each
+    hashing 64 × 1 MiB md5 blocks (hashlib releases the GIL for large
+    buffers, so the threads genuinely saturate the cores). A loaded or
+    host-throttled machine inflates this even when loadavg and the
+    single-thread calibration look idle — 32-thread Spark stages feel
+    exactly that contention while a 1-thread md5 loop does not
+    (observed round 9: two same-code idle-loadavg runs 30% apart)."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = b"\xab" * (1 << 20)
+
+    def work(_: int) -> None:
+        for _ in range(64):
+            hashlib.md5(block).digest()
+
+    n = os.cpu_count() or 8
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(work, range(n)))
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load1_start = round(os.getloadavg()[0], 2)
     calib_start = _calib_ms()
+    calib_mt_start = _calib_mt_ms()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -277,6 +302,8 @@ def main() -> None:
         "load1_end": round(os.getloadavg()[0], 2),
         "calib_ms": calib_start,
         "calib_ms_end": _calib_ms(),
+        "calib_mt_ms": calib_mt_start,
+        "calib_mt_ms_end": _calib_mt_ms(),
     }
     # capture time rides only the full map (the compact line stays small)
     captured = {"captured_unix": int(time.time())}

@@ -335,6 +335,8 @@ def test_bench_core_is_pinned():
             "load1_end": 99.99,
             "calib_ms": 9999.9,
             "calib_ms_end": 9999.9,
+            "calib_mt_ms": 9999.9,
+            "calib_mt_ms_end": 9999.9,
         },
         separators=(",", ":"),
     )
