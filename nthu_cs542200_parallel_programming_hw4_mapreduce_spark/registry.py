@@ -358,12 +358,13 @@ ROUND9_ROTATION_POOL: tuple[str, ...] = (
 # Round-9 window, ACTIVE: 9 core + 41-slot pool = exactly 50. All 50
 # slots are oracle-backed — the first all-oracle window (the two
 # streaming members graduated this round; every prior window carried
-# declared rows-only slots). Round-9 flip pre-verification: every pool
-# member was parity-green in the round-8 tri-SF whole-repo sweep
-# (213/213 at sf0.001/sf0.01/sf0.1); the two graduated oracles and the
-# null-element gate hardening (ADVICE r8) were parity-verified at
-# sf0.01 the day they landed (see tests/test_edge_cases.py and
-# tests/test_oracle_parity.py, which run the identical driver check).
+# declared rows-only slots). Round-9 verification (2026-08-15, after
+# the graduations + the ADVICE-r8 null-element gate landed): the
+# whole-repo sweep re-ran under the ROUND-9 oracles at all three SFs —
+# 215/215 oracle-backed parity-green at sf0.001 AND sf0.01 AND sf0.1,
+# 0 failures (tools/parity.py, the identical driver check); the full
+# 50-slot window additionally passed a vanilla-session driver mimic
+# from a cwd outside the repo; pytest 502 passed / 0 failed.
 ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND9_WINDOW_PLAN
