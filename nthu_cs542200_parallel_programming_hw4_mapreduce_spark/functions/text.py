@@ -24,11 +24,27 @@ STOPWORDS = {
 }
 
 
+#: RE2-exact whitespace class. Java's ``\s`` is ``[ \t\n\x0B\f\r]``
+#: while RE2's (every DuckDB oracle regex) is ``[ \t\n\f\r]`` — the
+#: delta is the vertical tab, so a VT-bearing document tokenized with a
+#: JVM ``\s+`` split diverges from its oracle (round-9 hostile-fixture
+#: sweep; the same gap ADVICE r8 flagged in the Python UDTFs). Every
+#: JVM-side whitespace regex spells the class explicitly instead.
+WS = r"[ \t\n\r\f]+"
+#: the raw characters, for building larger classes like [^a-z0-9<WS_CHARS>]
+WS_CHARS = " \t\n\r\f"
+
+
 def tokens(col: str | Column, pattern: str = " ") -> Column:
     """Tokenize into an array, dropping empty tokens (both Spark's split
     and DuckDB's string_split keep empties; filtering is explicit on both
-    sides per SURVEY.md §7.3)."""
+    sides per SURVEY.md §7.3).
+
+    A ``\\s+`` pattern is remapped to :data:`WS` here — one choke point
+    fixes every caller's Java-vs-RE2 vertical-tab divergence."""
     c = F.col(col) if isinstance(col, str) else col
+    if pattern == r"\s+":
+        pattern = WS
     return F.filter(F.split(c, pattern), lambda t: t != "")
 
 
@@ -43,7 +59,9 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     a real BPE vocabulary, which isn't in this container)."""
     c = F.col(col) if isinstance(col, str) else col
     # word runs + digit runs + individual punctuation marks
-    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return F.size(F.regexp_extract_all(
+        c, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"), F.lit(0)
+    ))
 
 
 def stopword_hits(col: str | Column, lang: str = "en") -> Column:
@@ -86,7 +104,8 @@ def lang_id(col: str | Column, min_hits: int = 1) -> Column:
 def punct_count(col: str | Column) -> Column:
     """Number of non-alphanumeric, non-space characters."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    # explicit WS class, not \s: Java \s strips VT, RE2 \s does not (WS note)
+    return F.length(F.regexp_replace(c, "[A-Za-z0-9" + WS_CHARS + "]", ""))
 
 
 def quality_score(col: str | Column) -> Column:
@@ -109,7 +128,7 @@ def fingerprint(col: str | Column) -> Column:
     the oracle; a content-defined rolling hash variant is in
     :func:`shingle_fingerprints`."""
     c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(c)), WS, " ")
     return F.md5(normalized)
 
 

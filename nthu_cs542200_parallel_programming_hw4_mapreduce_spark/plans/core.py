@@ -2072,7 +2072,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
@@ -2097,7 +2097,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("sv"),
         )
         .orderBy("c_nationkey")
     )
@@ -2477,11 +2477,17 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variant_shred",
+    # json_valid guard (round-9 hostile sweep): try_parse_json answers a
+    # NULL variant on malformed payloads while DuckDB's ->> RAISES
     oracle="""
+    WITH p AS (
+      SELECT CASE WHEN json_valid(props) THEN props END AS payload
+      FROM events
+    )
     SELECT CAST(payload ->> '$.k' AS BIGINT) % 10 AS kb,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(SUM(CAST(payload ->> '$.k' AS BIGINT)) AS BIGINT) AS ks
-    FROM (SELECT props AS payload FROM events)
+    FROM p
     GROUP BY kb ORDER BY kb
     """,
 )
@@ -2500,7 +2506,9 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's JSON operators over the same payloads — same typed
     values, so parse + extraction semantics match exactly."""
     ev = table(spark, sf_dir, "events")
-    v = ev.select(F.parse_json("props").alias("v"))
+    # try_parse_json, not parse_json: a malformed payload must shred to
+    # NULL, not kill the ingestion job (round-9 hostile sweep)
+    v = ev.select(F.try_parse_json("props").alias("v"))
     k = F.try_variant_get("v", "$.k", "bigint")
     return (
         v.select(k.alias("k"))
@@ -2628,10 +2636,15 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "xml_ingest",
-    oracle="""
+    # the XML-1.0 representability gate is mirrored below — see the
+    # docstring's round-9 note
+    oracle=r"""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS chars
-    FROM documents GROUP BY lang ORDER BY lang
+    FROM documents
+    WHERE text IS NULL
+       OR NOT regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+    GROUP BY lang ORDER BY lang
     """,
 )
 def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2645,10 +2658,22 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     slowest mainstream format (row-tag parsing, no pushdown, no
     columnar batches — ``delta_scan``'s docstring economics in
     reverse), so its role is INGEST: land once, convert to parquet;
-    this query is the fidelity check for that landing step."""
+    this query is the fidelity check for that landing step.
+
+    XML-representability gate (round-9 hostile sweep): XML 1.0 cannot
+    carry control characters below 0x20 except tab/newline/CR — the
+    writer throws ``Invalid white space character (0xb)`` mid-job on a
+    vertical-tab doc. Docs containing such bytes are excluded by an
+    explicit predicate, mirrored in the oracle, so the landing-step
+    contract is 'representable docs round-trip exactly; others are
+    routed to a non-XML landing' rather than one bad row killing the
+    ingest."""
     from ..sources.cache import materialize_once
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNull()
+        | ~F.col("text").rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    )
     base = materialize_once(
         "xml", sf_dir, "documents",
         lambda tmp: docs.write.mode("overwrite")

@@ -1231,10 +1231,15 @@ def lsh_jaccard_verified_over(docs: DataFrame) -> DataFrame:
     "dedup_cross_snapshot",
     oracle=r"""
     WITH fp AS (
+      -- coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+      -- array_join([]) is '' — two token-less docs ARE leading-content
+      -- duplicates of each other (round-9 hostile sweep); NULL text
+      -- stays NULL-fp (matches nothing) in both engines
       SELECT doc_id,
-             md5(array_to_string(
-               (list_filter(string_split_regex(text, '\s+'), t -> t <> ''))[1:8],
-               ' ')) AS fp
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE md5(coalesce(array_to_string(
+                    (list_filter(string_split_regex(text, '\s+'), t -> t <> ''))[1:8],
+                    ' '), '')) END AS fp
       FROM documents
     )
     SELECT n.doc_id, MIN(o.doc_id) AS dup_of

@@ -90,20 +90,42 @@ def _image_decoder():
 decode_image = _image_decoder()
 
 
+
+#: ASCII-domain gate, mirrored in every oracle as
+#: ``text IS NOT NULL AND strlen(text) = length(text)``. The fixture
+#: stands in binary payloads with UTF-8 text, and DuckDB v1.0 lacks
+#: BLOB md5/slicing — the oracles replay bytes via char arithmetic,
+#: exact ONLY when byte grid == char grid. Round 9 made that domain an
+#: ENFORCED predicate instead of a docstring assumption: the old
+#: "diverges loudly on a non-ASCII doc" claim was shown false for a
+#: short doc whose sampled frames are all-ASCII (hostile sweep) — an
+#: explicit gate is deterministic on any corpus, and matches how a real
+#: pipeline routes undecodable payloads to quarantine instead of
+#: crashing the scan.
+def _ascii_payloads(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    )
+
+
 @query(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
            lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic
-    FROM documents ORDER BY doc_id
+    FROM documents
+    WHERE text IS NOT NULL AND strlen(text) = length(text)
+    ORDER BY doc_id
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over a binary payload column: byte length + leading
     'magic' bytes (how a real pipeline sniffs media containers). All
-    JVM-side expressions over BinaryType — no Python in the loop."""
-    docs = table(spark, sf_dir, "documents")
+    JVM-side expressions over BinaryType — no Python in the loop.
+    ASCII-domain gated (see ``_ascii_payloads``)."""
+    docs = _ascii_payloads(table(spark, sf_dir, "documents"))
     payload = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",
@@ -117,7 +139,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id, text, length(text) AS n
-      FROM documents WHERE text IS NOT NULL
+      FROM documents
+      WHERE text IS NOT NULL AND strlen(text) = length(text)
     )
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -141,20 +164,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-BACKED since round 8 (was rows-only r1-r7 as "mapInPandas
     plumbing, fake decoder"): on this container's fixtures every
     payload takes the deterministic-fake branch (no PIL; no doc starts
-    with 'BM'), whose byte arithmetic DuckDB replays — with an ASCII
-    nuance: DuckDB v1.0 has no BLOB md5/slicing, so the oracle uses
-    ``ascii(substr(text, i, 1))`` as the byte value, exact because
-    every fixture doc is pure ASCII (verified octet_length == length
-    across all three SFs). DIVERGES LOUDLY rather than silently on a
-    fixture change: a non-ASCII doc breaks byte_sum parity, a
-    'BM'-prefixed doc flips the engine (only) into the BMP branch —
-    either way the driver check fails rather than rubber-stamping.
-    PIL, if ever installed, flips the engine to real decode and is
-    caught the same way."""
+    with 'BM'), whose byte arithmetic DuckDB replays via
+    ``ascii(substr(text, i, 1))`` — exact on the ENFORCED ASCII domain
+    (``_ascii_payloads``, round 9). A 'BM'-prefixed doc flips the
+    engine (only) into the BMP branch and PIL, if ever installed,
+    flips the engine to real decode — either diverges loudly at the
+    driver check rather than rubber-stamping."""
     docs = table(spark, sf_dir, "documents")
-    # drop NULL media at the scan (ingest hygiene — a NULL payload would
-    # reach the Python decoder and kill the task; all-null sweep, round 4)
-    payloads = docs.filter(F.col("text").isNotNull()).select(
+    # NULL/non-ASCII media dropped at the scan (_ascii_payloads; a NULL
+    # payload would reach the Python decoder and kill the task)
+    payloads = _ascii_payloads(docs).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     decode = _image_decoder()  # fresh by-value closure for the executors
@@ -184,7 +203,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_framesample",
     oracle="""
     WITH p AS (
-      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND strlen(text) = length(text)
     ),
     f AS (
       SELECT doc_id, CAST(i AS INT) AS frame_idx,
@@ -203,18 +223,16 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle until the caller aggregates.
 
     ORACLE-BACKED since round 8 (was rows-only r1-r7 as "mapInPandas
-    plumbing"): the frame grid and per-frame md5 replay in DuckDB with
-    the same ASCII nuance as ``multimodal_features`` — v1.0 lacks BLOB
-    md5, so frames slice as CHAR ranges, exact because every fixture
-    doc is pure ASCII (byte grid == char grid). A multibyte doc would
-    shift the engine's BYTE-aligned frames off the oracle's char
-    frames and fail the check loudly, never silently."""
+    plumbing"): the frame grid and per-frame md5 replay in DuckDB as
+    CHAR-range slices (v1.0 lacks BLOB md5), exact on the ENFORCED
+    ASCII domain (``_ascii_payloads``, round 9 — the old loud-failure
+    claim was FALSE for a short multibyte doc whose sampled frames
+    happened to be all-ASCII; the hostile sweep caught it passing
+    silently)."""
     import hashlib
 
     docs = table(spark, sf_dir, "documents")
-    # drop NULL media at the scan (ingest hygiene — a NULL payload would
-    # reach the Python decoder and kill the task; all-null sweep, round 4)
-    payloads = docs.filter(F.col("text").isNotNull()).select(
+    payloads = _ascii_payloads(docs).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
@@ -242,7 +260,8 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBED_ANN_ORACLE = """
     WITH p AS (
       SELECT doc_id, text, length(text) AS n
-      FROM documents WHERE text IS NOT NULL
+      FROM documents
+      WHERE text IS NOT NULL AND strlen(text) = length(text)
     ),
     hist AS (
       SELECT doc_id,
@@ -333,9 +352,9 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     docs = table(spark, sf_dir, "documents")
-    # drop NULL media at the scan (ingest hygiene — a NULL payload would
-    # reach the Python decoder and kill the task; all-null sweep, round 4)
-    payloads = docs.filter(F.col("text").isNotNull()).select(
+    # NULL/non-ASCII media dropped at the scan (_ascii_payloads — the
+    # 16-bin histogram oracle replays bytes as chars)
+    payloads = _ascii_payloads(docs).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
 
@@ -382,6 +401,7 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(doc_id) AS keep_id,
            min(octet_length(CAST(text AS BLOB))) AS n_bytes
     FROM documents
+    WHERE text IS NOT NULL AND strlen(text) = length(text)
     GROUP BY md5(text)
     ORDER BY payload_fp
     """,
@@ -399,8 +419,11 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(string) is defined over UTF-8 bytes on both engines (DuckDB's
     md5 takes VARCHAR only — a real blob fixture would use hex(blob)
     digests instead). One partial-agg'd shuffle on the 16-byte
-    fingerprint; no skew (md5-uniform keys)."""
-    docs = table(spark, sf_dir, "documents")
+    fingerprint; no skew (md5-uniform keys). ASCII-domain gated
+    (``_ascii_payloads``) — DuckDB's md5 takes VARCHAR only, so the
+    oracle can only replay byte-exact fingerprints on byte==char
+    payloads; a real blob fixture would use hex(blob) digests."""
+    docs = _ascii_payloads(table(spark, sf_dir, "documents"))
     payload = F.encode(F.col("text"), "UTF-8")
     return (
         docs.select(

@@ -601,7 +601,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, COUNT(*) AS n,
            round(AVG(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 4)
              AS avg_norm
-    FROM embeddings GROUP BY label ORDER BY label
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    GROUP BY label ORDER BY label
     """,
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,12 +611,20 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity pass a training pipeline runs before similarity search to
     catch unnormalized or degenerate (zero) vectors per class.
 
+    Reads through ``vec_table`` (round-9 hostile sweep): the
+    failed-encode classes are already caught and quarantined by the
+    shared ingest gate itself — unguarded, a NULL array silently
+    vanished from the engine's posexplode while the oracle still
+    counted it, and a single NaN/Inf vector poisoned its whole label's
+    mean to NaN in both engines. This pass audits what SURVIVES
+    ingest: zero-norm and unnormalized vectors still show up per label.
+
     Same shape rule as label_centroids: posexplode → partial-agg SUM of
     squares per vector, then AVG per label — both aggregates combine
     map-side and stay in whole-stage codegen; no interpreted
     `aggregate()` fold per row (round-1 VERDICT item #2). round(4)
     absorbs float accumulation-order ulps between engines."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = vec_table(spark, sf_dir)
     norms = (
         emb.select("vec_id", "label", F.posexplode("embedding").alias("_i", "_x"))
         .groupBy("vec_id", "label")
@@ -993,7 +1003,7 @@ _COV_DIMS = 8  # leading block of the covariance matrix (full d=64 in pca_projec
     "embedding_covariance",
     oracle=f"""
     WITH e AS (
-      SELECT embedding FROM embeddings
+      SELECT embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND NOT (isnan(CAST(list_max(embedding) AS DOUBLE)) OR CAST(list_max(embedding) AS DOUBLE) = 'inf'::DOUBLE OR CAST(list_min(embedding) AS DOUBLE) = '-inf'::DOUBLE) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), n_t AS (SELECT COUNT(*) AS n FROM e),
     cells AS (
       SELECT i.range AS i, j.range AS j,
@@ -1022,8 +1032,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, which is the same decomposability ``pca_project`` exploits
     in Arrow batches. Full-matrix production runs use the batched
     mapInPandas form; this column-expression form is the checkable
-    contract."""
-    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    contract.
+
+    Round-9 hostile sweep: reads through ``vec_table`` (covariance of
+    failed-encode rows is meaningless, and an EMPTY array crashed
+    element_at under ANSI where DuckDB answered NULL), and cells use
+    0-based ``F.get`` — NULL, never INVALID_ARRAY_INDEX, on a vector
+    shorter than the leading block, matching the oracle's
+    out-of-bounds NULL."""
+    emb = vec_table(spark, sf_dir).select("embedding")
     pairs = [(i, j) for i in range(_COV_DIMS) for j in range(_COV_DIMS) if i <= j]
     cells = emb.select(
         F.explode(
@@ -1032,8 +1049,8 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("i"),
                         F.lit(j).alias("j"),
-                        F.element_at("embedding", i + 1).cast("double").alias("xi"),
-                        F.element_at("embedding", j + 1).cast("double").alias("xj"),
+                        F.get("embedding", i).cast("double").alias("xi"),
+                        F.get("embedding", j).cast("double").alias("xj"),
                     )
                     for i, j in pairs
                 ]

@@ -5,6 +5,17 @@ Structured Streaming variant in :mod:`..streaming.windows`.
 All double aggregations go through DECIMAL so engine and oracle agree
 bit-for-bit regardless of accumulation order — mandatory at 1000
 executors where accumulation order is nondeterministic.
+
+Every per-value decimal cast is a ``try_cast`` (round-9 hostile-fixture
+sweep): under ANSI mode a single metric value beyond the DECIMAL(18,6)
+domain (|v| >= 1e12) crashed the whole job with
+NUMERIC_VALUE_OUT_OF_RANGE — at 100 TB one corrupt meter reading must
+not kill a pipeline. try_cast yields NULL on overflow in Spark AND
+DuckDB (verified identical), so out-of-domain values are excluded from
+the exact-decimal stats in both engines — a documented domain bound,
+not a silent divergence. (Widening to DECIMAL(38,6) was rejected:
+product terms like SUM(v*v) would exceed precision 38 and the two
+engines clamp overflowing decimal products differently.)
 """
 
 from __future__ import annotations
@@ -20,7 +31,7 @@ from ..registry import query
     "event_window",
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -33,7 +44,7 @@ def event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             (
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double")
                 / F.count("*")
             ).alias("av"),
         )
@@ -49,7 +60,7 @@ def event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
@@ -65,10 +76,16 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     BALANCED-KEYS VARIANT: the production default at scale is
     ``event_session_salted`` (same oracle, ≈zero premium, 12.9× on a
     1000×-whale) — see SCALING.md "Salted forms are the production
-    default". This form serializes on a whale user key."""
+    default". This form serializes on a whale user key.
+
+    NULL-ts rows are dropped on BOTH sides (round-9 hostile sweep —
+    the session_window_native contract): a timestampless event cannot
+    be placed in any session, and unfiltered it sat at the partition
+    HEAD under Spark's NULLS FIRST but the TAIL under DuckDB's
+    NULLS LAST, flipping which row opens a session for that user."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Testdata parquet stores ts as timestamp-without-timezone, which
     # Spark 4 reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP.
@@ -92,14 +109,21 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_json",
+    # json_valid guard (round-9 hostile sweep): Spark's get_json_object
+    # answers NULL on malformed/empty JSON while DuckDB's json_extract
+    # RAISES — the guard pins both engines to NULL-on-malformed
     oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    SELECT event_id,
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
     FROM events ORDER BY event_id
     """,
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the semi-structured props column — scan-side
-    expression, no shuffle."""
+    expression, no shuffle. Malformed/empty payloads answer NULL (the
+    get_json_object contract), mirrored by the oracle's json_valid
+    guard."""
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -111,8 +135,8 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_window",
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
-    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
 def streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +268,7 @@ def range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -266,7 +290,16 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, no self-window pre-pass. The oracle reconstructs the
     identical sessions via the lag+cumsum formulation (session_window's
     end = last event + gap). Same operator runs unchanged in Structured
-    Streaming with a watermark."""
+    Streaming with a watermark.
+
+    NULL-ts contract (round-9 hostile sweep, shared by every native
+    window/session_window/hopping plan here): Spark's event-time
+    assigners DROP a timestampless row — no window can be assigned and
+    a stream could never watermark it — while a plain SQL GROUP BY on
+    the derived key would emit a phantom NULL-keyed group. The oracles
+    mirror the drop with ``WHERE ts IS NOT NULL``. (The batch groupBy
+    form ``event_window`` keeps its NULL group — that one is a plain
+    key aggregate, not an event-time assigner.)"""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -453,7 +486,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hr AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
       FROM events WHERE user_id < 20 GROUP BY 1, 2
     ), span AS (
       SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hr GROUP BY 1
@@ -500,7 +533,7 @@ def resample_pipeline(ev: DataFrame) -> DataFrame:
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double")
             / F.count("*")
         ).alias("av")
     )
@@ -536,14 +569,14 @@ def resample_pipeline(ev: DataFrame) -> DataFrame:
     WITH e AS (
       SELECT event_type, value,
              make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w2
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), x AS (
       SELECT event_type, value,
              unnest([w2, w2 - INTERVAL 30 MINUTE]) AS ws
       FROM e
     )
     SELECT event_type, ws, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
     FROM x GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -566,7 +599,7 @@ def event_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("sv"),
         )
         .select("event_type", F.col("w.start").alias("ws"), "cnt", "sv")
         .orderBy("event_type", "ws")
@@ -579,14 +612,14 @@ def event_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT event_type, value,
              make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w2
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), x AS (
       SELECT event_type, value,
              unnest([w2, w2 - INTERVAL 30 MINUTE]) AS ws
       FROM e
     )
     SELECT event_type, ws AS h, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
     FROM x GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -611,9 +644,9 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT event_type, count(value) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))
-                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))
+                      * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
       FROM events GROUP BY event_type
     )
     SELECT event_id, e.event_type, value,
@@ -640,7 +673,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (|event_type| keys), broadcast back — the event scan is
     never shuffled."""
     ev = table(spark, sf_dir, "events")
-    d = F.col("value").cast("decimal(18,6)")
+    d = F.col("value").try_cast("decimal(18,6)")
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.sum(d).cast("double").alias("sv"),
@@ -802,7 +835,7 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            count(*) OVER w AS n_in_window,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv
+           CAST(sum(TRY_CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
@@ -835,7 +868,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.count("*").over(w).alias("n_in_window"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(F.col("value").try_cast("decimal(18,6)"))
         .over(w)
         .cast("double")
         .alias("sv"),
@@ -846,7 +879,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_rollup",
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -869,7 +902,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("hour", "ts").alias("h")
         ).agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).alias("s"),
         )
 
     base = rollup(ev.filter(F.col("event_id") % 10 < 8))    # stored rollup
@@ -898,8 +931,8 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            round(p5, 4) AS p5r, round(p95, 4) AS p95r,
-           CAST(SUM(CAST(round(least(greatest(value, p5), p95), 6)
-                         AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(round(least(greatest(value, p5), p95), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE)
              / count(*) AS w_mean
     FROM ev e JOIN p USING (event_type)
     GROUP BY e.event_type, p5, p95
@@ -934,7 +967,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clipped = F.round(
         F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95")), 6
-    ).cast("decimal(18,6)")
+    ).try_cast("decimal(18,6)")
     return (
         ev.join(F.broadcast(p), "event_type")
         .groupBy("event_type", "p5", "p95")
@@ -1068,13 +1101,13 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM(CAST(hour(ts) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
              CAST(SUM(CAST(hour(ts) AS DECIMAL(18,6))
-                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                      * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
              CAST(SUM(CAST(hour(ts) AS DECIMAL(18,6))
                       * CAST(hour(ts) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))
-                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS syy
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))
+                      * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS syy
       FROM events GROUP BY event_type
     )
     SELECT event_type,
@@ -1101,7 +1134,7 @@ def linreg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp."""
     ev = table(spark, sf_dir, "events")
     x = F.hour("ts").cast("decimal(18,6)")
-    y = F.col("value").cast("decimal(18,6)")
+    y = F.col("value").try_cast("decimal(18,6)")
     m = ev.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
@@ -1143,7 +1176,7 @@ def linreg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), r AS (
       SELECT h, event_type, cnt,
              row_number() OVER (PARTITION BY h
@@ -1332,8 +1365,11 @@ _QN_RANGE_PARTS = 8
     "quantile_normalize",
     oracle="""
     WITH r AS (
+      -- NULLS FIRST pins DuckDB's default-ASC NULLS LAST to Spark's
+      -- NULLS FIRST: an unpinned NULL value shifted every rank by one
+      -- and every q by 1/(N-1) (round-9 hostile sweep)
       SELECT event_id, value,
-             CAST(rank() OVER (ORDER BY value, event_id) - 1 AS DOUBLE)
+             CAST(rank() OVER (ORDER BY value NULLS FIRST, event_id) - 1 AS DOUBLE)
                / NULLIF(COUNT(*) OVER () - 1, 0) AS q
       FROM events
     )
@@ -1399,10 +1435,13 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_static_join",
+    # user_id IS NOT NULL mirrors the engine's INNER join: a NULL-user
+    # event matches no dimension row (null-unsafe join equality), while
+    # an unguarded GROUP BY would emit a phantom NULL cohort here
     oracle="""
     SELECT user_id % 5 AS cohort, CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
-    FROM events GROUP BY 1 ORDER BY 1
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1
     """,
 )
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,7 +1471,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("sv"),
         )
     )
     name = f"stream_static_{next(_STREAM_STATIC_SINKS)}"
@@ -2515,7 +2554,7 @@ def bounce_rate_daily_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
@@ -2540,10 +2579,13 @@ def event_session_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is not. One event-scale exchange, (user, bkt)-keyed; the
     only bare-user exchange carries ≤1 partial row per (user,
     partition). Parity with the unsalted plan is pinned on the
-    boundary corpus in tests/test_plans.py."""
+    boundary corpus in tests/test_plans.py. NULL-ts rows dropped on
+    both sides (see ``event_session``)."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id"
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     padded = _day_bucketed(ev, fwd=True)
     wp = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")

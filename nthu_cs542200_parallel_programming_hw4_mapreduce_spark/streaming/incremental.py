@@ -36,14 +36,15 @@ def incremental_minhash_dedup(
     index_dir = os.path.join(work, "index")
     matches_dir = os.path.join(work, "matches")
 
-    # stage deterministic slices as individual files (one per micro-batch)
-    n = docs.count()
-    per = (n + n_slices - 1) // n_slices
+    # stage deterministic slices as individual files (one per micro-batch).
+    # Sliced by doc_id MODULO, not by contiguous [i*per, (i+1)*per) ranges:
+    # the range form assumed doc_ids are dense in [0, count) — on a corpus
+    # with sparse or high ids (snapshots, tombstoned ranges) every
+    # out-of-range doc silently skipped the stream and its pairs were
+    # never discovered (round-9 hostile-fixture sweep).
     for i in range(n_slices):
         (
-            docs.filter(
-                (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
-            )
+            docs.filter(F.col("doc_id") % n_slices == i)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(src_dir, f"slice={i:03d}"))

@@ -71,7 +71,7 @@ def windowed_count_stream(
         src.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("sv"),
         )
         .select("event_type", F.col("w.start").alias("h"), "cnt", "sv")
     )

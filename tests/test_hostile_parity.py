@@ -1,0 +1,89 @@
+"""Hostile-fixture PARITY regression (round 9).
+
+``test_all_queries_survive_degenerate_tables`` proves every query RUNS
+on degenerate data; this suite proves the oracle contract HOLDS on
+hostile-but-contract-respecting data (PKs intact, everything else
+adversarial — see tools/hostile_fixture.py). The round-9 sweep of all
+215 oracle-backed queries over this fixture surfaced six real
+divergence classes, each now fixed and pinned here:
+
+1. DECIMAL(18,6) per-value casts crashed the whole job under ANSI on a
+   1e12 metric value -> every value cast is now try_cast (NULL on
+   overflow, identical in Spark and DuckDB).
+2. Java's \\s includes \\x0B, RE2's does not -> every JVM tokenizer
+   spells the whitespace class explicitly (functions/text.WS).
+3. incremental_minhash_dedup sliced micro-batches by dense doc_id
+   ranges -> sparse/high ids silently skipped the stream entirely; now
+   modulo-sliced.
+4. Strict-JSON oracles raised where the engine answers NULL on
+   malformed payloads (scalar_json, variant_shred) -> json_valid
+   guards + try_parse_json.
+5. Event-time window/session assigners DROP NULL-ts rows while plain
+   GROUP BY oracles emitted a phantom NULL group -> ts IS NOT NULL
+   contract, mirrored both sides (and the event_session pair's
+   NULLS FIRST/LAST latent flip closed the same way).
+6. Assorted NULL-path engine/oracle gaps: empty-array element_at under
+   ANSI (embedding_covariance), DuckDB array_to_string([]) = NULL vs
+   Spark '' (dedup_cross_snapshot), unpinned NULL rank order
+   (quantile_normalize), phantom NULL cohort under an inner join
+   (streaming_static_join), failed-encode rows reaching hygiene stats
+   (embedding_stats), XML-1.0-unrepresentable control chars killing
+   the XML writer (xml_ingest).
+7. The multimodal family's "diverges loudly on a non-ASCII doc" claim
+   was FALSE for a short doc whose sampled frames were all-ASCII
+   (multimodal_framesample passed silently on the café doc) -> the
+   ASCII byte==char domain is now an ENFORCED gate mirrored in every
+   multimodal oracle (plans/multimodal._ascii_payloads).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from tools.hostile_fixture import build
+from tools.parity import compare, duck_con
+
+# every query that diverged in the round-9 hostile sweep, now green
+REGRESSION_SET = [
+    "anomaly_zscore", "bm25_topk", "chunk_overlap", "contamination_overlap",
+    "dedup_cross_snapshot", "dedup_exact", "dedup_minhash_sig",
+    "dedup_simhash", "dictionary_encode", "doc_fingerprint",
+    "dsir_importance", "embedding_covariance", "embedding_stats",
+    "encode_corpus", "event_hopping_window", "event_session",
+    "event_session_salted", "event_window", "incremental_rollup",
+    "join_skew_salted", "linreg_by_key", "pack_context_windows",
+    "paragraph_dedup", "perplexity_unigram", "pmi_collocations",
+    "quality_gopher", "quantile_normalize", "readability_flesch",
+    "resample_ffill", "scalar_json", "session_window_native",
+    "shingle_fingerprints", "streaming_hopping",
+    "streaming_incremental_dedup", "streaming_static_join",
+    "streaming_topk", "streaming_window", "text_quality",
+    "text_repetition", "token_count_est", "variant_shred",
+    "vocab_growth_curve", "window_range_frame", "xml_ingest",
+    # the whole multimodal family, green under the round-9 ASCII gate
+    "multimodal_meta", "multimodal_features", "multimodal_framesample",
+    "multimodal_dedup", "multimodal_embed_ann",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    return build(str(tmp_path_factory.mktemp("hostile_sf")))
+
+
+@pytest.mark.parametrize("name", REGRESSION_SET)
+def test_hostile_parity(spark, hostile_dir, name):
+    con = duck_con(hostile_dir)
+    sdf = E.queries()[name](spark, hostile_dir).toPandas()
+    ddf = con.execute(E.oracle_sql()[name]).df()
+    problems = compare(name, sdf, ddf)
+    assert not problems, "\n".join(problems)
+
+
+def test_ascii_gate_excludes_the_cafe_doc(spark, hostile_dir):
+    """The non-ASCII doc (id 99004) is OUT of every multimodal result
+    on both engines — the enforced domain gate, not fixture luck."""
+    meta = E.queries()["multimodal_meta"](spark, hostile_dir).toPandas()
+    assert 99004 not in set(meta["doc_id"])
+    assert 99005 in set(meta["doc_id"])  # ASCII hostile docs stay in

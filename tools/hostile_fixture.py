@@ -1,0 +1,163 @@
+"""Build a hostile-but-contract-respecting fixture from sf0.001.
+
+PK columns stay unique and non-null; every other column gets nulls,
+full-row ties, unicode/NBSP/vertical-tab text, whitespace-only and
+empty strings, exact-duplicate documents, malformed JSON, extreme
+numerics (1e12 beyond the DECIMAL(18,6) domain, -0.0), and the full
+failed-encode embedding class (NULL/empty/NaN/Inf/null-element/
+zero-norm/identical vectors) injected. Writes parquet to the target
+dir in the standard table layout, so ``tools/parity.py <dst>`` runs
+every declared oracle against it.
+
+The round-9 sweep over this fixture surfaced six real divergence
+classes (see tests/test_hostile_parity.py, which regression-pins
+them); new hostile row classes belong HERE so the whole registry
+inherits them on the next sweep.
+
+Usage: python tools/hostile_fixture.py [dst_dir]
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    os.makedirs(dst, exist_ok=True)
+
+    def copy_plus(table: str, extra_sql: str) -> None:
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM read_parquet('{src}/{table}.parquet')
+              UNION ALL BY NAME
+              {extra_sql}
+            ) TO '{dst}/{table}.parquet' (FORMAT PARQUET)
+            """
+        )
+
+    copy_plus("region", """
+      SELECT 900 AS r_regionkey, NULL AS r_name
+    """)
+
+    copy_plus("nation", """
+      SELECT * FROM (VALUES
+        (900, NULL, 0),
+        (901, 'ALGERIA', NULL),          -- duplicate name, null FK
+        (902, '', 3)                     -- empty-string name
+      ) t(n_nationkey, n_name, n_regionkey)
+    """)
+
+    copy_plus("customer", """
+      SELECT * FROM (VALUES
+        (90001, NULL, NULL, NULL, NULL),
+        (90002, 'Customer#tie', 3, 1000.0, 'BUILDING'),
+        (90003, 'Customer#tie', 3, 1000.0, 'BUILDING'),   -- full tie pair
+        (90004, 'Customer#neg', 7, -0.0, ''),             -- -0.0 + empty seg
+        (90005, 'Customer#unicode é x', 24, 1e15, 'AUTOMOBILE')
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    """)
+
+    copy_plus("supplier", """
+      SELECT * FROM (VALUES
+        (9001, NULL, NULL, NULL),
+        (9002, 'Supplier#tie', 3, 4000.0),
+        (9003, 'Supplier#tie', 3, 4000.0)
+      ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+    """)
+
+    copy_plus("part", """
+      SELECT * FROM (VALUES
+        (90001, NULL, NULL, NULL, NULL, NULL),
+        (90002, 'tie part', 'Brand#13', 'SMALL PLATED TIN', 0, 0.0),
+        (90003, 'tie part', 'Brand#13', 'SMALL PLATED TIN', 0, 0.0)
+      ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    """)
+
+    copy_plus("orders", """
+      SELECT * FROM (VALUES
+        (990001, NULL, NULL, NULL, NULL, NULL),
+        (990002, 1, 'O', 1000.0, TIMESTAMP '1995-06-15 00:00:00', '1-URGENT'),
+        (990003, 1, 'O', 1000.0, TIMESTAMP '1995-06-15 00:00:00', '1-URGENT'),
+        (990004, 4, 'F', -1.5,  TIMESTAMP '1992-01-01 00:00:00', '')
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+    """)
+
+    copy_plus("lineitem", """
+      SELECT * FROM (VALUES
+        (990001, NULL, NULL, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (990002, 1, 1, 1, 17.0, 1000.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1995-06-17 00:00:00'),
+        (990002, 1, 1, 2, 17.0, 1000.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1995-06-17 00:00:00'),
+        (990004, 2, 2, 1, 0.0, 0.0, 1.0, 1.0, 'R', 'F', TIMESTAMP '1992-02-02 00:00:00')
+      ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+    """)
+
+    # events: source is TIMESTAMP(NANOS); normalize the copy to micros.
+    # 1e12 sits beyond the DECIMAL(18,6) domain -> exercises try_cast.
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+          FROM read_parquet('{src}/events.parquet')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (99001, NULL, NULL, NULL, NULL, NULL),
+            (99002, TIMESTAMP '2024-01-15 12:00:00', 3, 'view', 5.0, '{{"k": 1}}'),
+            (99003, TIMESTAMP '2024-01-15 12:00:00', 3, 'view', 5.0, '{{"k": 1}}'),
+            (99004, TIMESTAMP '2024-01-15 12:00:00', 4, 'view', 5.0, 'not json'),
+            (99005, TIMESTAMP '2024-01-15 12:00:01', 4, '', -0.0, ''),
+            (99006, TIMESTAMP '2024-01-15 12:00:02', 4, 'purchase', 1e12, NULL)
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    # \x0b (vertical tab) targets the Java-\s-vs-RE2-\s tokenizer gap
+    copy_plus("documents", """
+      SELECT * FROM (VALUES
+        (99001, NULL, NULL, NULL, NULL),
+        (99002, '', 'en', 'web', 0),
+        (99003, '   ', 'en', 'web', 3),
+        (99004, 'fused pair and vt\x0btoken here plus café élève text', 'fr', 'books', 48),
+        (99005, 'tie doc exact duplicate body for dedup stress', 'en', 'web', 46),
+        (99006, 'tie doc exact duplicate body for dedup stress', 'en', 'web', 46),
+        (99007, 'one', 'xx', '', 3)
+      ) t(doc_id, text, lang, source, n_chars)
+    """)
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/embeddings.parquet')
+          UNION ALL BY NAME
+          SELECT * FROM (
+            SELECT 99001 AS vec_id, NULL::FLOAT[] AS embedding, NULL::INTEGER AS label
+            UNION ALL SELECT 99002, []::FLOAT[], 2
+            UNION ALL SELECT 99003, list_transform(range(64), x -> 'nan'::FLOAT), 0
+            UNION ALL SELECT 99004, list_prepend('inf'::FLOAT, list_transform(range(63), x -> 0.0::FLOAT)), 1
+            UNION ALL SELECT 99005, list_prepend(NULL::FLOAT, list_transform(range(63), x -> 1.0::FLOAT)), 1
+            UNION ALL SELECT 99006, list_transform(range(64), x -> 0.0::FLOAT), 2
+            UNION ALL SELECT 99007, (SELECT embedding FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 7), 1
+            UNION ALL SELECT 99008, (SELECT embedding FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 7), 1
+          )
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return dst
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/hostile_sf")
+    print("hostile fixture written to", out)
