@@ -359,12 +359,17 @@ ROUND9_ROTATION_POOL: tuple[str, ...] = (
 # slots are oracle-backed — the first all-oracle window (the two
 # streaming members graduated this round; every prior window carried
 # declared rows-only slots). Round-9 verification (2026-08-15, after
-# the graduations + the ADVICE-r8 null-element gate landed): the
-# whole-repo sweep re-ran under the ROUND-9 oracles at all three SFs —
-# 215/215 oracle-backed parity-green at sf0.001 AND sf0.01 AND sf0.1,
-# 0 failures (tools/parity.py, the identical driver check); the full
-# 50-slot window additionally passed a vanilla-session driver mimic
-# from a cwd outside the repo; pytest 502 passed / 0 failed.
+# the graduations, the ADVICE-r8 null-element gate, AND the
+# hostile-fixture hardening pass all landed): the whole-repo sweep
+# re-ran under the final round-9 oracles at all three SFs — 215/215
+# oracle-backed parity-green at sf0.001 AND sf0.01 AND sf0.1, 0
+# failures (tools/parity.py, the identical driver check) — and, new
+# this round, 215/215 green on the ADVERSARIAL fixture too
+# (tools/hostile_fixture.py: nulls, ties, vertical-tab/unicode text,
+# malformed JSON, out-of-decimal-domain values, failed-encode
+# embeddings). The full 50-slot window additionally passed a
+# vanilla-session driver mimic from a cwd outside the repo; pytest
+# 552 passed / 0 failed.
 ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND9_WINDOW_PLAN
