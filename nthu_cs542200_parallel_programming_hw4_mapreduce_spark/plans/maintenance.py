@@ -118,7 +118,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_type AS state, ts, event_id,
              lag(event_type) OVER w AS prev
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
       SELECT user_id, state, ts, event_id FROM ordered
@@ -144,9 +144,13 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a single Exchange; the second window reuses the first's sort
     since both order by (ts, event_id)). No join, no state store.
     Incremental maintenance of the current edge belongs to
-    ``incremental_rollup``'s family.
+    ``incremental_rollup``'s family. NULL-ts rows dropped on both
+    sides (the ``event_session`` timeline contract, round-9 hostile
+    sweep): a change log entry without a timestamp cannot be placed in
+    any validity interval, and unfiltered it sat at the timeline HEAD
+    under Spark's NULLS FIRST but the TAIL under DuckDB's NULLS LAST.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev", F.lag("event_type").over(w))
@@ -577,7 +581,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
       SELECT user_id, event_type AS state, ts, event_id FROM ordered

@@ -1314,7 +1314,7 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type AS cur,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS nxt
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), c AS (
       SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt FROM seq
       WHERE nxt IS NOT NULL GROUP BY cur, nxt
@@ -1336,10 +1336,14 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition matrix is states²-sized regardless of event volume —
     the same corpus-size-independence as ``embedding_covariance``.
     DuckDB's ``cnt / t`` on BIGINT/HUGEINT divides as double, matched
-    by an explicit double division Spark-side, rounded to 6 dp."""
+    by an explicit double division Spark-side, rounded to 6 dp.
+    NULL-ts rows dropped on both sides (the ``event_session``
+    timeline contract, round-9 hostile sweep): an unorderable event
+    sat at the sequence HEAD under Spark's NULLS FIRST but the TAIL
+    under DuckDB's NULLS LAST, forging different transitions."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"),
@@ -1874,7 +1878,7 @@ def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1908,10 +1912,12 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim (lag → new-session flag → running sum, one user-keyed
     exchange feeding both windows), then session-sized and day-sized
     aggregates shrink monotonically. No join anywhere; the bounce
-    predicate is a COUNT filter on the session aggregate."""
+    predicate is a COUNT filter on the session aggregate. NULL-ts
+    rows dropped on both sides (the ``event_session`` timeline
+    contract, round-9 hostile sweep)."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.withColumn(
@@ -2205,7 +2211,7 @@ def time_weighted_avg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -2239,10 +2245,11 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a paths-cardinality groupBy (≤ |types|³ keys) into TakeOrdered-10.
     Deterministic under concurrent timestamps: every window orders by
     (ts, event_id). Nothing in the plan is corpus-sized after the
-    first exchange."""
+    first exchange. NULL-ts rows dropped on both sides (the
+    ``event_session`` timeline contract, round-9 hostile sweep)."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.withColumn(
@@ -2343,7 +2350,7 @@ def _day_bucketed(ev: DataFrame, n_back: int = 0, fwd: bool = False) -> DataFram
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id, event_type,
@@ -2394,7 +2401,10 @@ def session_paths_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_oracle_parity.py and a dedicated equivalence test."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # NULL-ts rows dropped (the event_session timeline contract)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     padded = _day_bucketed(ev, n_back=2)
     wp = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
@@ -2431,7 +2441,7 @@ def session_paths_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2483,7 +2493,10 @@ def bounce_rate_daily_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale, tie cases) in tests/test_plans.py."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # NULL-ts rows dropped (the event_session timeline contract)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id"
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     padded = _day_bucketed(ev, fwd=True)
     wp = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")

@@ -44,7 +44,9 @@ def incremental_minhash_dedup(
     # never discovered (round-9 hostile-fixture sweep).
     for i in range(n_slices):
         (
-            docs.filter(F.col("doc_id") % n_slices == i)
+            # pmod, not %: Spark's % keeps the dividend's sign, so a
+            # negative doc_id would fall outside every [0, n) slice
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(n_slices)) == i)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(src_dir, f"slice={i:03d}"))

@@ -20,8 +20,12 @@ divergence classes, each now fixed and pinned here:
    guards + try_parse_json.
 5. Event-time window/session assigners DROP NULL-ts rows while plain
    GROUP BY oracles emitted a phantom NULL group -> ts IS NOT NULL
-   contract, mirrored both sides (and the event_session pair's
-   NULLS FIRST/LAST latent flip closed the same way).
+   contract, mirrored both sides. A second hostile wave (a NULL-ts
+   event on a REAL user, which sits at the timeline HEAD under Spark's
+   NULLS FIRST but the TAIL under DuckDB's NULLS LAST) extended the
+   same timeline contract to every per-user ordered sequence: the
+   event_session pair, the bounce_rate pair, the session_paths pair,
+   markov_transitions, and scd2_history.
 6. Assorted NULL-path engine/oracle gaps: empty-array element_at under
    ANSI (embedding_covariance), DuckDB array_to_string([]) = NULL vs
    Spark '' (dedup_cross_snapshot), unpinned NULL rank order
@@ -64,6 +68,9 @@ REGRESSION_SET = [
     # the whole multimodal family, green under the round-9 ASCII gate
     "multimodal_meta", "multimodal_features", "multimodal_framesample",
     "multimodal_dedup", "multimodal_embed_ann",
+    # the timeline-contract wave (real-user NULL-ts event)
+    "bounce_rate_daily", "bounce_rate_daily_salted", "markov_transitions",
+    "scd2_history", "session_paths_topk", "session_paths_topk_salted",
 ]
 
 

@@ -116,7 +116,12 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
             (99003, TIMESTAMP '2024-01-15 12:00:00', 3, 'view', 5.0, '{{"k": 1}}'),
             (99004, TIMESTAMP '2024-01-15 12:00:00', 4, 'view', 5.0, 'not json'),
             (99005, TIMESTAMP '2024-01-15 12:00:01', 4, '', -0.0, ''),
-            (99006, TIMESTAMP '2024-01-15 12:00:02', 4, 'purchase', 1e12, NULL)
+            (99006, TIMESTAMP '2024-01-15 12:00:02', 4, 'purchase', 1e12, NULL),
+            -- NULL ts on a REAL user: sits at the partition HEAD under
+            -- Spark's NULLS FIRST but the TAIL under DuckDB's NULLS
+            -- LAST — the row class that forced the NULL-ts contract on
+            -- the sessionizers and event-time window assigners
+            (99007, NULL, 3, 'view', 1.0, '{{}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
         """
