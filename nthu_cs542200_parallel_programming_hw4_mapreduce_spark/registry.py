@@ -367,9 +367,9 @@ ROUND9_ROTATION_POOL: tuple[str, ...] = (
 # this round, 215/215 green on the ADVERSARIAL fixture too
 # (tools/hostile_fixture.py: nulls, ties, vertical-tab/unicode text,
 # malformed JSON, out-of-decimal-domain values, failed-encode
-# embeddings). The full 50-slot window additionally passed a
-# vanilla-session driver mimic from a cwd outside the repo; pytest
-# 552 passed / 0 failed.
+# embeddings, and a real-user timestampless event). The full 50-slot
+# window additionally passed a vanilla-session driver mimic from a
+# cwd outside the repo; pytest 558 passed / 0 failed.
 ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND9_WINDOW_PLAN
