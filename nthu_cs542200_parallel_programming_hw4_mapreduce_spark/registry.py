@@ -372,12 +372,9 @@ ROUND9_ROTATION_POOL: tuple[str, ...] = (
 # cwd outside the repo; pytest 558 passed / 0 failed.
 ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 
-DRIVER_WINDOW: tuple[str, ...] = ROUND9_WINDOW_PLAN
-
-# Round-10 rotation pool, PRE-STAGED (not active — DRIVER_WINDOW stays
-# on the round-9 plan until round 10 flips it, updating the pins in
-# tests/test_registry.py in the SAME commit; VERDICT r8 #2). Freshness
-# recipe:
+# Round-10 rotation pool, ACTIVE (flipped with the pins in
+# tests/test_registry.py in the same commit — the round-5 lesson;
+# VERDICT r9 "Next round" #1). Freshness recipe:
 #   * the two re-proofs the round-9 graduations bumped
 #     (`window_range_frame`, `xml_ingest`);
 #   * the thirteen r4-era rows deferred from the round-9 pool (named
@@ -425,6 +422,14 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "value_histogram", "vocab_growth_curve", "winsorized_stats",
     "zorder_layout",
 )
+
+# Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all
+# oracle-backed (the second consecutive all-oracle window). Once
+# CORRECTNESS_r10 lands green, no oracle-backed query's newest driver
+# row is older than r6.
+ROUND10_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND10_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND10_WINDOW_PLAN
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

@@ -57,25 +57,21 @@ ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
 
 
 def test_window_covers_rotation_targets():
-    """Round-9 rotation (VERDICT r8 "Next round" #1 + #4): the 41
-    rotating slots hold the 2 streaming oracle graduations + the 8
-    deferred/bumped TPC-H rows (the oldest, r3-era driver rows) + the
-    5 round-8 oracle upgrades + r4-era re-proofs. Every plain re-proof
-    slot's latest driver row must predate r05."""
+    """Round-10 rotation (VERDICT r9 "Next round" #1): the 41 rotating
+    slots are pure re-proofs — the 2 rows the round-9 graduations
+    bumped + the 13 r4-era rows deferred from round 9 + 26 r5-era rows.
+    Every slot's latest driver row must predate r06 (the freshness
+    invariant: once CORRECTNESS_r10 lands, no oracle-backed query's
+    newest row is older than r6)."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    assert rotation == set(registry.ROUND9_ROTATION_POOL)
-    # re-proof slots are r3/r4-era only — never re-checked since
-    reproof = (
-        rotation
-        - ROUND9_GRADUATIONS
-        - ROUND8_ORACLE_UPGRADES_OUTSIDE_WINDOW
-    )
-    assert reproof <= _checked("r01", "r02", "r03", "r04")
-    assert not (reproof & _checked("r05", "r06", "r07", "r08"))
+    assert rotation == set(registry.ROUND10_ROTATION_POOL)
+    # every slot is a stale re-proof — never re-checked since r05
+    assert rotation <= _checked("r01", "r02", "r03", "r04", "r05")
+    assert not (rotation & _checked("r06", "r07", "r08", "r09"))
 
 
 def _new_in_round7() -> set[str]:
@@ -93,8 +89,8 @@ def _new_in_round8() -> set[str]:
 def test_window_mostly_oracle_backed():
     oracles = registry.all_oracles()
     rows_only = [n for n in registry.DRIVER_WINDOW if n not in oracles]
-    # round 9: the first ALL-ORACLE window — every slot hash-checked
-    # (the two streaming members graduated from rows-only this round)
+    # round 10: the second consecutive ALL-ORACLE window — every slot
+    # hash-checked
     assert rows_only == [], f"unexpected rows-only in window: {rows_only}"
 
 
@@ -258,8 +254,22 @@ def test_round9_pool_is_registered():
     )
     # one bumped re-proof per graduation — the bumps are not silent drops
     assert len(ROUND9_BUMPED) == len(ROUND9_GRADUATIONS)
-    # the live window is the round-9 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND9_WINDOW_PLAN
+
+
+def test_round9_window_history():
+    """History pin (round 9): the driver checked exactly the round-9
+    window — the first all-oracle window, 50/50 hash-checked, zero
+    failures. Expressed against the recorded CORRECTNESS files so it
+    stays true as later rounds rotate."""
+    import json
+
+    assert _checked("r09") == set(registry.ROUND9_WINDOW_PLAN)
+    rows = json.load(open(REPO / "CORRECTNESS_r09.json"))
+    assert all(
+        r["rows_match"] and r["schema_match"] and r["hash_match"]
+        and r["err"] is None
+        for r in rows.values()
+    )
 
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-
@@ -276,14 +286,13 @@ ROUND10_DEFERRED = {
 
 
 def test_round10_pool_is_registered():
-    """The PRE-STAGED round-10 pool (VERDICT r8 "Next round" #2) must
+    """The ACTIVE round-10 pool (VERDICT r9 "Next round" #1) must
     contain only names that exist (anti-phantom) and follow its
     documented recipe: the two re-proofs the round-9 graduations
     bumped + the thirteen r4-era rows deferred from round 9 + the
     r5-era rows minus the fifteen named family-redundant deferrals.
     The r5-era set is computed from the recorded CORRECTNESS files
-    minus the round-9 window plan, so the pin holds both before and
-    after CORRECTNESS_r09 lands."""
+    minus the round-9 window plan, so the pin cannot rot."""
     pool = set(registry.ROUND10_ROTATION_POOL)
     assert len(registry.ROUND10_ROTATION_POOL) == 41
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
@@ -297,8 +306,8 @@ def test_round10_pool_is_registered():
     assert pool == (
         ROUND9_BUMPED | ROUND9_DEFERRED | (r5_era - ROUND10_DEFERRED)
     )
-    # pre-staged ≠ active: the live window is the round-9 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND9_WINDOW_PLAN
+    # the live window is the round-10 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND10_WINDOW_PLAN
 
 
 def test_bench_core_is_pinned():
