@@ -40,17 +40,18 @@ def tokens(col: str | Column, pattern: str = " ") -> Column:
     and DuckDB's string_split keep empties; filtering is explicit on both
     sides per SURVEY.md §7.3).
 
-    A ``\\s+`` pattern is remapped to :data:`WS` here — one choke point
-    fixes every caller's Java-vs-RE2 vertical-tab divergence."""
+    The pattern is passed through verbatim (ADVICE r9): callers who want
+    the RE2-exact whitespace class pass :data:`WS` explicitly — every
+    oracle-checked plan in this repo does — while a caller who genuinely
+    wants Java ``\\s`` semantics (vertical tab included) can now get
+    them by passing ``r"\\s+"`` itself."""
     c = F.col(col) if isinstance(col, str) else col
-    if pattern == r"\s+":
-        pattern = WS
     return F.filter(F.split(c, pattern), lambda t: t != "")
 
 
 def token_count(col: str | Column) -> Column:
     """Whitespace token count."""
-    return F.size(tokens(col, r"\s+"))
+    return F.size(tokens(col, WS))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
@@ -66,7 +67,7 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 
 def stopword_hits(col: str | Column, lang: str = "en") -> Column:
     """Number of tokens that are stopwords of ``lang``."""
-    toks = tokens(col, r"\s+")
+    toks = tokens(col, WS)
     sw = STOPWORDS[lang]
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
 
@@ -138,7 +139,7 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
     Built with transform over an index sequence + slice — stays inside
     codegen; returns array<string> (possibly empty, never null for
     non-null text)."""
-    toks = tokens(col, r"\s+")
+    toks = tokens(col, WS)
     n = F.size(toks)
     # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark — docs with
     # fewer than k tokens must short-circuit to [] before sequence runs.

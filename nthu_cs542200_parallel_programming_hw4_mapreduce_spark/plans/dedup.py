@@ -78,7 +78,7 @@ def _positional_grams(docs: DataFrame, k: int, out: str = "s") -> DataFrame:
     outside codegen (3.7 s at sf0.1). Dedup is the CALLER's choice —
     the two consumers legitimately differ (see shingle_rows vs
     substring_dup_rate)."""
-    t = X.tokens("text", r"\s+")
+    t = X.tokens("text", X.WS)
     return (
         docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
         .filter(F.col("_n") >= k)
@@ -228,7 +228,7 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
     if shingles is not None:
         ex = shingles
     else:
-        t = X.tokens("text", r"\s+")
+        t = X.tokens("text", X.WS)
         base = docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n")).filter(
             F.col("_n") >= 3
         )
@@ -424,7 +424,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     nibble p = j//4, bit b = j%4. Same bits as `_bit_contrib`'s SQL —
     the family is defined once and rendered for both engines."""
     toks = docs.select(
-        "doc_id", F.explode(X.tokens("text", r"\s+")).alias("t")
+        "doc_id", F.explode(X.tokens("text", X.WS)).alias("t")
     ).select("doc_id", F.md5(F.col("t")).alias("h0"))
     chunks = [
         F.conv(F.substring("h0", 8 * c + 1, 8), 16, 10)
@@ -1269,7 +1269,7 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id",
-        F.md5(F.array_join(F.slice(X.tokens("text", r"\s+"), 1, 8), " ")).alias("fp"),
+        F.md5(F.array_join(F.slice(X.tokens("text", X.WS), 1, 8), " ")).alias("fp"),
     )
     old = fp.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("old_id"), "fp"
@@ -1715,7 +1715,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = _PARA_CHUNK
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens("text", r"\s+").alias("toks")
+        "doc_id", X.tokens("text", X.WS).alias("toks")
     )
     n_chunks = F.ceil(F.size("toks") / c).cast("long")
     # guard: Spark's sequence(0, -1) auto-steps DOWN to [0, -1] — an

@@ -94,7 +94,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(X.tokens("text", r"\s+")).alias("w")
+        "doc_id", F.explode(X.tokens("text", X.WS)).alias("w")
     )
     per_doc = toks.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
@@ -149,7 +149,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     both engines (Spark: explicit size filter — sequence(1,0) would count
     DOWN; DuckDB: range(1,1) is empty)."""
     ws = docs.select(
-        "doc_id", "source", X.tokens("text", r"\s+").alias("ws")
+        "doc_id", "source", X.tokens("text", X.WS).alias("ws")
     ).filter(F.size("ws") >= 2)
     return ws.select(
         "doc_id",
@@ -328,7 +328,7 @@ def ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines and the three outputs round to 6 dp (the PageRank
     reassociation rule)."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("w"))
+    toks = docs.select("doc_id", F.explode(X.tokens("text", X.WS)).alias("w"))
     per_doc = toks.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
         *[

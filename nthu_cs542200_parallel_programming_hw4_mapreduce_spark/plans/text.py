@@ -80,7 +80,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id",
         F.length("text").alias("_nc"),
-        F.explode_outer(X.tokens("text", r"\s+")).alias("t"),
+        F.explode_outer(X.tokens("text", X.WS)).alias("t"),
     )
     sw = X.STOPWORDS["en"]
     stats = ex.groupBy("doc_id", "_nc").agg(
@@ -155,7 +155,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast threshold (same scale trap text_quality shed)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode_outer(X.tokens("text", r"\s+")).alias("t")
+        "doc_id", F.explode_outer(X.tokens("text", X.WS)).alias("t")
     )
     hit_aggs = [
         F.sum(F.lower("t").isin(*X.STOPWORDS[lang]).cast("int")).alias(f"_h_{lang}")
@@ -276,7 +276,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+    toks = docs.select("doc_id", F.explode(X.tokens("text", X.WS)).alias("t"))
     tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     df = tf.groupBy("t").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -313,7 +313,7 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams with multiplicity (no per-doc dedup) → explode → count.
     TakeOrdered merges per-partition top-20 heaps — no global sort."""
     docs = table(spark, sf_dir, "documents")
-    toks = X.tokens("text", r"\s+")
+    toks = X.tokens("text", X.WS)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - 1)
     bigrams = F.when(
@@ -509,7 +509,7 @@ def pipeline_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+    toks = docs.select("doc_id", F.explode(X.tokens("text", X.WS)).alias("t"))
     hit_aggs = [
         F.sum(F.lower("t").isin(*X.STOPWORDS[lang]).cast("int")).alias(f"_h_{lang}")
         for lang in sorted(X.STOPWORDS)
@@ -576,7 +576,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer/integer in both engines — no float accumulation to
     wobble."""
     docs = table(spark, sf_dir, "documents")
-    t = X.tokens("text", r"\s+")
+    t = X.tokens("text", X.WS)
     grams = (
         docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
         .filter(F.col("_n") >= 2)
@@ -613,7 +613,7 @@ def _contamination_grams(docs: DataFrame) -> DataFrame:
     index-explode build (codegen'd Generate + element_at; the
     transform+slice higher-order form computes the same grams but runs
     interpreted). Shared by the exact and bloom decontamination paths."""
-    t = X.tokens("text", r"\s+")
+    t = X.tokens("text", X.WS)
     return (
         docs.select(
             "doc_id", "lang", "source", t.alias("_ws"), F.size(t).alias("_n")
@@ -863,7 +863,7 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", "source", F.size(X.tokens("text", r"\s+")).alias("n_tok")
+        "doc_id", "source", F.size(X.tokens("text", X.WS)).alias("n_tok")
     )
     w = (
         Window.partitionBy("source")
@@ -914,7 +914,7 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation sort), so chunking 100 TB is one map pass whose output
     feeds the embedding stage directly."""
     docs = table(spark, sf_dir, "documents")
-    t = X.tokens("text", r"\s+")
+    t = X.tokens("text", X.WS)
     base = docs.select("doc_id", t.alias("ws"), F.size(t).alias("n")).filter(
         F.col("n") > 0
     )
@@ -1284,7 +1284,7 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     one emitted float (mean word length) is a single rounded division
     of exact ints."""
     docs = table(spark, sf_dir, "documents")
-    toks = X.tokens("text", r"\s+")
+    toks = X.tokens("text", X.WS)
     n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
     n_ell = F.expr(
         "(length(text) - length(replace(text, '...', ''))) div 3"
@@ -1392,11 +1392,11 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative, 8 orders below the rounding grain."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(X.tokens("text", r"\s+")).alias("w")
+        "doc_id", F.explode(X.tokens("text", X.WS)).alias("w")
     )
     total = float(
         docs.select(
-            F.sum(F.size(X.tokens("text", r"\s+"))).alias("n")
+            F.sum(F.size(X.tokens("text", X.WS))).alias("n")
         ).first()["n"]
         or 0  # all-null/token-free corpus: SUM is NULL, score set is empty
     )
@@ -1534,7 +1534,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k is TakeOrdered. Probabilities divide exact integer
     counts in identical expression order on both engines."""
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(X.tokens("text", r"\s+").alias("ws"))
+    d = docs.select(X.tokens("text", X.WS).alias("ws"))
     uc = (
         d.select(F.explode("ws").alias("w"))
         .groupBy("w")
@@ -1642,7 +1642,7 @@ def _hh_sketch_and_verify(spark: SparkSession, sf_dir: str):
     broadcast-semi-join verify plan — factored so plan-shape tests can
     assert the verify scan's structure before it is checkpoint-pinned."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
+    toks = docs.select(F.explode(X.tokens("text", X.WS)).alias("tok"))
 
     def mg_candidates(batches):
         # nested so it pickles by value (worker has no repo on sys.path)
@@ -1747,7 +1747,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     vocab = (
-        docs.select(F.explode(X.tokens("text", r"\s+")).alias("w"))
+        docs.select(F.explode(X.tokens("text", X.WS)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
@@ -1877,7 +1877,7 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     vocab = (
-        docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok"))
+        docs.select(F.explode(X.tokens("text", X.WS)).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
@@ -1920,13 +1920,13 @@ def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's own length."""
     docs = table(spark, sf_dir, "documents")
     ranked = _two_phase_rank(
-        docs.select(F.explode(X.tokens("text", r"\s+")).alias("tok")).distinct()
+        docs.select(F.explode(X.tokens("text", X.WS)).alias("tok")).distinct()
     )
     if ranked is None:  # degenerate: empty corpus → nothing to encode
         return spark.createDataFrame([], "doc_id long, ids string, n long")
     dictionary = ranked.select("tok", "id")
     ex = docs.select(
-        "doc_id", F.posexplode(X.tokens("text", r"\s+")).alias("pos", "tok")
+        "doc_id", F.posexplode(X.tokens("text", X.WS)).alias("pos", "tok")
     )
     return (
         ex.join(F.broadcast(dictionary), "tok")
@@ -1977,7 +1977,7 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     vocab = (
-        docs.select(F.explode(X.tokens("text", r"\s+")).alias("w"))
+        docs.select(F.explode(X.tokens("text", X.WS)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select("cnt", F.filter(F.split("w", "(?!^)"), lambda c: c != "").alias("cs"))
@@ -2293,7 +2293,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # bounded scalar: one metadata-cheap count,
     # reused as an exact integer literal in the df cap (same as oracle's N)
     tf = (
-        docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("t"))
+        docs.select("doc_id", F.explode(X.tokens("text", X.WS)).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").cast("double").alias("tf"))
     )
@@ -2388,7 +2388,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; ingest order IS doc_id by fixture construction."""
     docs = table(spark, sf_dir, "documents")
     first = (
-        docs.select("doc_id", F.explode(X.tokens("text", r"\s+")).alias("w"))
+        docs.select("doc_id", F.explode(X.tokens("text", X.WS)).alias("w"))
         .groupBy("w")
         .agg(F.min("doc_id").alias("fd"))
     )

@@ -80,7 +80,7 @@ def test_minhash_matches_python_model(spark, texts):
 @given(texts=TEXTS)
 def test_first_char_partition_matches_python(spark, texts):
     df = docs_df(spark, texts)
-    words = df.select(F.explode(X.tokens("text", r"\s+")).alias("word"))
+    words = df.select(F.explode(X.tokens("text", X.WS)).alias("word"))
     got = words.select(
         "word", (F.ascii(F.substring("word", 1, 1)) % 4).alias("pid")
     ).collect()
