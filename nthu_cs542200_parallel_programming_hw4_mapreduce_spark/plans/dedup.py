@@ -320,12 +320,22 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
+    # the sized CTE mirrors the engine's (>1, ≤_MAX_BUCKET) degenerate-
+    # bucket gate — same replay the simhash/embedding-LSH oracles use —
+    # so engine and oracle agree even on a fixture with a cap-sized
+    # boilerplate bucket (ADVICE r9)
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
     {_DD_SIG_CTE},
-    {_DD_BANDS_CTE}
+    {_DD_BANDS_CTE},
+    sized AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    )
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM bands a JOIN bands b
+    FROM bands a
+    JOIN sized s ON s.band_id = a.band_id AND s.band_key = a.band_key
+    JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ORDER BY a_id, b_id
     """,
@@ -1768,10 +1778,10 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Composed from the already-registered oracles so both engines evaluate
-# the IDENTICAL candidate and truth pipelines (in-package registry
-# access by design — the strings are this module's own, registered a
-# few hundred lines up).
-from ..registry import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
+# the IDENTICAL candidate and truth pipelines (the strings are this
+# module's own, registered a few hundred lines up, fetched through the
+# public accessor — ADVICE r9).
+from ..registry import oracle_for as _oracle_for  # noqa: E402
 
 _LSH_EVAL_TRUTH = 0.5  # exact-Jaccard threshold defining a true near-dup
 
@@ -1779,9 +1789,9 @@ _LSH_EVAL_TRUTH = 0.5  # exact-Jaccard threshold defining a true near-dup
 @query(
     "lsh_quality_eval",
     oracle=f"""
-    WITH lsh AS ({_REGISTERED_ORACLES["dedup_minhash_lsh"]}),
+    WITH lsh AS ({_oracle_for("dedup_minhash_lsh")}),
     exact AS (
-      SELECT a_id, b_id FROM ({_REGISTERED_ORACLES["dedup_ngram_jaccard"]})
+      SELECT a_id, b_id FROM ({_oracle_for("dedup_ngram_jaccard")})
       WHERE jaccard >= {_LSH_EVAL_TRUTH}
     ), m AS (
       SELECT
@@ -1860,7 +1870,7 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM (
       SELECT cluster, COUNT(*) AS csize
-      FROM ({_REGISTERED_ORACLES["dedup_clusters"]})
+      FROM ({_oracle_for("dedup_clusters")})
       GROUP BY cluster
     ) GROUP BY csize ORDER BY csize
     """,

@@ -447,9 +447,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # dedup's module import registers its oracles; _load() already orders
 # dedup before streaming, this import just makes the dependency explicit
-# so a direct `import plans.streaming` can't hit a KeyError below.
+# (and keeps the oracle_for lookup below cheap — no full _load cascade).
 from .dedup import minhash_bands as _ensure_dedup_registered  # noqa: E402,F401
-from ..registry import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
+from ..registry import oracle_for  # noqa: E402
 
 
 @query(
@@ -457,7 +457,7 @@ from ..registry import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
     # the drained stream's invariant IS the one-shot batch LSH pair set
     # (each pair is discovered when its second member arrives), so the
     # oracle is dedup_minhash_lsh's, reused verbatim
-    oracle=_REGISTERED_ORACLES["dedup_minhash_lsh"],
+    oracle=oracle_for("dedup_minhash_lsh"),
 )
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion fuzzy dedup: documents arrive in micro-
@@ -471,11 +471,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input is a static fixture sliced into deterministic doc_id
     ranges, so the drained union-of-matches is deterministic and — by
     the tested invariant above — equals ``dedup_minhash_lsh``'s pair
-    set, whose DuckDB replay this query reuses verbatim. (The batch
-    plan's ``_MAX_BUCKET`` degenerate-bucket guard is the one nominal
-    difference; the incremental join has no bucket stage to cap, and
-    no fixture bucket approaches the cap — the tri-SF sweep checks all
-    three corpora.)"""
+    set, whose DuckDB replay this query reuses verbatim. The batch
+    plan's ``_MAX_BUCKET`` degenerate-bucket guard is mirrored as an
+    accumulated-bucket cap on the per-batch join (ADVICE r9 — see
+    ``incremental_minhash_dedup`` for the cap-crossing semantics and
+    the test that pins them)."""
     from ..streaming.incremental import incremental_minhash_dedup
 
     return incremental_minhash_dedup(spark, table(spark, sf_dir, "documents"))

@@ -448,6 +448,17 @@ def all_oracles() -> dict[str, str]:
     return {n: _ORACLES[n] for n in _ordered(_ORACLES)}
 
 
+def oracle_for(name: str) -> str:
+    """Public accessor for one registered query's oracle SQL (ADVICE
+    r9 — callers used to reach into the private ``_ORACLES`` dict).
+    Triggers full plan loading only if the name isn't registered yet,
+    so a decoration-time cross-module reference whose provider is
+    already imported stays cheap and cycle-free."""
+    if name not in _ORACLES:
+        _load()
+    return _ORACLES[name]
+
+
 _LOADED = False
 
 

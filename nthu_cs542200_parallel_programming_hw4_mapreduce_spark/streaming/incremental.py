@@ -22,15 +22,29 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.dedup import minhash_bands, minhash_signatures
+from ..plans.dedup import _MAX_BUCKET, minhash_bands, minhash_signatures
 
 
 def incremental_minhash_dedup(
-    spark: SparkSession, docs: DataFrame, n_slices: int = 3
+    spark: SparkSession,
+    docs: DataFrame,
+    n_slices: int = 3,
+    max_bucket: int = _MAX_BUCKET,
 ) -> DataFrame:
     """Run the document set through a file-source stream in ``n_slices``
     micro-batches (maxFilesPerTrigger=1) and return the discovered
-    near-dup pairs (a_id < b_id, distinct)."""
+    near-dup pairs (a_id < b_id, distinct).
+
+    ``max_bucket`` mirrors the batch plan's ``_MAX_BUCKET`` degenerate-
+    bucket guard (ADVICE r9): each micro-batch drops (band_id, band_key)
+    buckets whose ACCUMULATED size exceeds the cap before the pair join,
+    so a boilerplate bucket can't go quadratic mid-stream. Semantics
+    delta vs batch, by construction of incrementality: pairs a bucket
+    emitted before crossing the cap persist (the batch form drops the
+    whole bucket retroactively), so the batch-equality invariant holds
+    exactly on corpora where no bucket crosses the cap mid-stream —
+    which includes every fixture, and the cap-crossing case is pinned
+    by tests/test_streaming.py::test_incremental_dedup_bucket_cap."""
     work = tempfile.mkdtemp(prefix="incr_dedup_")
     src_dir = os.path.join(work, "src")
     index_dir = os.path.join(work, "index")
@@ -61,7 +75,17 @@ def incremental_minhash_dedup(
             all_bands = known.unionByName(new_bands)
         else:
             all_bands = new_bands
-        nb, ab = new_bands.alias("nb"), all_bands.alias("ab")
+        # accumulated-bucket cap: buckets already past max_bucket are
+        # degenerate (boilerplate) — exclude them from the pair join so
+        # per-batch work stays density-bound, as in the batch plan
+        ok = (
+            all_bands.groupBy("band_id", "band_key")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        nb = new_bands.join(ok, ["band_id", "band_key"], "left_semi").alias("nb")
+        ab = all_bands.join(ok, ["band_id", "band_key"], "left_semi").alias("ab")
         pairs = (
             nb.join(
                 ab,

@@ -148,6 +148,43 @@ def test_incremental_dedup_equals_batch(spark, sf_dir):
     assert inc == batch
 
 
+def test_incremental_dedup_bucket_cap(spark, monkeypatch):
+    """The accumulated-bucket cap (ADVICE r9): a boilerplate bucket past
+    ``max_bucket`` emits no pairs, exactly like the batch plan's
+    ``_MAX_BUCKET`` gate, while normal near-dup pairs are still found.
+    The degenerate docs all land in micro-batch 0 (ids ≡ 0 mod 3), so
+    the bucket is over-cap from the first join and the capped
+    incremental run equals the capped batch run."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans import dedup
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.streaming.incremental import (
+        incremental_minhash_dedup,
+    )
+
+    boiler = "lorem ipsum dolor sit amet boilerplate navigation footer"
+    rows = [(3 * i, boiler) for i in range(6)]  # slice 0: 6-member bucket
+    rows += [(1, "alpha beta gamma delta unique pair"),  # slice 1
+             (5, "alpha beta gamma delta unique pair")]  # slice 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in incremental_minhash_dedup(spark, docs, max_bucket=5).collect()
+    }
+    assert capped == {(1, 5)}
+    # the capped batch plan agrees (engine + its oracle both gate on
+    # _MAX_BUCKET; here we only cross-check the engine side)
+    monkeypatch.setattr(dedup, "_MAX_BUCKET", 5)
+    batch = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).collect()
+    }
+    assert capped == batch
+    # without the cap the boilerplate bucket floods: C(6,2)+1 pairs —
+    # proving the cap (not luck) is what bounded the run above
+    uncapped = incremental_minhash_dedup(spark, docs, max_bucket=10_000).count()
+    assert uncapped == 16
+
+
 def test_streaming_hopping_equals_batch(spark, sf_dir):
     """The real-streaming hopping topology (window + slide through the
     memory sink) must equal the batch event_hopping_window query — the
