@@ -91,17 +91,20 @@ decode_image = _image_decoder()
 
 
 
-#: ASCII-domain gate, mirrored in every oracle as
+#: ASCII-domain gate, mirrored in the consuming oracles as
 #: ``text IS NOT NULL AND strlen(text) = length(text)``. The fixture
-#: stands in binary payloads with UTF-8 text, and DuckDB v1.0 lacks
-#: BLOB md5/slicing — the oracles replay bytes via char arithmetic,
-#: exact ONLY when byte grid == char grid. Round 9 made that domain an
-#: ENFORCED predicate instead of a docstring assumption: the old
-#: "diverges loudly on a non-ASCII doc" claim was shown false for a
-#: short doc whose sampled frames are all-ASCII (hostile sweep) — an
-#: explicit gate is deterministic on any corpus, and matches how a real
-#: pipeline routes undecodable payloads to quarantine instead of
-#: crashing the scan.
+#: stands in binary payloads with UTF-8 text; the oracles of the
+#: BYTE-GRID queries (features' ascii(substr) arithmetic, framesample's
+#: char-range frames, embed_ann's histogram) replay bytes via CHAR
+#: arithmetic, exact ONLY when byte grid == char grid — for those the
+#: gate is genuinely required (round 9: an explicit predicate is
+#: deterministic on any corpus; the old "diverges loudly" claim was
+#: false for a short doc whose sampled frames were all-ASCII).
+#: NOT used by ``multimodal_meta``/``multimodal_dedup`` (ADVICE r9):
+#: byte length, leading-bytes magic, and md5 fingerprints are
+#: well-defined for non-ASCII payloads and replay exactly — DuckDB's
+#: ``encode(text)``/``md5(text)`` operate on the same UTF-8 bytes the
+#: engine hashes, so gating there narrowed engine output for no reason.
 def _ascii_payloads(docs: DataFrame) -> DataFrame:
     return docs.filter(
         F.col("text").isNotNull()
@@ -111,12 +114,15 @@ def _ascii_payloads(docs: DataFrame) -> DataFrame:
 
 @query(
     "multimodal_meta",
+    # encode() (BLOB of the UTF-8 bytes) replays any text; DuckDB v1.0
+    # can't SLICE a blob, so magic comes off the hex string instead —
+    # same first-4-bytes value the engine's binary substring takes
     oracle="""
     SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
-           lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic
+           octet_length(encode(text)) AS n_bytes,
+           substr(lower(hex(encode(text))), 1, 8) AS magic
     FROM documents
-    WHERE text IS NOT NULL AND strlen(text) = length(text)
+    WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
 )
@@ -124,13 +130,17 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over a binary payload column: byte length + leading
     'magic' bytes (how a real pipeline sniffs media containers). All
     JVM-side expressions over BinaryType — no Python in the loop.
-    ASCII-domain gated (see ``_ascii_payloads``)."""
-    docs = _ascii_payloads(table(spark, sf_dir, "documents"))
+    Covers the FULL payload domain (any bytes; only NULL payloads drop):
+    the round-9 ASCII gate was an oracle limitation leaking into engine
+    output (ADVICE r9) — byte length and magic bytes are well-defined
+    for non-ASCII payloads, and the magic is now the true first 4 BYTES
+    (the old form encoded the first 4 CHARS — ≠ 4 bytes off-ASCII)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payload = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",
         F.octet_length(payload).cast("long").alias("n_bytes"),
-        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic"),
+        F.lower(F.hex(F.substring(payload, 1, 4))).alias("magic"),
     ).orderBy("doc_id")
 
 
@@ -399,9 +409,9 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT md5(text) AS payload_fp,
            count(*) AS n_copies,
            min(doc_id) AS keep_id,
-           min(octet_length(CAST(text AS BLOB))) AS n_bytes
+           min(octet_length(encode(text))) AS n_bytes
     FROM documents
-    WHERE text IS NOT NULL AND strlen(text) = length(text)
+    WHERE text IS NOT NULL
     GROUP BY md5(text)
     ORDER BY payload_fp
     """,
@@ -414,16 +424,16 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoding costs CPU per copy).
 
     The Spark side hashes the BinaryType payload itself; the oracle
-    hashes ``text`` directly, which is the SAME bytes because fixture
-    payloads are the UTF-8 encoding of text (module docstring) and
-    md5(string) is defined over UTF-8 bytes on both engines (DuckDB's
-    md5 takes VARCHAR only — a real blob fixture would use hex(blob)
-    digests instead). One partial-agg'd shuffle on the 16-byte
-    fingerprint; no skew (md5-uniform keys). ASCII-domain gated
-    (``_ascii_payloads``) — DuckDB's md5 takes VARCHAR only, so the
-    oracle can only replay byte-exact fingerprints on byte==char
-    payloads; a real blob fixture would use hex(blob) digests."""
-    docs = _ascii_payloads(table(spark, sf_dir, "documents"))
+    hashes ``text`` directly, which is the SAME bytes for ANY text —
+    non-ASCII included — because fixture payloads are the UTF-8
+    encoding of text (module docstring) and both engines' md5(string)
+    digests the UTF-8 bytes. The round-9 ASCII gate is gone (ADVICE
+    r9): it silently dropped non-ASCII payloads from the dedup result
+    for no semantic reason (a real blob fixture — bytes that are not
+    valid UTF-8 — would swap the oracle to hex-digest replay, not gate
+    the engine). One partial-agg'd shuffle on the 16-byte fingerprint;
+    no skew (md5-uniform keys)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payload = F.encode(F.col("text"), "UTF-8")
     return (
         docs.select(

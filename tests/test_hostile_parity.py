@@ -36,8 +36,10 @@ divergence classes, each now fixed and pinned here:
 7. The multimodal family's "diverges loudly on a non-ASCII doc" claim
    was FALSE for a short doc whose sampled frames were all-ASCII
    (multimodal_framesample passed silently on the café doc) -> the
-   ASCII byte==char domain is now an ENFORCED gate mirrored in every
-   multimodal oracle (plans/multimodal._ascii_payloads).
+   ASCII byte==char domain is now an ENFORCED gate mirrored in the
+   byte-grid oracles (plans/multimodal._ascii_payloads). Round 10
+   narrowed the gate's SCOPE: meta/dedup (byte length, magic, md5)
+   are exact for any UTF-8 payload and no longer gate (ADVICE r9).
 """
 
 from __future__ import annotations
@@ -88,9 +90,21 @@ def test_hostile_parity(spark, hostile_dir, name):
     assert not problems, "\n".join(problems)
 
 
-def test_ascii_gate_excludes_the_cafe_doc(spark, hostile_dir):
-    """The non-ASCII doc (id 99004) is OUT of every multimodal result
-    on both engines — the enforced domain gate, not fixture luck."""
+def test_ascii_gate_scope(spark, hostile_dir):
+    """The byte==char gate applies ONLY where the oracle replays the
+    byte grid as chars (features/framesample/embed_ann); byte length,
+    magic, and md5 fingerprints are well-defined for non-ASCII payloads
+    and keep the café doc (id 99004) IN the result (ADVICE r10 — the
+    oracle limitation no longer narrows engine output)."""
     meta = E.queries()["multimodal_meta"](spark, hostile_dir).toPandas()
-    assert 99004 not in set(meta["doc_id"])
-    assert 99005 in set(meta["doc_id"])  # ASCII hostile docs stay in
+    row = meta[meta["doc_id"] == 99004]
+    assert len(row) == 1
+    text = "fused pair and vt\x0btoken here plus café élève text"
+    assert int(row["n_bytes"].iloc[0]) == len(text.encode())
+    assert row["magic"].iloc[0] == text.encode()[:4].hex()
+    dedup = E.queries()["multimodal_dedup"](spark, hostile_dir).toPandas()
+    assert 99004 in set(dedup["keep_id"])
+    # the byte-grid queries still gate it out
+    feats = E.queries()["multimodal_features"](spark, hostile_dir).toPandas()
+    assert 99004 not in set(feats["doc_id"])
+    assert 99005 in set(feats["doc_id"])  # ASCII hostile docs stay in
