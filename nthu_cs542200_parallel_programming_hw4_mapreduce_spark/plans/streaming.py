@@ -12,8 +12,11 @@ domain (|v| >= 1e12) crashed the whole job with
 NUMERIC_VALUE_OUT_OF_RANGE — at 100 TB one corrupt meter reading must
 not kill a pipeline. try_cast yields NULL on overflow in Spark AND
 DuckDB (verified identical), so out-of-domain values are excluded from
-the exact-decimal stats in both engines — a documented domain bound,
-not a silent divergence. (Widening to DECIMAL(38,6) was rejected:
+the exact-decimal stats in both engines — sums AND the mean/stddev
+denominators, which count the cast column so n matches the summed
+domain (ADVICE r9 closed the sum-excluded/count-included bias in
+event_window / resample_ffill / anomaly_zscore). A documented domain
+bound, not a silent divergence. (Widening to DECIMAL(38,6) was rejected:
 product terms like SUM(v*v) would exceed precision 38 and the two
 engines clamp overflowing decimal products differently.)
 """
@@ -31,22 +34,27 @@ from ..registry import query
     "event_window",
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
-           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(TRY_CAST(value AS DECIMAL(18,6))) AS av
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
 def event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate (batch form): hourly counts +
-    mean value per event type. One shuffle on (event_type, hour)."""
+    mean value per event type. One shuffle on (event_type, hour).
+
+    ``av``'s denominator counts the CAST column (ADVICE r9): a value
+    outside the exact-DECIMAL domain is excluded from the sum by
+    try_cast, so counting it in n would bias the mean low. ``cnt``
+    deliberately stays COUNT(*) — it reports window traffic, not the
+    measurement sample size."""
     ev = table(spark, sf_dir, "events")
+    d = F.col("value").try_cast("decimal(18,6)")
     return (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(
             F.count("*").alias("cnt"),
-            (
-                F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double")
-                / F.count("*")
-            ).alias("av"),
+            (F.sum(d).cast("double") / F.count(d)).alias("av"),
         )
         .orderBy("event_type", "h")
     )
@@ -486,7 +494,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hr AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(TRY_CAST(value AS DECIMAL(18,6))) AS av
       FROM events WHERE user_id < 20 GROUP BY 1, 2
     ), span AS (
       SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hr GROUP BY 1
@@ -529,14 +538,13 @@ def resample_pipeline(ev: DataFrame) -> DataFrame:
     ``resample_ffill`` for the plan-shape argument)."""
     from pyspark.sql import Window
 
+    # denominator counts the CAST column so n matches the summed domain
+    # (ADVICE r9 — see event_window); an hour whose every value is
+    # out-of-domain gets av NULL and is carried over like a gap.
+    d = F.col("value").try_cast("decimal(18,6)")
     hr = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(
-        (
-            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double")
-            / F.count("*")
-        ).alias("av")
-    )
+    ).agg((F.sum(d).cast("double") / F.count(d)).alias("av"))
     span = hr.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
@@ -643,7 +651,7 @@ def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore",
     oracle="""
     WITH s AS (
-      SELECT event_type, count(value) AS n,
+      SELECT event_type, count(TRY_CAST(value AS DECIMAL(18,6))) AS n,
              CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
              CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))
                       * TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
@@ -669,13 +677,16 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot perturb them — the repo's standard float-agg idiom, cf.
     ``streaming_hopping``'s oracle), converted to double once, then
     sigma = sqrt((Σv² - (Σv)²/n) / (n-1)) in identical double ops on
-    both sides. Scale shape: per-type stats are a tiny partial-agg'd
-    groupBy (|event_type| keys), broadcast back — the event scan is
-    never shuffled."""
+    both sides; n counts the CAST column so the denominator matches
+    the summed domain exactly (ADVICE r9 — an out-of-DECIMAL value no
+    longer deflates the mean while being excluded from the sums).
+    Scale shape: per-type stats are a tiny partial-agg'd groupBy
+    (|event_type| keys), broadcast back — the event scan is never
+    shuffled."""
     ev = table(spark, sf_dir, "events")
     d = F.col("value").try_cast("decimal(18,6)")
     stats = ev.groupBy("event_type").agg(
-        F.count("value").alias("n"),
+        F.count(d).alias("n"),
         F.sum(d).cast("double").alias("sv"),
         F.sum(d * d).cast("double").alias("svv"),
     )

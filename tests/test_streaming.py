@@ -393,6 +393,29 @@ def test_incremental_rollup_equals_direct_aggregate(spark, sf_dir):
     assert incremental_rollup(spark, sf_dir).collect() == direct.collect()
 
 
+def test_mean_denominator_matches_cast_domain(spark):
+    """ADVICE r9: a value outside the DECIMAL(18,6) domain is excluded
+    from the sum by try_cast, so it must not count in the mean's
+    denominator either — n tracks the summed domain exactly."""
+    from datetime import datetime as dt
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        resample_pipeline,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 10), 1, "click", 2.0),
+        (2, dt(2024, 1, 1, 0, 20), 1, "click", 4.0),
+        (3, dt(2024, 1, 1, 0, 30), 1, "click", 1.0e12),  # out-of-domain
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = resample_pipeline(ev).collect()
+    assert len(got) == 1
+    assert got[0]["v"] == 3.0  # (2+4)/2, NOT (2+4)/3
+
+
 def test_winsorized_mean_clamps_the_outlier(spark, tmp_path):
     from datetime import datetime as dt
 
