@@ -204,6 +204,10 @@ HEADLINE = [
     # quantized-support KS (the 100 TB drift monitor)
     "dedup_embedding_band_keys",
     "drift_ks_binned",
+    # r10 additions: the closed-form PCA foothold + the two-round Lloyd
+    # bridge (totals across rounds compare on shared sets)
+    "pca_project_2d",
+    "kmeans_two_rounds",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

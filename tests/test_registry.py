@@ -57,21 +57,25 @@ ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
 
 
 def test_window_covers_rotation_targets():
-    """Round-10 rotation (VERDICT r9 "Next round" #1): the 41 rotating
-    slots are pure re-proofs — the 2 rows the round-9 graduations
-    bumped + the 13 r4-era rows deferred from round 9 + 26 r5-era rows.
-    Every slot's latest driver row must predate r06 (the freshness
-    invariant: once CORRECTNESS_r10 lands, no oracle-backed query's
-    newest row is older than r6)."""
+    """Round-10 rotation (VERDICT r9 "Next round" #1 + #4 + #5): the 41
+    rotating slots are the 2 round-10 additions (never driver-checked,
+    priority) + re-proofs — the 2 rows the round-9 graduations bumped +
+    the 13 r4-era rows deferred from round 9 + 24 r5-era rows. Every
+    re-proof slot's latest driver row must predate r06."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
     assert rotation == set(registry.ROUND10_ROTATION_POOL)
-    # every slot is a stale re-proof — never re-checked since r05
-    assert rotation <= _checked("r01", "r02", "r03", "r04", "r05")
-    assert not (rotation & _checked("r06", "r07", "r08", "r09"))
+    # re-proof slots are stale rows — never re-checked since r05
+    reproof = rotation - ROUND10_ADDITIONS
+    assert reproof <= _checked("r01", "r02", "r03", "r04", "r05")
+    assert not (reproof & _checked("r06", "r07", "r08", "r09"))
+    # the additions are brand-new: no driver row anywhere yet
+    assert not (ROUND10_ADDITIONS & _checked(
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"
+    ))
 
 
 def _new_in_round7() -> set[str]:
@@ -272,6 +276,15 @@ def test_round9_window_history():
     )
 
 
+# Round-10 additions (VERDICT r9 #4/#5): the closed-form PCA foothold
+# and the fully-replayed two-round Lloyd bridge — both oracle-backed.
+ROUND10_ADDITIONS = {"pca_project_2d", "kmeans_two_rounds"}
+
+# The re-proofs the round-10 additions bumped from the pool's end
+# (per the standing one-bump-per-addition recipe); they roll to
+# round 11.
+ROUND10_BUMPED = {"winsorized_stats", "zorder_layout"}
+
 # The fifteen r5-era rows deferred from the round-10 pool, each family-
 # redundant with a fresher-proven member (see registry.py's pool
 # comment); they roll to round 11.
@@ -286,16 +299,20 @@ ROUND10_DEFERRED = {
 
 
 def test_round10_pool_is_registered():
-    """The ACTIVE round-10 pool (VERDICT r9 "Next round" #1) must
-    contain only names that exist (anti-phantom) and follow its
-    documented recipe: the two re-proofs the round-9 graduations
-    bumped + the thirteen r4-era rows deferred from round 9 + the
-    r5-era rows minus the fifteen named family-redundant deferrals.
-    The r5-era set is computed from the recorded CORRECTNESS files
-    minus the round-9 window plan, so the pin cannot rot."""
+    """The ACTIVE round-10 pool (VERDICT r9 "Next round" #1 + #4 + #5)
+    must contain only names that exist (anti-phantom) and follow its
+    documented recipe: the two round-10 additions (priority slots) +
+    the two re-proofs the round-9 graduations bumped + the thirteen
+    r4-era rows deferred from round 9 + the r5-era rows minus the
+    fifteen named family-redundant deferrals minus the re-proofs the
+    additions bumped. The r5-era set is computed from the recorded
+    CORRECTNESS files minus the round-9 window plan, so the pin cannot
+    rot."""
     pool = set(registry.ROUND10_ROTATION_POOL)
     assert len(registry.ROUND10_ROTATION_POOL) == 41
     assert pool <= set(registry.all_queries()), pool - set(registry.all_queries())
+    # the additions really are oracle-backed
+    assert ROUND10_ADDITIONS <= set(registry.all_oracles())
     r5_era = (
         _checked("r05")
         - _checked("r06", "r07", "r08")
@@ -303,9 +320,13 @@ def test_round10_pool_is_registered():
         - set(registry.ROUND9_WINDOW_PLAN)
     )
     assert ROUND10_DEFERRED <= r5_era
+    assert ROUND10_BUMPED <= r5_era
     assert pool == (
-        ROUND9_BUMPED | ROUND9_DEFERRED | (r5_era - ROUND10_DEFERRED)
+        ROUND10_ADDITIONS | ROUND9_BUMPED | ROUND9_DEFERRED
+        | (r5_era - ROUND10_DEFERRED - ROUND10_BUMPED)
     )
+    # one bumped re-proof per addition — the bumps are not silent drops
+    assert len(ROUND10_BUMPED) == len(ROUND10_ADDITIONS)
     # the live window is the round-10 plan
     assert registry.DRIVER_WINDOW == registry.ROUND10_WINDOW_PLAN
 
