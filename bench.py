@@ -204,10 +204,13 @@ HEADLINE = [
     # quantized-support KS (the 100 TB drift monitor)
     "dedup_embedding_band_keys",
     "drift_ks_binned",
-    # r10 additions: the closed-form PCA foothold + the two-round Lloyd
-    # bridge (totals across rounds compare on shared sets)
+    # r10 additions: the closed-form PCA foothold, the two-round Lloyd
+    # bridge, the cross-snapshot fuzzy dedup, and the context-window
+    # lineage table (totals across rounds compare on shared sets)
     "pca_project_2d",
     "kmeans_two_rounds",
+    "dedup_cross_snapshot_fuzzy",
+    "context_window_lineage",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

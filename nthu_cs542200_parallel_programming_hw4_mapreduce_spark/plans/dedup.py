@@ -1297,6 +1297,69 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cross_snapshot_fuzzy",
+    # the MinHash band chain (shared CTEs) + the capped bucket gate,
+    # restricted to NEW (odd) ⋈ OLD (even) band collisions
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    {_DD_SIG_CTE},
+    {_DD_BANDS_CTE},
+    sized AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    )
+    SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+    FROM bands n
+    JOIN sized s ON s.band_id = n.band_id AND s.band_key = n.band_key
+    JOIN bands o ON o.band_id = n.band_id AND o.band_key = n.band_key
+               AND o.doc_id % 2 = 0
+    WHERE n.doc_id % 2 = 1
+    GROUP BY n.doc_id ORDER BY n.doc_id
+    """,
+)
+def dedup_cross_snapshot_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot FUZZY dedup (VERDICT r9 #6): documents in the NEW
+    snapshot (odd ids) that are MinHash-LSH near-duplicates of the
+    PREVIOUS corpus (even ids), reporting the earliest prior near-match
+    — the incremental-crawl twin of ``dedup_minhash_lsh`` the way
+    ``dedup_cross_snapshot`` is the twin of ``dedup_exact``. A
+    recurring crawl runs THIS (band-key collision against the previous
+    run's persisted band index) rather than re-clustering the archive:
+    only (doc_id, band_id, band_key) rows of the old corpus
+    participate, never its text.
+
+    Scale shape: signatures/bands are the shared explode→partial-MIN
+    chain (one corpus-independent-width shuffle); the degenerate-bucket
+    gate caps boilerplate keys on the COMBINED bucket size exactly like
+    the batch plan and the round-10 incremental cap; the new⋈old join
+    keys on (band_id, band_key) and is pinned to sort-merge (both sides
+    scale with the corpus — the ``dedup_cross_snapshot`` rule; in
+    production the old side is the previous run's bucketed band-index
+    table, making the join bucket-local). Per-new-doc MIN partial-
+    aggregates map-side."""
+    bands = minhash_bands(
+        minhash_signatures(table(spark, sf_dir, "documents"))
+    )
+    ok = (
+        bands.groupBy("band_id", "band_key")
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= _MAX_BUCKET))
+        .drop("count")
+    )
+    gated = bands.join(ok, ["band_id", "band_key"], "left_semi")
+    new = gated.filter(F.col("doc_id") % 2 == 1)
+    old = gated.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("old_id"), "band_id", "band_key"
+    )
+    return (
+        new.join(old.hint("merge"), ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("dup_of"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_keep_best",
     oracle="""
     SELECT source, lang, doc_id, n_chars FROM (

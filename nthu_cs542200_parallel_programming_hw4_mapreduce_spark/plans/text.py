@@ -887,6 +887,86 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "context_window_lineage",
+    # same per-source cumulative offsets as pack_context_windows, then
+    # one row per (doc, bin) the doc's token range intersects — integer
+    # arithmetic end-to-end, so the replay is exact
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DD_TOKS}) AS n_tok FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS s
+      FROM t
+    ), x AS (
+      SELECT doc_id, source, n_tok, s FROM c WHERE n_tok > 0
+    )
+    SELECT source, CAST(b AS BIGINT) AS bin_id, doc_id,
+           CAST(GREATEST(s, b * 512) - s AS BIGINT) AS first_tok,
+           CAST(LEAST(s + n_tok, (b + 1) * 512)
+                - GREATEST(s, b * 512) AS BIGINT) AS n_toks_in_bin
+    FROM x, UNNEST(range(CAST(s // 512 AS BIGINT),
+                         CAST((s + n_tok - 1) // 512 + 1 AS BIGINT))) AS r(b)
+    ORDER BY source, bin_id, doc_id
+    """,
+)
+def context_window_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document→context-window lineage (VERDICT r9 #6): which token
+    range of which document landed in which 512-token training bin —
+    the provenance table every training-data audit joins against when a
+    model regurgitates, a takedown arrives, or a contamination hit
+    must be traced back to the packed batch that contained it.
+
+    ``pack_context_windows`` reports each doc only under its STARTING
+    bin; this emits one row per (doc, bin) the doc's token range
+    actually intersects — a doc spanning a boundary appears in every
+    window it feeds, with ``first_tok`` (0-based offset of the first
+    token of this doc inside this bin) and ``n_toks_in_bin``. Per doc,
+    Σ n_toks_in_bin = n_tok and the minimum bin_id equals the packing
+    query's assignment (both pinned in tests/test_text_functions.py).
+
+    Scale shape: same per-source-shard cumulative window as the packing
+    query (no global order exists), then a NARROW explode of each doc's
+    ≤ ceil(n/512)+1 bin indices — no join, no second shuffle; lineage
+    for 100 TB is the packing pass plus one map stage. Zero-token docs
+    have no tokens to place and are absent by construction."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(X.tokens("text", X.WS)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = (
+        toks.withColumn("s", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    b0 = F.floor(F.col("s") / 512).cast("long")
+    b1 = F.floor((F.col("s") + F.col("n_tok") - 1) / 512).cast("long")
+    lo = F.greatest(F.col("s"), F.col("b") * 512)
+    hi = F.least(F.col("s") + F.col("n_tok"), (F.col("b") + 1) * 512)
+    return (
+        x.select(
+            "doc_id", "source", "n_tok", "s",
+            F.explode(F.sequence(b0, b1)).alias("b"),
+        )
+        .select(
+            "source",
+            F.col("b").cast("bigint").alias("bin_id"),
+            "doc_id",
+            (lo - F.col("s")).cast("bigint").alias("first_tok"),
+            (hi - lo).cast("bigint").alias("n_toks_in_bin"),
+        )
+        .orderBy("source", "bin_id", "doc_id")
+    )
+
+
+@query(
     "chunk_overlap",
     oracle=f"""
     WITH t AS (

@@ -404,14 +404,20 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # hostile-fixture sweep — the round-10 flip carries no rot.
 # Round-10 additions (each bumps one re-proof from the tuple's end to
 # round 11, per the recipe): pca_project_2d (VERDICT r9 #4 — the
-# closed-form end-to-end PCA foothold; bumped zorder_layout) and
+# closed-form end-to-end PCA foothold; bumped zorder_layout),
 # kmeans_two_rounds (VERDICT r9 #5 — the fully-replayed two-round
-# Lloyd bridge; bumped winsorized_stats). Both parity-verified at all
-# three SFs + the hostile fixture the day they landed.
+# Lloyd bridge; bumped winsorized_stats), dedup_cross_snapshot_fuzzy
+# (VERDICT r9 #6 — MinHash bands joined across snapshot versions;
+# bumped vocab_growth_curve), and context_window_lineage (VERDICT r9
+# #6 — the doc→training-bin provenance table; bumped value_histogram).
+# All four parity-verified at all three SFs + the hostile fixture the
+# day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
     "kmeans_two_rounds",
+    "dedup_cross_snapshot_fuzzy",
+    "context_window_lineage",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -428,7 +434,6 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "null_semantics", "pit_state_at_event", "pmi_collocations",
     "quantile_normalize", "readability_flesch", "skew_report",
     "sql_parameterized", "tfidf_cosine_pairs", "user_overlap_jaccard",
-    "value_histogram", "vocab_growth_curve",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

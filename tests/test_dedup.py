@@ -241,3 +241,26 @@ def test_semdedup_removes_within_cluster_only(spark, tmp_path_factory):
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     removed = {r["removed_id"] for r in dedup_semdedup(spark, d).collect()}
     assert removed == {101}
+
+
+def test_cross_snapshot_fuzzy_matches_lsh_pair_semantics(spark, sf_dir):
+    """Every (new_doc, dup_of) row must correspond to an odd/even
+    near-dup pair the batch LSH discovers, and dup_of must be the
+    MINIMUM even-id band-collision partner of that doc."""
+    import __spark_entry__ as E
+
+    fuzzy = {
+        r["doc_id"]: r["dup_of"]
+        for r in E.queries()["dedup_cross_snapshot_fuzzy"](spark, sf_dir).collect()
+    }
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in E.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    # odd->even partners implied by the batch pair set
+    partners: dict[int, set[int]] = {}
+    for a, b in pairs:
+        for new, old in ((a, b), (b, a)):
+            if new % 2 == 1 and old % 2 == 0:
+                partners.setdefault(new, set()).add(old)
+    assert fuzzy == {n: min(olds) for n, olds in partners.items()}

@@ -58,9 +58,9 @@ ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
 
 def test_window_covers_rotation_targets():
     """Round-10 rotation (VERDICT r9 "Next round" #1 + #4 + #5): the 41
-    rotating slots are the 2 round-10 additions (never driver-checked,
+    rotating slots are the 4 round-10 additions (never driver-checked,
     priority) + re-proofs — the 2 rows the round-9 graduations bumped +
-    the 13 r4-era rows deferred from round 9 + 24 r5-era rows. Every
+    the 13 r4-era rows deferred from round 9 + 22 r5-era rows. Every
     re-proof slot's latest driver row must predate r06."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
@@ -276,14 +276,22 @@ def test_round9_window_history():
     )
 
 
-# Round-10 additions (VERDICT r9 #4/#5): the closed-form PCA foothold
-# and the fully-replayed two-round Lloyd bridge — both oracle-backed.
-ROUND10_ADDITIONS = {"pca_project_2d", "kmeans_two_rounds"}
+# Round-10 additions (VERDICT r9 #4/#5/#6): the closed-form PCA
+# foothold, the fully-replayed two-round Lloyd bridge, the cross-
+# snapshot fuzzy dedup, and the context-window lineage table — all
+# oracle-backed.
+ROUND10_ADDITIONS = {
+    "pca_project_2d", "kmeans_two_rounds",
+    "dedup_cross_snapshot_fuzzy", "context_window_lineage",
+}
 
 # The re-proofs the round-10 additions bumped from the pool's end
 # (per the standing one-bump-per-addition recipe); they roll to
 # round 11.
-ROUND10_BUMPED = {"winsorized_stats", "zorder_layout"}
+ROUND10_BUMPED = {
+    "winsorized_stats", "zorder_layout",
+    "value_histogram", "vocab_growth_curve",
+}
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-
 # redundant with a fresher-proven member (see registry.py's pool

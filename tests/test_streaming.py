@@ -702,8 +702,11 @@ def test_transform_with_state_is_protobuf_gated():
     Round-7 re-probe (VERDICT r6 "Next round" #6, 2026-08-15): still
     ModuleNotFoundError. Round-8 re-probe (VERDICT r7 "Next round" #7,
     2026-08-15): still ModuleNotFoundError. Round-9 re-probe (VERDICT
-    r8 "Next round" #6, 2026-08-15): still ModuleNotFoundError. Gate
-    stands."""
+    r8 "Next round" #6, 2026-08-15): still ModuleNotFoundError.
+    Round-10 re-probe (VERDICT r9 "Next round" #7, 2026-08-15): still
+    ModuleNotFoundError, and the pyspark jars dir still carries no
+    iceberg/JDBC connector jars (the readers.py probe posture stands
+    too). Gate stands."""
     import importlib.util
 
     # the public API surface exists...

