@@ -598,7 +598,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS state
       FROM tagged
     )
-    SELECT event_id, user_id, state
+    SELECT event_id, user_id,
+           CASE WHEN ts IS NULL THEN NULL ELSE state END AS state
     FROM carried WHERE kind = 1 ORDER BY event_id
     """,
 )
@@ -617,11 +618,22 @@ def pit_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows project out. One shuffle, linear per partition, no join at
     all. Boundary tie-break: a version opening at ts applies to events
     at the same (ts, event_id) — kind orders changes before their own
-    event."""
+    event.
+
+    NULL-ts contract (round-10 hostile sweep — the one per-user ordered
+    sequence the round-9 timeline wave missed): state CHANGES derive
+    only from timestamped events (the oracle always filtered its
+    ``ordered`` CTE; the engine's lag window did not, so a
+    timestampless event at Spark's NULLS-FIRST head minted a phantom
+    opening version), and a timestampless event's own PIT state is
+    explicitly NULL on both sides — "valid at no point in time" — since
+    the carried value would otherwise follow each engine's NULL sort
+    order (head carry vs tail carry)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
-        ev.withColumn("prev", F.lag("event_type").over(w))
+        ev.filter(F.col("ts").isNotNull())
+        .withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
         .select(
             "user_id", "ts", "event_id", F.lit(0).alias("kind"),
@@ -644,7 +656,11 @@ def pit_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state", F.last("state", ignorenulls=True).over(carry)
         )
         .filter(F.col("kind") == 1)
-        .select("event_id", "user_id", "state")
+        .select(
+            "event_id", "user_id",
+            F.when(F.col("ts").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.col("state")).alias("state"),
+        )
         .orderBy("event_id")
     )
 

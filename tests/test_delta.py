@@ -78,6 +78,42 @@ def test_multi_commit_add_remove(spark, tmp_path):
     assert got == [(3, "b"), (4, "c")]  # a.parquet's rows are gone
 
 
+def test_duplicate_add_counts_file_once(spark, tmp_path):
+    """Duplicate-key collision in the commit log (hostile class, round
+    10): the SAME data-file path re-added — within one commit and again
+    in a later commit (how Delta writers refresh file stats) — must
+    count the file's rows ONCE. A naive log reader that appends adds to
+    a list instead of keying by path would double- or triple-count.
+    And remove-then-re-add must resurrect the file (last action wins in
+    version order)."""
+    table = str(tmp_path / "dup")
+    log = os.path.join(table, "_delta_log")
+    add_a = _data_file(spark, table, "a.parquet", [(1, "a"), (2, "a")])
+    add_b = _data_file(spark, table, "b.parquet", [(3, "b")])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": SCHEMA_JSON, "partitionColumns": [],
+                      "configuration": {}}},
+        add_a, add_a,  # duplicate add within one commit
+        add_b,
+    ])
+    _commit(log, 1, [add_a])  # re-add of the same path in a later commit
+    got = sorted((r["id"], r["v"]) for r in read_delta(spark, table).collect())
+    assert got == [(1, "a"), (2, "a"), (3, "b")]  # a.parquet counted once
+    # remove then RE-ADD: the file is active again at the final version
+    _commit(log, 2, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    _commit(log, 3, [add_a])
+    got3 = sorted((r["id"], r["v"]) for r in read_delta(spark, table).collect())
+    assert got3 == [(1, "a"), (2, "a"), (3, "b")]
+    # and the intermediate snapshot (version 2) really had it removed
+    got2 = sorted(
+        (r["id"], r["v"])
+        for r in read_delta_via_log(spark, table, version=2).collect()
+    )
+    assert got2 == [(3, "b")]
+
+
 def test_checkpoint_replay(spark, tmp_path):
     """Actions BEFORE the checkpoint version come from the checkpoint
     parquet; commits after it replay on top."""

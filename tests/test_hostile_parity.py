@@ -40,6 +40,20 @@ divergence classes, each now fixed and pinned here:
    byte-grid oracles (plans/multimodal._ascii_payloads). Round 10
    narrowed the gate's SCOPE: meta/dedup (byte length, magic, md5)
    are exact for any UTF-8 payload and no longer gate (ADVICE r9).
+
+Round 10 extended the fixture (VERDICT r9 #8) with BOM-prefixed text
+(U+FEFF fuses onto the first token in both tokenizers) and 4-byte
+supplementary-plane emoji (JVM surrogate pairs: length/substr must
+count code points to match DuckDB); lone surrogates are documented
+unrepresentable (invalid UTF-8 — parquet and DuckDB both reject).
+The Delta-log duplicate-add collision class lives in
+tests/test_delta.py::test_duplicate_add_counts_file_once (the Delta
+log is not one of the ten fixture tables). The round-10 sweep caught
+one more timeline divergence: pit_state_at_event's engine lag window
+skipped the oracle's ts IS NOT NULL filter, so the NULL-ts head row
+minted a phantom opening state version under Spark's NULLS FIRST —
+fixed with the explicit contract (changes from timestamped events
+only; a timestampless event's PIT state is NULL on both sides).
 """
 
 from __future__ import annotations
@@ -73,6 +87,13 @@ REGRESSION_SET = [
     # the timeline-contract wave (real-user NULL-ts event)
     "bounce_rate_daily", "bounce_rate_daily_salted", "markov_transitions",
     "scd2_history", "session_paths_topk", "session_paths_topk_salted",
+    # round-10 wave: the ordered sequence the r9 timeline pass missed
+    # (phantom opening version from a NULL-ts head row) + the new
+    # BOM/emoji doc classes riding the text queries above
+    "pit_state_at_event",
+    # round-10 additions, green on the extended fixture from day one
+    "pca_project_2d", "kmeans_two_rounds",
+    "dedup_cross_snapshot_fuzzy", "context_window_lineage",
 ]
 
 

@@ -1,11 +1,15 @@
 """Build a hostile-but-contract-respecting fixture from sf0.001.
 
 PK columns stay unique and non-null; every other column gets nulls,
-full-row ties, unicode/NBSP/vertical-tab text, whitespace-only and
-empty strings, exact-duplicate documents, malformed JSON, extreme
-numerics (1e12 beyond the DECIMAL(18,6) domain, -0.0), and the full
-failed-encode embedding class (NULL/empty/NaN/Inf/null-element/
-zero-norm/identical vectors) injected. Writes parquet to the target
+full-row ties, unicode/NBSP/vertical-tab text, BOM-prefixed text,
+4-byte supplementary-plane emoji (JVM surrogate pairs vs DuckDB code
+points — round 10), whitespace-only and empty strings, exact-duplicate
+documents, malformed JSON, extreme numerics (1e12 beyond the
+DECIMAL(18,6) domain, -0.0), and the full failed-encode embedding
+class (NULL/empty/NaN/Inf/null-element/zero-norm/identical vectors)
+injected. Lone surrogates are deliberately absent — invalid UTF-8 is
+unrepresentable in parquet strings and DuckDB VARCHAR alike (see the
+documents block). Writes parquet to the target
 dir in the standard table layout, so ``tools/parity.py <dst>`` runs
 every declared oracle against it.
 
@@ -127,7 +131,15 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         """
     )
 
-    # \x0b (vertical tab) targets the Java-\s-vs-RE2-\s tokenizer gap
+    # \x0b (vertical tab) targets the Java-\s-vs-RE2-\s tokenizer gap;
+    # 99008 is BOM-prefixed (U+FEFF is NOT whitespace to either
+    # tokenizer, so it fuses onto the first token — both engines must
+    # agree it does); 99009 carries 4-byte supplementary-plane emoji
+    # (UTF-16 surrogate pairs on the JVM — length/substr/regex must
+    # count code points, not UTF-16 units, to match DuckDB). LONE
+    # surrogates are deliberately absent: they are unrepresentable in
+    # valid UTF-8, and both parquet strings and DuckDB VARCHAR reject
+    # them at write time — not a reachable input class for this engine.
     copy_plus("documents", """
       SELECT * FROM (VALUES
         (99001, NULL, NULL, NULL, NULL),
@@ -136,7 +148,9 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         (99004, 'fused pair and vt\x0btoken here plus café élève text', 'fr', 'books', 48),
         (99005, 'tie doc exact duplicate body for dedup stress', 'en', 'web', 46),
         (99006, 'tie doc exact duplicate body for dedup stress', 'en', 'web', 46),
-        (99007, 'one', 'xx', '', 3)
+        (99007, 'one', 'xx', '', 3),
+        (99008, chr(65279) || 'bom prefixed doc the first token wears a bom', 'en', 'web', 46),
+        (99009, 'emoji \U0001f600 doc with \U0001f680 four byte chars in the text', 'en', 'social', 52)
       ) t(doc_id, text, lang, source, n_chars)
     """)
 
