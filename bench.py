@@ -211,6 +211,7 @@ HEADLINE = [
     "kmeans_two_rounds",
     "dedup_cross_snapshot_fuzzy",
     "context_window_lineage",
+    "embedding_drift_by_label",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -1386,6 +1386,113 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_drift_by_label",
+    # decimal moments per (label, snapshot-half, dim) -> double means ->
+    # per-dim squared diffs summed by a SEQUENTIAL left fold on both
+    # sides (DuckDB's list_sum and Spark's aggregate() are both left
+    # folds — probed; same op order = same bits, the pca_project_2d
+    # discipline)
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE {_VEC_OK} AND label IS NOT NULL AND len(embedding) = {_DIM}
+        AND CAST(list_max(embedding) AS DOUBLE) < 1e12
+        AND CAST(list_min(embedding) AS DOUBLE) > -1e12
+    ),
+    cells AS (
+      SELECT label, vec_id % 2 AS half, i.range AS i,
+             CAST(SUM({_dd_dec("CAST(embedding[i.range + 1] AS DOUBLE)")})
+                  AS DOUBLE)
+               / COUNT({_dd_dec("CAST(embedding[i.range + 1] AS DOUBLE)")}) AS m,
+             COUNT(*) AS c
+      FROM e CROSS JOIN range({_DIM}) i
+      GROUP BY label, vec_id % 2, i.range
+    ),
+    sides AS (
+      SELECT label, half, MAX(c) AS n,
+             list(m ORDER BY i) AS ms
+      FROM cells GROUP BY label, half
+    )
+    SELECT o.label,
+           CAST(o.n AS BIGINT) AS n_old, CAST(nw.n AS BIGINT) AS n_new,
+           round(sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> (o.ms[i] - nw.ms[i]) * (o.ms[i] - nw.ms[i])))), 6)
+             AS centroid_shift
+    FROM sides o JOIN sides nw ON o.label = nw.label
+    WHERE o.half = 0 AND nw.half = 1
+    ORDER BY o.label
+    """,
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot embedding drift: per-label L2 distance between the
+    OLD snapshot's centroid (even vec_ids) and the NEW snapshot's (odd
+    vec_ids) — the encoder-regression check a pipeline runs when the
+    embedding model is re-trained or re-deployed between crawls (a
+    silent encoder change moves every centroid; a data-distribution
+    change moves some labels more than others). Labels present in only
+    one half drop out (drift needs both sides).
+
+    Replay discipline (the ``pca_project_2d`` pattern): per-dim means
+    derive from order-free DECIMAL sums divided once in double; the
+    64 per-dim squared diffs are summed by a SEQUENTIAL left fold on
+    both engines (Spark ``aggregate()`` init 0.0, DuckDB ``list_sum``
+    — probed to be a left fold; 0.0 + x == x exactly, and the squares
+    are never −0.0), so the shift is bit-identical before round(6).
+    The domain bound |x| < 1e12 is expressed as an array min/max range
+    check — codegen-side, no per-element lambda on the corpus scan —
+    and aligns exactly with DECIMAL(18,6)'s float32 domain (the
+    nearest float32 below 1e12 casts; the next one up is excluded).
+
+    Scale shape: one posexplode → (label, half, dim)-keyed partial-agg
+    (|labels|·2·d keys, corpus-size-independent shuffle), then
+    label-sized assembly and an interpreted fold over d=64 elements on
+    a |labels|-sized frame — the corpus is scanned once and never
+    wide."""
+    emb = vec_table(spark, sf_dir).filter(
+        F.col("label").isNotNull()
+        & (F.size("embedding") == _DIM)
+        & (F.array_max("embedding").cast("double") < F.lit(1e12))
+        & (F.array_min("embedding").cast("double") > F.lit(-1e12))
+    )
+    dec = F.col("x").cast("double").try_cast("decimal(18,6)")
+    cells = (
+        emb.select(
+            "label", (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .groupBy("label", "half", "i")
+        .agg(
+            (F.sum(dec).cast("double") / F.count(dec)).alias("m"),
+            F.count("*").alias("c"),
+        )
+    )
+    sides = cells.groupBy("label", "half").agg(
+        F.max("c").alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("ms"),
+    )
+    o = sides.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_old"), F.col("ms").alias("mo")
+    )
+    nw = sides.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_new"), F.col("ms").alias("mn")
+    )
+    diffs = F.zip_with("mo", "mn", lambda a, b: (a - b) * (a - b))
+    shift = F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        o.join(nw, "label")
+        .select(
+            "label",
+            F.col("n_old").cast("bigint").alias("n_old"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.round(shift, 6).alias("centroid_shift"),
+        )
+        .orderBy("label")
+    )
+
+
 # --------------------------------------------------------------------------
 # gini_label_balance — class-balance audit of the labeled embedding set
 # --------------------------------------------------------------------------

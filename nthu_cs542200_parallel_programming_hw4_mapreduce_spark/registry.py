@@ -408,16 +408,18 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # kmeans_two_rounds (VERDICT r9 #5 — the fully-replayed two-round
 # Lloyd bridge; bumped winsorized_stats), dedup_cross_snapshot_fuzzy
 # (VERDICT r9 #6 — MinHash bands joined across snapshot versions;
-# bumped vocab_growth_curve), and context_window_lineage (VERDICT r9
-# #6 — the doc→training-bin provenance table; bumped value_histogram).
-# All four parity-verified at all three SFs + the hostile fixture the
-# day they landed.
+# bumped vocab_growth_curve), context_window_lineage (VERDICT r9 #6 —
+# the doc→training-bin provenance table; bumped value_histogram), and
+# embedding_drift_by_label (the cross-snapshot encoder-drift check;
+# bumped user_overlap_jaccard). All five parity-verified at all three
+# SFs + the hostile fixture the day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
     "kmeans_two_rounds",
     "dedup_cross_snapshot_fuzzy",
     "context_window_lineage",
+    "embedding_drift_by_label",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -433,7 +435,7 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "l_diversity_check", "latency_percentile_bands", "linreg_by_key",
     "null_semantics", "pit_state_at_event", "pmi_collocations",
     "quantile_normalize", "readability_flesch", "skew_report",
-    "sql_parameterized", "tfidf_cosine_pairs", "user_overlap_jaccard",
+    "sql_parameterized", "tfidf_cosine_pairs",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

@@ -94,6 +94,7 @@ REGRESSION_SET = [
     # round-10 additions, green on the extended fixture from day one
     "pca_project_2d", "kmeans_two_rounds",
     "dedup_cross_snapshot_fuzzy", "context_window_lineage",
+    "embedding_drift_by_label",
 ]
 
 

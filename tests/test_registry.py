@@ -58,9 +58,9 @@ ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
 
 def test_window_covers_rotation_targets():
     """Round-10 rotation (VERDICT r9 "Next round" #1 + #4 + #5): the 41
-    rotating slots are the 4 round-10 additions (never driver-checked,
+    rotating slots are the 5 round-10 additions (never driver-checked,
     priority) + re-proofs — the 2 rows the round-9 graduations bumped +
-    the 13 r4-era rows deferred from round 9 + 22 r5-era rows. Every
+    the 13 r4-era rows deferred from round 9 + 21 r5-era rows. Every
     re-proof slot's latest driver row must predate r06."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
@@ -283,6 +283,7 @@ def test_round9_window_history():
 ROUND10_ADDITIONS = {
     "pca_project_2d", "kmeans_two_rounds",
     "dedup_cross_snapshot_fuzzy", "context_window_lineage",
+    "embedding_drift_by_label",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -290,7 +291,7 @@ ROUND10_ADDITIONS = {
 # round 11.
 ROUND10_BUMPED = {
     "winsorized_stats", "zorder_layout",
-    "value_histogram", "vocab_growth_curve",
+    "value_histogram", "vocab_growth_curve", "user_overlap_jaccard",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-

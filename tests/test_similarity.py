@@ -135,3 +135,30 @@ def test_embedding_covariance_matches_pca_moments(spark, sf_dir):
     got = embedding_covariance(spark, sf_dir).collect()
     for r in got:
         assert abs(r["cov"] - round(want[r["i"], r["j"]], 6)) <= 1e-6
+
+
+def test_embedding_drift_planted_shift(spark, tmp_path_factory):
+    """A constant per-element shift delta applied to label 1's NEW
+    (odd-id) vectors must measure centroid_shift = delta * sqrt(d);
+    the unshifted label 0 must measure ~0."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        embedding_drift_by_label,
+        _DIM,
+    )
+
+    rows = []
+    for vid in range(40):
+        label = vid // 20  # 0: ids 0-19, 1: ids 20-39
+        base = [0.25] * _DIM
+        if label == 1 and vid % 2 == 1:  # new-snapshot half of label 1
+            base = [0.25 + 0.5] * _DIM
+        rows.append((vid, base, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path_factory.mktemp("drift"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = {r["label"]: r for r in embedding_drift_by_label(spark, d).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_old"] == got[0]["n_new"] == 10
+    assert abs(got[0]["centroid_shift"]) < 1e-9
+    assert abs(got[1]["centroid_shift"] - 0.5 * _DIM ** 0.5) < 1e-6
