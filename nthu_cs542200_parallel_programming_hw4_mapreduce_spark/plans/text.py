@@ -133,16 +133,11 @@ def _dd_lang_case() -> str:
     )
 
 
-@query(
-    "lang_id",
-    oracle=f"""
-    SELECT doc_id, {_dd_lang_case()} AS lang_pred
-    FROM documents ORDER BY doc_id
-    """,
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID via per-language stopword-hit argmax (the classic
-    cheap stopword-heuristic detector).
+def lang_pred_frame(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, extra_cols...], lang_pred) via the stopword-argmax
+    heuristic — the shared body of ``lang_id`` and the rater-B side of
+    ``label_agreement_kappa`` (plans/evalmetrics.py), so both queries
+    answer from ONE tokenization + fold and cannot drift apart.
 
     Explode tokens once, aggregate one hit-count per language (map-side
     partial, codegen'd IN-lists), then apply the shared argmax fold —
@@ -152,22 +147,40 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     no IN-list → all scores coalesce to 0 → 'und'), so there is NO join
     back to the docs table — the former left-join form only looked
     cheap because its O(docs) aggregate side slipped under the local
-    broadcast threshold (same scale trap text_quality shed)."""
-    docs = table(spark, sf_dir, "documents")
+    broadcast threshold (same scale trap text_quality shed).
+    ``extra_cols`` ride the groupBy key (functionally dependent on
+    doc_id) so callers that need sibling columns — kappa needs the
+    stored ``lang`` label — don't pay a join back to the table."""
     toks = docs.select(
-        "doc_id", F.explode_outer(X.tokens("text", X.WS)).alias("t")
+        "doc_id", *extra_cols, F.explode_outer(X.tokens("text", X.WS)).alias("t")
     )
     hit_aggs = [
         F.sum(F.lower("t").isin(*X.STOPWORDS[lang]).cast("int")).alias(f"_h_{lang}")
         for lang in sorted(X.STOPWORDS)
     ]
-    hits = toks.groupBy("doc_id").agg(*hit_aggs)
+    hits = toks.groupBy("doc_id", *extra_cols).agg(*hit_aggs)
     scores = {
         lang: F.coalesce(f"_h_{lang}", F.lit(0)) for lang in sorted(X.STOPWORDS)
     }
     return hits.select(
-        "doc_id", X.lang_id_from_scores(scores).alias("lang_pred")
-    ).orderBy("doc_id")
+        "doc_id", *extra_cols, X.lang_id_from_scores(scores).alias("lang_pred")
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, {_dd_lang_case()} AS lang_pred
+    FROM documents ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via per-language stopword-hit argmax (the classic
+    cheap stopword-heuristic detector). Plan body shared with the
+    kappa rater via :func:`lang_pred_frame` (see its docstring for the
+    single-tokenization scale shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return lang_pred_frame(docs).orderBy("doc_id")
 
 
 @query(

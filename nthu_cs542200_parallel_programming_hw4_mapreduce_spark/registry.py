@@ -413,6 +413,15 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # embedding_drift_by_label (the cross-snapshot encoder-drift check;
 # bumped user_overlap_jaccard). All five parity-verified at all three
 # SFs + the hostile fixture the day they landed.
+# Round-10 additions, second wave (the evalmetrics module — AUC,
+# calibration, kappa, Benford, Kaplan-Meier): same recipe, each bumps
+# one more r5-era re-proof from the tuple's end to round 11
+# (tfidf_cosine_pairs, sql_parameterized, skew_report,
+# readability_flesch, quantile_normalize — each family-redundant with
+# a fresher-proven member: tfidf_top_terms r8 / sql_api_subquery r6 /
+# table_profile r9-core-era / quality_gopher r8 / winsorized_stats'
+# quantile family). Parity-verified at all three SFs + the hostile
+# fixture the day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
@@ -420,6 +429,11 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "dedup_cross_snapshot_fuzzy",
     "context_window_lineage",
     "embedding_drift_by_label",
+    "quality_score_auc",
+    "score_calibration_bins",
+    "label_agreement_kappa",
+    "benford_first_digit",
+    "kaplan_meier_conversion",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -434,8 +448,6 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "entropy_profile", "gini_label_balance", "join_nullsafe_keys",
     "l_diversity_check", "latency_percentile_bands", "linreg_by_key",
     "null_semantics", "pit_state_at_event", "pmi_collocations",
-    "quantile_normalize", "readability_flesch", "skew_report",
-    "sql_parameterized", "tfidf_cosine_pairs",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all
@@ -482,6 +494,6 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .plans import core, text, dedup, similarity, multimodal, streaming, retrieval, maintenance, graph  # noqa: F401
+    from .plans import core, text, dedup, similarity, multimodal, streaming, retrieval, maintenance, graph, evalmetrics  # noqa: F401
 
     _LOADED = True

@@ -284,6 +284,10 @@ ROUND10_ADDITIONS = {
     "pca_project_2d", "kmeans_two_rounds",
     "dedup_cross_snapshot_fuzzy", "context_window_lineage",
     "embedding_drift_by_label",
+    # second wave: the evalmetrics module
+    "quality_score_auc", "score_calibration_bins",
+    "label_agreement_kappa", "benford_first_digit",
+    "kaplan_meier_conversion",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -292,6 +296,9 @@ ROUND10_ADDITIONS = {
 ROUND10_BUMPED = {
     "winsorized_stats", "zorder_layout",
     "value_histogram", "vocab_growth_curve", "user_overlap_jaccard",
+    # bumped by the evalmetrics wave
+    "tfidf_cosine_pairs", "sql_parameterized", "skew_report",
+    "readability_flesch", "quantile_normalize",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-
