@@ -257,3 +257,66 @@ def reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY v ORDER BY user_id
         """
     )
+
+
+_BASKET_CAP = 32
+_COPURCHASE_TOPK = 20
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), sz AS (
+      SELECT o FROM b GROUP BY o HAVING COUNT(*) <= {_BASKET_CAP}
+    ), bb AS (
+      SELECT b.o, b.p FROM b JOIN sz USING (o)
+    )
+    SELECT x.p AS part_a, y.p AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM bb x JOIN bb y ON x.o = y.o AND x.p < y.p
+    GROUP BY x.p, y.p
+    ORDER BY support DESC, part_a, part_b LIMIT {_COPURCHASE_TOPK}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-purchased part pairs by
+    order co-occurrence support — the frequent-itemset kernel behind
+    "bought together" recommendations and, in a training-data pipeline,
+    co-occurrence edge extraction for entity graphs.
+
+    The classic scale trap here is the basket whale: pair expansion is
+    C(n,2) per basket, so ONE degenerate million-item basket emits
+    5·10^11 pairs. The plan therefore (1) collapses to DISTINCT
+    (order, part) memberships first — duplicate line items must not
+    inflate support — and (2) drops baskets over {_BASKET_CAP} distinct
+    parts BEFORE the self-join (the LSH ``_MAX_BUCKET`` degenerate-
+    bucket discipline applied to baskets; the cap is mirrored verbatim
+    in the oracle, so exclusion is a checked contract). What remains is
+    an equi-self-join ON the basket key — pairs are generated inside
+    each order's hash partition, volume bounded by baskets ·
+    C({_BASKET_CAP},2) — partial-agg'd into (part, part) support
+    counts, then a TakeOrdered top-{_COPURCHASE_TOPK} with a full
+    deterministic tiebreak (support DESC, part_a, part_b), never a
+    global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sz = b.groupBy("o").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") <= _BASKET_CAP
+    )
+    bb = b.join(sz.select("o"), "o")
+    x = bb.alias("x")
+    y = bb.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
+    ).select(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(_COPURCHASE_TOPK)
+    )

@@ -1546,3 +1546,145 @@ def gini_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("cnt") / F.max("n"), 6).alias("majority_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_mahalanobis_outliers — per-label outlier audit (diagonal Σ)
+# --------------------------------------------------------------------------
+
+_MAHA_TOPK = 3
+_MAHA_VAR_FLOOR = 0.001
+
+
+@query(
+    "embedding_mahalanobis_outliers",
+    # decimal moments per (label, dim) -> double mean/var -> per-vector
+    # left-fold of (x-m)^2/max(var,floor) over the dim axis (the
+    # embedding_drift_by_label replay discipline: order-free decimal
+    # sums, then a SEQUENTIAL fold on both sides = same bits)
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE {_VEC_OK} AND label IS NOT NULL AND len(embedding) = {_DIM}
+        AND CAST(list_max(embedding) AS DOUBLE) < 1e6
+        AND CAST(list_min(embedding) AS DOUBLE) > -1e6
+    ),
+    cells AS (
+      SELECT label, i.range AS i,
+             CAST(SUM({_dd_dec("CAST(embedding[i.range + 1] AS DOUBLE)")})
+                  AS DOUBLE)
+               / COUNT({_dd_dec("CAST(embedding[i.range + 1] AS DOUBLE)")})
+               AS m,
+             CAST(SUM({_dd_dec("CAST(embedding[i.range + 1] AS DOUBLE) * CAST(embedding[i.range + 1] AS DOUBLE)")})
+                  AS DOUBLE)
+               / COUNT({_dd_dec("CAST(embedding[i.range + 1] AS DOUBLE) * CAST(embedding[i.range + 1] AS DOUBLE)")})
+               AS m2
+      FROM e CROSS JOIN range({_DIM}) i
+      GROUP BY label, i.range
+    ),
+    stats AS (
+      SELECT label,
+             list(m ORDER BY i) AS ms,
+             list(greatest(m2 - m * m, {_MAHA_VAR_FLOOR}) ORDER BY i) AS vs
+      FROM cells GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - s.ms[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - s.ms[i])
+                  / s.vs[i])), 6) AS maha2
+      FROM e JOIN stats s ON e.label = s.label
+    ),
+    r AS (
+      SELECT vec_id, label, maha2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY maha2 DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT label, rnk, vec_id, maha2 FROM r WHERE rnk <= {_MAHA_TOPK}
+    ORDER BY label, rnk
+    """,
+)
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier audit: the top-{_MAHA_TOPK} vectors
+    per class by squared Mahalanobis distance under a DIAGONAL
+    covariance — the screen for mislabeled or corrupted rows inside an
+    otherwise-clean labeled set (a vector far from its own class
+    centroid in variance-normalized units is the classic label-noise
+    candidate). Diagonal Σ is the production choice at 100 TB: the full
+    d×d inverse is a driver-side solve (``pca_project``'s regime) and
+    rarely changes the top ranks, while the diagonal needs only the
+    same per-(label, dim) moment pass ``label_centroids`` already does.
+
+    Replay discipline (``embedding_drift_by_label``): per-(label, dim)
+    moments ride order-free DECIMAL(18,6) sums (domain-gated
+    |x| < 1e6 so x² also fits the decimal — mirrored as array min/max
+    range checks, no per-element lambda on the scan), each divided
+    ONCE in double; variances clamp to max(σ², {_MAHA_VAR_FLOOR}) so a
+    constant dimension (hostile fixture: identical vectors) contributes
+    a bounded term instead of a NaN/±Inf division, and the tiny-σ²
+    amplification that would outrun 6-dp rounding is floored away. The
+    per-vector score is a SEQUENTIAL left fold over the dim axis
+    (Spark ``aggregate()``, DuckDB ``list_sum`` — both probed left
+    folds) of per-element (sub, mul, div) terms — same op order, same
+    bits — then one round(6) before the rank.
+
+    Scale shape: corpus scanned twice (moments; scores) — the stats
+    side collapses to |labels| rows of d-element arrays and joins back
+    BROADCAST, so no corpus shuffle at all beyond the (label, dim)
+    partial agg; ranking is a per-label window over the scored corpus
+    with a deterministic (score DESC, vec_id) tiebreak — top-k per
+    class, never a global sort."""
+    emb = vec_table(spark, sf_dir).filter(
+        F.col("label").isNotNull()
+        & (F.size("embedding") == _DIM)
+        & (F.array_max("embedding").cast("double") < F.lit(1e6))
+        & (F.array_min("embedding").cast("double") > F.lit(-1e6))
+    )
+    x = F.col("x").cast("double")
+    dec = x.try_cast("decimal(18,6)")
+    dec2 = (x * x).try_cast("decimal(18,6)")
+    cells = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (F.sum(dec).cast("double") / F.count(dec)).alias("m"),
+            (F.sum(dec2).cast("double") / F.count(dec2)).alias("m2"),
+        )
+    )
+    stats = cells.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("ms"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m", "m2"))),
+            lambda s: F.greatest(
+                s["m2"] - s["m"] * s["m"], F.lit(_MAHA_VAR_FLOOR)
+            ),
+        ).alias("vs"),
+    )
+    d2 = F.zip_with(
+        F.transform("embedding", lambda v: v.cast("double")),
+        "ms",
+        lambda v, m: (v - m) * (v - m),
+    )
+    terms = F.zip_with(d2, F.col("vs"), lambda d, vv: d / vv)
+    scored = (
+        emb.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t), 6
+            ).alias("maha2"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.desc("maha2"), "vec_id")
+    )
+    return (
+        scored.select("label", rnk.alias("rnk"), "vec_id", "maha2")
+        .filter(F.col("rnk") <= _MAHA_TOPK)
+        .orderBy("label", "rnk")
+    )

@@ -2974,3 +2974,84 @@ def user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events FROM sess
+    WHERE session_end <= (SELECT MAX(ts) FROM events WHERE ts IS NOT NULL)
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` on a REAL readStream with a watermark and an
+    APPEND-mode sink — the production sessionization topology (user
+    journeys over Kafka), where sessions are emitted exactly once, when
+    the watermark proves no further event can extend them.
+
+    This is the streaming twin of ``session_window_native`` under the
+    append contract instead of that query's batch/complete one: with a
+    0-second watermark delay, the final watermark after the backfill
+    drains is the global max event time, and append mode emits exactly
+    the sessions whose end (last event + 30-min gap) is ≤ that
+    watermark. The one session still open at end-of-stream — the one
+    containing the global max event, by construction — stays in state,
+    unemitted. That cutoff is deterministic, so the oracle replays it
+    as a scalar-subquery filter on the batch session reconstruction:
+    the drained-static pattern that graduated the streaming dedups in
+    round 9.
+
+    NULL-ts contract: event-time assigners drop timestampless rows
+    (SCALING.md; mirrored by WHERE ts IS NOT NULL). Scale shape: the
+    stream shuffles once on user_id into session-merging state bounded
+    by OPEN sessions only (closed ones are evicted at emission — this
+    is why the watermark exists; the complete-mode twin's state holds
+    every session ever seen and would OOM a month-long stream)."""
+    from ..streaming.windows import events_stream
+
+    src = events_stream(spark, f"{sf_dir}/events.parquet").withWatermark(
+        "ts", "0 seconds"
+    )
+    agg = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_session_{next(_STREAM_STATIC_SINKS)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -422,6 +422,15 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # table_profile r9-core-era / quality_gopher r8 / winsorized_stats'
 # quantile family). Parity-verified at all three SFs + the hostile
 # fixture the day they landed.
+# Round-10 additions, third wave (copurchase_pairs — market-basket
+# pair mining; embedding_mahalanobis_outliers — per-label diagonal-Σ
+# outlier audit; streaming_session_window — append-mode watermarked
+# sessionization under a drained-static oracle): same recipe, bumping
+# pmi_collocations / pit_state_at_event / null_semantics (each
+# family-redundant with a fresher member: tfidf_top_terms r8 /
+# asof_last_signup+scd2 family r9-era / join_nullsafe_keys in this
+# pool). Parity-verified at all three SFs + the hostile fixture the
+# day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
@@ -434,6 +443,9 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "label_agreement_kappa",
     "benford_first_digit",
     "kaplan_meier_conversion",
+    "copurchase_pairs",
+    "embedding_mahalanobis_outliers",
+    "streaming_session_window",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -447,7 +459,6 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "burst_detection", "chi2_independence", "encode_corpus",
     "entropy_profile", "gini_label_balance", "join_nullsafe_keys",
     "l_diversity_check", "latency_percentile_bands", "linreg_by_key",
-    "null_semantics", "pit_state_at_event", "pmi_collocations",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

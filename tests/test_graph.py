@@ -53,3 +53,34 @@ def test_reachability_bfs_min_hops_on_cycle(spark, cycle_dir):
 
     out = {r["user_id"]: r["hops"] for r in reachability_bfs(spark, cycle_dir).collect()}
     assert out == {0: 3, 1: 1, 2: 2}
+
+
+def test_copurchase_counts_support_and_caps_whale_basket(spark, tmp_path_factory):
+    """Planted baskets: parts (1,2) co-occur in two orders, (1,3) in
+    one; a duplicate line item must not inflate support; a 33-part
+    whale basket is excluded entirely by the _BASKET_CAP contract."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.graph import (
+        copurchase_pairs,
+    )
+
+    rows = []
+
+    def li(order, part, line):
+        rows.append((order, part, 1, line, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     datetime.datetime(2026, 1, 1)))
+
+    li(100, 1, 1); li(100, 2, 2); li(100, 2, 3)  # dup membership
+    li(200, 1, 1); li(200, 2, 2); li(200, 3, 3)
+    for i, p in enumerate(range(1000, 1033)):  # whale: 33 distinct parts
+        li(300, p, i + 1)
+    df = spark.createDataFrame(
+        rows,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    d = str(tmp_path_factory.mktemp("baskets"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {(r["part_a"], r["part_b"]): r["support"]
+           for r in copurchase_pairs(spark, d).collect()}
+    assert out == {(1, 2): 2, (1, 3): 1, (2, 3): 1}  # whale contributed 0

@@ -288,6 +288,9 @@ ROUND10_ADDITIONS = {
     "quality_score_auc", "score_calibration_bins",
     "label_agreement_kappa", "benford_first_digit",
     "kaplan_meier_conversion",
+    # third wave: basket mining, embedding outliers, streaming sessions
+    "copurchase_pairs", "embedding_mahalanobis_outliers",
+    "streaming_session_window",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -299,6 +302,8 @@ ROUND10_BUMPED = {
     # bumped by the evalmetrics wave
     "tfidf_cosine_pairs", "sql_parameterized", "skew_report",
     "readability_flesch", "quantile_normalize",
+    # bumped by the third wave
+    "pmi_collocations", "pit_state_at_event", "null_semantics",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-

@@ -162,3 +162,27 @@ def test_embedding_drift_planted_shift(spark, tmp_path_factory):
     assert got[0]["n_old"] == got[0]["n_new"] == 10
     assert abs(got[0]["centroid_shift"]) < 1e-9
     assert abs(got[1]["centroid_shift"] - 0.5 * _DIM ** 0.5) < 1e-6
+
+
+def test_mahalanobis_flags_planted_outlier(spark, tmp_path_factory):
+    """A cluster of near-identical vectors plus one far point: the far
+    point must rank first for its label, and the variance floor must
+    keep the constant dims from blowing up the score."""
+    import random
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        _DIM,
+        embedding_mahalanobis_outliers,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        rows.append((i, [rng.uniform(-0.1, 0.1) for _ in range(_DIM)], 0))
+    rows.append((99, [5.0] * _DIM, 0))  # planted outlier
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    d = str(tmp_path_factory.mktemp("maha"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = embedding_mahalanobis_outliers(spark, d).collect()
+    assert out[0]["vec_id"] == 99 and out[0]["rnk"] == 1
+    assert out[0]["maha2"] > out[1]["maha2"] * 5  # far point dominates

@@ -725,3 +725,28 @@ def test_transform_with_state_is_protobuf_gated():
         "protobuf is now installed — replace this gate with the real "
         "transformWithStateInPandas proof (see docstring)"
     )
+
+
+def test_streaming_session_window_unifies_with_batch(spark, sf_dir):
+    """Unification property under the append/watermark contract: the
+    drained stream emits exactly the batch sessions whose end is ≤ the
+    final watermark (= global max event time); the session containing
+    the max event stays open, unemitted."""
+    from pyspark.sql import functions as F
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import table
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        session_window_native,
+        streaming_session_window,
+    )
+
+    streamed = streaming_session_window(spark, sf_dir).collect()
+    mx = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    batch = session_window_native(spark, sf_dir).collect()
+    expected = [r for r in batch if r["session_end"] <= mx]
+    assert len(batch) - len(expected) >= 1  # the open tail session
+    key = lambda r: (r["user_id"], r["session_start"])
+    assert sorted(map(key, streamed)) == sorted(map(key, expected))
+    assert {key(r): r["n_events"] for r in streamed} == {
+        key(r): r["n_events"] for r in expected
+    }
