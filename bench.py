@@ -212,6 +212,19 @@ HEADLINE = [
     "dedup_cross_snapshot_fuzzy",
     "context_window_lineage",
     "embedding_drift_by_label",
+    # r10 additions, waves 2-3: evaluation metrics, basket mining,
+    # embedding outlier audit, streaming sessionization
+    "quality_score_auc",
+    "score_calibration_bins",
+    "label_agreement_kappa",
+    "benford_first_digit",
+    "kaplan_meier_conversion",
+    "copurchase_pairs",
+    "embedding_mahalanobis_outliers",
+    "streaming_session_window",
+    "weighted_sample_topk",
+    "attribution_position_based",
+    "pq_reconstruction_error",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

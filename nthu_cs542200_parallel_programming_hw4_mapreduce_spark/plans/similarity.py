@@ -1688,3 +1688,138 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= _MAHA_TOPK)
         .orderBy("label", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# pq_reconstruction_error — quantization-quality audit per subspace
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pq_reconstruction_error",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_VEC_OK} AND len(embedding) = {_DIM}
+        AND CAST(list_max(embedding) AS DOUBLE) < 1e5
+        AND CAST(list_min(embedding) AS DOUBLE) > -1e5
+    ),
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
+      FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {_PQ_K}) s
+    ),
+    d AS (
+      SELECT e.vec_id, m.m, cb.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+               i -> (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
+                     - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
+                  * (CAST(e.embedding[{_PQ_SUBDIM} * m.m + i] AS DOUBLE)
+                     - CAST(cb.ce[{_PQ_SUBDIM} * m.m + i] AS DOUBLE))
+             )) AS d2
+      FROM e
+      CROSS JOIN (SELECT UNNEST(range(0, {_PQ_M})) AS m) m
+      CROSS JOIN cb
+    ),
+    best AS (
+      SELECT vec_id, m, d2 FROM (
+        SELECT vec_id, m, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT m AS subspace, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(TRY_CAST(d2 AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(TRY_CAST(d2 AS DECIMAL(18,6))), 6) AS mse
+    FROM best GROUP BY m ORDER BY subspace
+    """,
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction error: the mean squared distance
+    between each vector's sub-block and its chosen codebook centroid —
+    the quantization-quality audit that decides whether a PQ layout's
+    recall will hold BEFORE committing a billion-vector index to it
+    (``pq_encode`` produces the codes; this measures what they cost).
+    A subspace whose MSE is an outlier needs more codes or a rotation.
+
+    Same fixed codebook and argmin discipline as ``pq_encode`` (16
+    lowest gated vec_ids; ties to the lowest code), but here the min
+    DISTANCE VALUE is the output, not just the argmin rank, so the
+    arithmetic follows the drift/mahalanobis replay rules end-to-end:
+    the per-subspace d2 accumulates by an explicit SEQUENTIAL loop
+    over the 8 sub-dims in the Arrow kernel (numpy's blocked
+    ``.sum()`` associates differently in the last ulp than the
+    oracle's left-fold ``list_sum`` — the one-line trap this plan
+    dodges), giving bit-identical doubles in both engines; corpus
+    aggregation then rides order-free DECIMAL(18,6) sums (domain gate
+    |x| < 1e5 keeps every d2 ≤ 8·(2e5)² inside the decimal — mirrored
+    as array min/max range checks), divided ONCE, rounded once.
+
+    Scale shape: identical to ``pq_encode`` — bounded codebook collect
+    + broadcast, ONE narrow mapInPandas corpus scan emitting
+    (vec_id, {_PQ_M} errors), then a {_PQ_M}-key partial-agg'd
+    reduction; no corpus shuffle."""
+    import numpy as np
+
+    emb = (
+        vec_table(spark, sf_dir)
+        .filter(
+            (F.size("embedding") == _DIM)
+            & (F.array_max("embedding").cast("double") < F.lit(1e5))
+            & (F.array_min("embedding").cast("double") > F.lit(-1e5))
+        )
+        .select("vec_id", "embedding")
+    )
+    init = emb.orderBy("vec_id").limit(_PQ_K).select("embedding").collect()
+    if not init:  # empty-after-gate guard (round-4 sweep convention)
+        return spark.createDataFrame([], "subspace long, n long, mse double")
+    cmat = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    bc = spark.sparkContext.broadcast(cmat)
+
+    def errors(batches):
+        mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            cols = {}
+            for m in range(_PQ_M):
+                lo = m * _PQ_SUBDIM
+                # SEQUENTIAL left-fold over sub-dims — term-parity with
+                # the oracle's list_sum (see docstring)
+                acc = np.zeros((x.shape[0], mat.shape[0]))
+                for i in range(_PQ_SUBDIM):
+                    diff = x[:, None, lo + i] - mat[None, :, lo + i]
+                    acc = acc + diff * diff
+                cols[f"e_{m}"] = acc[np.arange(x.shape[0]), np.argmin(acc, axis=1)]
+            yield pdf[["vec_id"]].assign(**cols)
+
+    schema = "vec_id long, " + ", ".join(
+        f"e_{m} double" for m in range(_PQ_M)
+    )
+    per_vec = emb.mapInPandas(errors, schema=schema)
+    stacked = per_vec.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("subspace"),
+                        F.col(f"e_{m}").alias("d2"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s")
+    ).select("s.subspace", "s.d2")
+    dec = F.col("d2").try_cast("decimal(18,6)")
+    return (
+        stacked.groupBy("subspace")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(dec).cast("double") / F.count(dec)).alias("_mse"),
+        )
+        .select("subspace", "n", F.round("_mse", 6).alias("mse"))
+        .orderBy("subspace")
+    )

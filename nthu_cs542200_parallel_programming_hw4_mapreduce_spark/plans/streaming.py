@@ -3055,3 +3055,123 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), c AS (
+      SELECT event_id AS click_id, user_id, event_type, us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN {'us': us, 'eid': event_id} END)
+               OVER (PARTITION BY user_id ORDER BY us DESC
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS np
+      FROM e
+    ), j AS (
+      SELECT click_id, user_id, us,
+             np.eid AS purchase_id, np.us AS p_us
+      FROM c
+      WHERE event_type = 'click' AND np IS NOT NULL
+        AND np.us - us <= 604800000000
+    ), r AS (
+      SELECT click_id, user_id, purchase_id,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY us, click_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY us DESC, click_id DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM j
+    )
+    SELECT purchase_id, click_id, user_id, CAST(n AS BIGINT) AS n_touches,
+           round(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN rn_a = 1 OR rn_d = 1 THEN 0.4
+                      ELSE 0.2 / (n - 2) END, 6) AS credit
+    FROM r ORDER BY purchase_id, click_id
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) conversion attribution: each
+    purchase splits credit over the clicks that preceded it within a
+    7-day horizon — 40% to the first touch, 40% to the last, the
+    middle 20% evenly across the rest (1 touch → 100%, 2 → 50/50) —
+    the multi-touch model marketers run next to last-touch
+    (``attribution_last_touch``) to stop over-crediting the final
+    click.
+
+    The scale trick is assignment DIRECTION: attributing per purchase
+    means materializing each purchase's click SET (a time-range
+    self-join, quadratic on whale users — the wall
+    ``attribution_last_touch``'s docstring measures). Instead every
+    CLICK finds its NEXT purchase — min(struct(us, eid)) over a
+    DESC-ordered unbounded frame, the same add-only incremental sweep
+    as last-touch, linear per user — so each click emits at most one
+    (purchase, click) row and total volume is |clicks|, not
+    |purchases|·|clicks|. Per-purchase positions then come from
+    purchase-keyed windows over exactly those rows. A click at the
+    purchase's exact microsecond counts (RANGE frame peers, identical
+    both engines); position ties break on click_id from both ends
+    (rn_a on (us, id) ASC, rn_d on (us, id) DESC — with n ≥ 3 the same
+    click can never be both first and last). Credits are exact
+    rationals with ONE division, rounded once. NULL-ts events are
+    excluded per the repo's timeline contract (an unplaceable touch
+    can neither receive credit nor anchor a journey; mirrored
+    ``WHERE ts IS NOT NULL``)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    np_ = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(F.col("us").alias("us"), F.col("click_id").alias("eid")),
+        )
+    ).over(w_next)
+    c = ev.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "event_type",
+        us.alias("us"),
+    ).withColumn("np", np_)
+    j = c.filter(
+        (F.col("event_type") == "click")
+        & F.col("np").isNotNull()
+        & ((F.col("np.us") - F.col("us")) <= 604_800_000_000)
+    ).select(
+        "click_id", "user_id", "us", F.col("np.eid").alias("purchase_id")
+    )
+    w_p = Window.partitionBy("purchase_id")
+    rn_a = F.row_number().over(w_p.orderBy("us", "click_id"))
+    rn_d = F.row_number().over(
+        w_p.orderBy(F.col("us").desc(), F.col("click_id").desc())
+    )
+    r = j.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        rn_a.alias("rn_a"),
+        rn_d.alias("rn_d"),
+        F.count("*").over(w_p).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn_a") == 1) | (F.col("rn_d") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return r.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("n").cast("long").alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+    ).orderBy("purchase_id", "click_id")

@@ -2503,3 +2503,68 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_VGC_FRACS)}, {stack_args}) AS (frac, cutoff_doc, vocab)"
     ).orderBy("frac")
+
+
+_WS_TOPK = 50
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) + 0.5) / 4294967296.0)
+               / n_chars AS key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(key, 6) AS sample_key
+    FROM w
+    ORDER BY round(key, 12) DESC, doc_id LIMIT {_WS_TOPK}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES keys: each doc draws key = ln(u)/w (u a deterministic hash
+    uniform, w = n_chars) and the sample is the top-{_WS_TOPK} by key —
+    the one-pass, merge-able primitive for "sample documents
+    proportionally to length" that a mixture pipeline runs per source
+    (``mixture_sample_temperature`` sets the quotas; this draws the
+    members). Selecting max ln(u)/w is distributionally identical to
+    sampling proportional to w without replacement (Efraimidis &
+    Spirakis 2006), and because u derives from md5(doc_id) — the
+    repo's cross-engine hash family, same reproducibility contract as
+    ``train_split_hash`` — the sample is STABLE under re-ingestion,
+    shard order, and corpus growth, and replays exactly in DuckDB.
+
+    u = (first-8-hex(md5) + 0.5) / 2^32 is exact integer arithmetic in
+    (0,1) — never 0 or 1, so ln(u) is finite; ln and the division are
+    single per-row ops identical in both engines (the tfidf ln
+    precedent); ranking uses round(key, 12) with a doc_id tiebreak so
+    a last-ulp libm disagreement cannot reorder near-ties.
+    Non-positive/NULL weights are excluded by contract (a weightless
+    doc cannot be drawn), mirrored in the oracle.
+
+    Scale shape: entirely narrow (hash + ln inside codegen at the
+    scan), then TakeOrderedAndProject for the bounded top-k — no
+    shuffle wider than {_WS_TOPK} rows per partition; the classic
+    alternative (global sort by random key) pays a corpus-wide
+    exchange for the same sample."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(key, 6).alias("sample_key"),
+            F.round(key, 12).alias("_k12"),
+        )
+        .orderBy(F.desc("_k12"), "doc_id")
+        .limit(_WS_TOPK)
+        .drop("_k12")
+    )

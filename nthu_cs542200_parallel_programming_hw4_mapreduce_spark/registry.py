@@ -431,6 +431,15 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # asof_last_signup+scd2 family r9-era / join_nullsafe_keys in this
 # pool). Parity-verified at all three SFs + the hostile fixture the
 # day they landed.
+# Round-10 additions, fourth wave (weighted_sample_topk — A-ES
+# hash-deterministic weighted sampling; attribution_position_based —
+# U-shaped multi-touch credit via the linear click→next-purchase
+# sweep; pq_reconstruction_error — per-subspace quantization-quality
+# audit): same recipe, bumping linreg_by_key /
+# latency_percentile_bands / l_diversity_check (family-redundant with
+# ab_test_ztest+chi2 in this pool / quantile_price r6 /
+# k_anonymity_suppress). Parity-verified at all three SFs + the
+# hostile fixture the day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
@@ -446,6 +455,9 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "copurchase_pairs",
     "embedding_mahalanobis_outliers",
     "streaming_session_window",
+    "weighted_sample_topk",
+    "attribution_position_based",
+    "pq_reconstruction_error",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -458,7 +470,6 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "ab_test_ztest", "abc_analysis", "anomaly_mad", "arrow_udf_reverse",
     "burst_detection", "chi2_independence", "encode_corpus",
     "entropy_profile", "gini_label_balance", "join_nullsafe_keys",
-    "l_diversity_check", "latency_percentile_bands", "linreg_by_key",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

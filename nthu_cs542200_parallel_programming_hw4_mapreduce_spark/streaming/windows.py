@@ -20,14 +20,18 @@ _sink_counter = itertools.count()
 _stage_dirs: dict[str, str] = {}
 
 
-def events_stream(spark: SparkSession, path: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, path: str, options: dict[str, str] | None = None
+) -> DataFrame:
     """readStream over the events parquet (schema must be explicit for
     file-source streams). The fixture's ts is TIMESTAMP(NANOS) → read as
     raw nanos and convert with integer division (see catalog.table).
 
     Spark's file stream source requires a *directory*; a single-file
     path is staged as a symlink inside a scratch directory (read-only
-    fixtures stay untouched).
+    fixtures stay untouched). ``options`` pass through to the source
+    reader (e.g. ``maxFilesPerTrigger`` to bound per-micro-batch state —
+    the production knob the 100× scale probe exercises).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -41,7 +45,10 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
         stream_path = _stage_dirs[path]
     else:
         stream_path = path
-    src = spark.readStream.schema(schema).parquet(stream_path)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    src = reader.parquet(stream_path)
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif dict(src.dtypes).get("ts") == "timestamp_ntz":

@@ -189,3 +189,25 @@ def test_kaplan_meier_risk_set_exhausted_pins_zero(spark, tmp_path_factory):
     out = kaplan_meier_conversion(spark, d).collect()
     assert len(out) == 1
     assert out[0]["t_day"] == 1 and out[0]["survival"] == 0.0
+
+
+def test_weighted_sample_keys_match_python_aes(spark, tmp_path_factory):
+    """A-ES keys replay exactly from hashlib + math.log, and
+    non-positive weights are excluded by contract."""
+    import hashlib
+    import math
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        weighted_sample_topk,
+    )
+
+    rows = [(1, "a", "en", "s", 100), (2, "b", "en", "s", 7),
+            (3, "c", "en", "s", 0), (4, "d", "en", "s", 55)]
+    d = _docs_dir(spark, tmp_path_factory, rows)
+    out = {r["doc_id"]: r for r in weighted_sample_topk(spark, d).collect()}
+    assert set(out) == {1, 2, 4}  # zero-weight doc 3 excluded
+    for doc_id, w in [(1, 100), (2, 7), (4, 55)]:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        key = math.log((h + 0.5) / 2**32) / w
+        assert out[doc_id]["sample_key"] == round(key, 6)
+        assert out[doc_id]["weight"] == w

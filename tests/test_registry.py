@@ -291,6 +291,9 @@ ROUND10_ADDITIONS = {
     # third wave: basket mining, embedding outliers, streaming sessions
     "copurchase_pairs", "embedding_mahalanobis_outliers",
     "streaming_session_window",
+    # fourth wave: weighted sampling, multi-touch attribution, PQ audit
+    "weighted_sample_topk", "attribution_position_based",
+    "pq_reconstruction_error",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -304,6 +307,8 @@ ROUND10_BUMPED = {
     "readability_flesch", "quantile_normalize",
     # bumped by the third wave
     "pmi_collocations", "pit_state_at_event", "null_semantics",
+    # bumped by the fourth wave
+    "linreg_by_key", "latency_percentile_bands", "l_diversity_check",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-

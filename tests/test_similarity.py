@@ -186,3 +186,23 @@ def test_mahalanobis_flags_planted_outlier(spark, tmp_path_factory):
     out = embedding_mahalanobis_outliers(spark, d).collect()
     assert out[0]["vec_id"] == 99 and out[0]["rnk"] == 1
     assert out[0]["maha2"] > out[1]["maha2"] * 5  # far point dominates
+
+
+def test_pq_reconstruction_error_zero_on_codebook_corpus(spark, tmp_path_factory):
+    """A corpus that IS the codebook reconstructs exactly: every
+    subspace's MSE is 0 and every vector is counted."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        _DIM,
+        _PQ_K,
+        _PQ_M,
+        pq_reconstruction_error,
+    )
+
+    rows = [(i, [float(i) / (j + 1) for j in range(_DIM)], 0)
+            for i in range(_PQ_K)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    d = str(tmp_path_factory.mktemp("pqerr"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = pq_reconstruction_error(spark, d).collect()
+    assert [r["subspace"] for r in out] == list(range(_PQ_M))
+    assert all(r["n"] == _PQ_K and r["mse"] == 0.0 for r in out)

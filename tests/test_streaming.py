@@ -750,3 +750,42 @@ def test_streaming_session_window_unifies_with_batch(spark, sf_dir):
     assert {key(r): r["n_events"] for r in streamed} == {
         key(r): r["n_events"] for r in expected
     }
+
+
+def test_position_based_attribution_planted_journeys(spark, tmp_path_factory):
+    """Hand journeys: 3 clicks → 40/20/40; 2 clicks → 50/50; a click
+    AFTER the purchase and a click outside the 7-day horizon get no
+    credit."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        attribution_position_based,
+    )
+
+    t0 = datetime.datetime(2026, 4, 10)
+
+    def ev(eid, uid, typ, days):
+        return (eid, t0 + datetime.timedelta(days=days), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: clicks at d0,d1,d2 → purchase d3; later click d4 unattributed
+        ev(11, 1, "click", 0), ev(12, 1, "click", 1), ev(13, 1, "click", 2),
+        ev(14, 1, "purchase", 3), ev(15, 1, "click", 4),
+        # user 2: stale click 9 days before purchase (outside horizon) + 2 fresh
+        ev(21, 2, "click", -9), ev(22, 2, "click", -2), ev(23, 2, "click", -1),
+        ev(24, 2, "purchase", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("attr"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {(r["purchase_id"], r["click_id"]): r
+           for r in attribution_position_based(spark, d).collect()}
+    assert set(out) == {(14, 11), (14, 12), (14, 13), (24, 22), (24, 23)}
+    assert out[(14, 11)]["credit"] == 0.4   # first touch
+    assert out[(14, 12)]["credit"] == 0.2   # middle
+    assert out[(14, 13)]["credit"] == 0.4   # last touch
+    assert out[(24, 22)]["credit"] == 0.5 == out[(24, 23)]["credit"]

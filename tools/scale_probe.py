@@ -147,6 +147,30 @@ def build_corpus(spark, factor: int, variants: int | None = None) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "orders"))
         )
+    if not done("lineitem"):
+        # basket-table growth keyed consistently with orders: l_orderkey
+        # offsets by the SAME per-replica stride as o_orderkey, so each
+        # replica contributes whole baskets (basket-count growth at
+        # constant basket size — the production regime copurchase_pairs'
+        # C(n,2)-per-basket expansion is designed for)
+        no2 = spark.read.parquet(
+            os.path.join(BASE_SF_DIR, "orders.parquet")
+        ).count()
+        li = spark.read.parquet(os.path.join(BASE_SF_DIR, "lineitem.parquet"))
+        (
+            li.crossJoin(reps)
+            .select(
+                (F.col("l_orderkey") + F.col("rep") * F.lit(no2)).alias(
+                    "l_orderkey"
+                ),
+                "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                "l_linestatus", "l_shipdate",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "lineitem"))
+        )
     if not done("events"):
         # via catalog.table: fixture events are TIMESTAMP(NANOS); the
         # replica lands as standard micros, which catalog passes through
@@ -181,9 +205,65 @@ def _resample_full(spark, sf_view):
     return resample_pipeline(catalog.table(spark, sf_view, "events"))
 
 
+def _streaming_session_production(spark, sf_view):
+    """``streaming_session_window`` under its PRODUCTION configuration —
+    RocksDB state store, bounded micro-batches (maxFilesPerTrigger), a
+    streaming noop sink — instead of the declared query's all-at-once
+    memory-sink test harness. The harness form materializes EVERY
+    emitted session in the driver's in-memory table, which is exactly
+    what this probe measured OOMing at 100× (~9.5M session rows on an
+    8g driver); the topology itself (user-keyed session-merge state,
+    watermark eviction) is what production deploys, so that is what
+    the probe times. Watermark-lateness drops across the corpus's
+    unordered files are acceptable here: the probe measures state +
+    emission machinery, not row parity (the declared query's oracle
+    pins parity at fixture scale, where one micro-batch sees
+    everything)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.streaming.windows import (
+        events_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = events_stream(
+            spark,
+            os.path.join(sf_view, "events.parquet"),
+            options={"maxFilesPerTrigger": "8"},
+        ).withWatermark("ts", "0 seconds")
+        agg = src.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        ).agg(F.count("*").alias("n_events"))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.range(1).selectExpr("id AS done")
+
+
 #: Probe-only dataflows: shapes whose declared query bounds its output
-#: for the oracle, run here unbounded.
-PROBE_EXTRAS = {"resample_ffill_full": _resample_full}
+#: for the oracle, run here unbounded / under production config.
+PROBE_EXTRAS = {
+    "resample_ffill_full": _resample_full,
+    "streaming_session_window_production": _streaming_session_production,
+}
 
 
 def main() -> None:
@@ -207,7 +287,7 @@ def main() -> None:
         link = os.path.join(sf_view, t)
         if not os.path.lexists(link):
             os.symlink(os.path.join(BASE_SF_DIR, t), link)
-    for t in ("documents", "embeddings", "events", "orders"):
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
         link = os.path.join(sf_view, f"{t}.parquet")
         if os.path.lexists(link):
             os.remove(link)
