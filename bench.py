@@ -225,6 +225,10 @@ HEADLINE = [
     "weighted_sample_topk",
     "attribution_position_based",
     "pq_reconstruction_error",
+    "json_schema_profile",
+    "rfm_segmentation",
+    "sql_pipe_syntax",
+    "ann_mmr_rerank",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -2262,9 +2262,16 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE props END AS payload
       FROM events
     ), parsed AS (
+      -- json_type gate (round-10 type-diverse props rows): Spark's
+      -- from_json('k BIGINT') is STRICTLY typed — {"k": "s"}, true,
+      -- 1.5, even "7" all yield NULL — while a bare CAST of the ->>
+      -- text raised on 's' and TRY_CAST would coerce '7'/1.5; only an
+      -- integer-typed JSON value counts as valid on either side
       SELECT event_id,
-             CASE WHEN json_valid(payload)
-                  THEN CAST(payload ->> '$.k' AS BIGINT) END AS k
+             CASE WHEN json_valid(payload) THEN
+               CASE WHEN json_type(payload, 'k') IN ('UBIGINT', 'BIGINT')
+                    THEN TRY_CAST(payload ->> '$.k' AS BIGINT) END
+             END AS k
       FROM raw
     )
     SELECT CAST(COUNT(k) AS BIGINT) AS n_valid,
@@ -2478,16 +2485,25 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_shred",
     # json_valid guard (round-9 hostile sweep): try_parse_json answers a
-    # NULL variant on malformed payloads while DuckDB's ->> RAISES
+    # NULL variant on malformed payloads while DuckDB's ->> RAISES.
+    # TRY_CAST on the extracted value (round-10 type-diverse props
+    # rows): a non-numeric k must shred to NULL like Spark's
+    # try_variant_get, not throw. Booleans are normalized away first —
+    # DuckDB TRY_CAST('true' AS BIGINT) answers NULL where a variant
+    # could coerce — via an explicit json_type guard.
     oracle="""
     WITH p AS (
       SELECT CASE WHEN json_valid(props) THEN props END AS payload
       FROM events
+    ), x AS (
+      SELECT CASE WHEN json_type(payload, 'k') IN ('UBIGINT', 'BIGINT')
+                  THEN TRY_CAST(payload ->> '$.k' AS BIGINT) END AS k
+      FROM p
     )
-    SELECT CAST(payload ->> '$.k' AS BIGINT) % 10 AS kb,
+    SELECT k % 10 AS kb,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(payload ->> '$.k' AS BIGINT)) AS BIGINT) AS ks
-    FROM p
+           CAST(SUM(k) AS BIGINT) AS ks
+    FROM x
     GROUP BY kb ORDER BY kb
     """,
 )
@@ -2507,9 +2523,19 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, so parse + extraction semantics match exactly."""
     ev = table(spark, sf_dir, "events")
     # try_parse_json, not parse_json: a malformed payload must shred to
-    # NULL, not kill the ingestion job (round-9 hostile sweep)
+    # NULL, not kill the ingestion job (round-9 hostile sweep). The
+    # shred is TYPE-STRICT (round-10 type-diverse props rows): bare
+    # try_variant_get(..., 'bigint') COERCES a boolean k to 1 and
+    # TRUNCATES 1.5 to 1 — silent dirty-data laundering a typed column
+    # must not do — so only an integer-typed variant shreds; everything
+    # else answers NULL (json_schema_profile is the audit that finds
+    # those keys).
     v = ev.select(F.try_parse_json("props").alias("v"))
-    k = F.try_variant_get("v", "$.k", "bigint")
+    kv = F.try_variant_get("v", "$.k", "variant")
+    k = F.when(
+        F.schema_of_variant(kv) == "BIGINT",
+        F.try_variant_get("v", "$.k", "bigint"),
+    )
     return (
         v.select(k.alias("k"))
         .groupBy((F.col("k") % 10).alias("kb"))
@@ -3058,3 +3084,54 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy"
         ),
     ).orderBy("n_name", "yr")
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ), a AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM b GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority, o_orderstatus, n, total
+    FROM a WHERE n >= 5
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operator chain — the
+    FROM-first composable dialect): filter → aggregate → having-style
+    filter → order, written as a linear pipeline instead of nested
+    subqueries. Same Catalyst plan as the ANSI form — pipe stages are
+    pure parser sugar, so pushdown/partial-agg behavior is identical —
+    which is exactly what the oracle (the ANSI rewrite in DuckDB)
+    verifies. Completes the Spark-4 SQL-surface family
+    (VARIANT/collations/parameterized SQL/polymorphic UDTF).
+
+    The revenue sum rides try_cast DECIMAL(18,2) per the poison-row
+    rule. Scale shape: one pushed-down scan, one partial-agg'd
+    two-key groupBy, a tiny post-agg filter — flat at any corpus
+    size."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total
+           GROUP BY o_orderpriority, o_orderstatus
+        |> WHERE n >= 5
+        |> SELECT o_orderpriority, o_orderstatus, n, total
+        |> ORDER BY o_orderpriority, o_orderstatus
+        """
+    )

@@ -307,9 +307,13 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = b.groupBy("o").agg(F.count("*").alias("_n")).filter(
         F.col("_n") <= _BASKET_CAP
     )
-    bb = b.join(sz.select("o"), "o")
-    x = bb.alias("x")
-    y = bb.alias("y")
+    # every join side here scales with the corpus (memberships, basket
+    # sizes) — pin them to sort-merge per the lsh_jaccard_verified rule
+    # rather than letting size estimates pick a broadcast that 100 TB
+    # invalidates (observed OOM at the dedup family's 100× probe)
+    bb = b.join(sz.select("o").hint("merge"), "o")
+    x = bb.alias("x").hint("merge")
+    y = bb.alias("y").hint("merge")
     pairs = x.join(
         y,
         (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),

@@ -930,3 +930,76 @@ def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@query(
+    "json_schema_profile",
+    # canonical-type mapping: DuckDB json_type → {object,array,null,
+    # bool,string,number}; a JSON null answers SQL NULL from json_type
+    # (not the string 'NULL'), hence the COALESCE
+    oracle=r"""
+    WITH v AS (
+      SELECT props AS j FROM events WHERE json_valid(props)
+    ), kv AS (
+      SELECT u.k AS key,
+             COALESCE(json_type(v.j, u.k), 'NULL') AS jt
+      FROM v, UNNEST(json_keys(v.j)) AS u(k)
+      WHERE regexp_matches(u.k, '^[A-Za-z0-9_]+$')
+    )
+    SELECT key,
+           CASE WHEN jt = 'OBJECT' THEN 'object'
+                WHEN jt = 'ARRAY' THEN 'array'
+                WHEN jt = 'NULL' THEN 'null'
+                WHEN jt = 'BOOLEAN' THEN 'bool'
+                WHEN jt = 'VARCHAR' THEN 'string'
+                ELSE 'number' END AS jtype,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM kv GROUP BY 1, 2 ORDER BY key, jtype
+    """,
+)
+def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema inference profile: for every key appearing
+    in the ``props`` JSON column, the histogram of VALUE TYPES it
+    carries — the pass a pipeline runs before promoting a JSON blob to
+    typed columns (``variant_shred``'s planning input: a key that is
+    'number' in 99.9% of rows and 'string' in the rest is a dirty
+    column, not a string column).
+
+    Spark side rides the VARIANT surface: ``from_json`` to
+    ``map<string, variant>`` (NULL on malformed — the scalar_json
+    contract, mirrored by the oracle's json_valid gate), one
+    ``explode``, and ``schema_of_variant`` per value; the oracle walks
+    the same pairs via json_keys + json_type(j, key). Both engines'
+    native type vocabularies collapse to a canonical six
+    {number, string, bool, array, object, null} — Spark's
+    BIGINT/DECIMAL/DOUBLE and DuckDB's UBIGINT/BIGINT/DOUBLE all mean
+    'number'; Spark's VOID and DuckDB's SQL-NULL json_type both mean
+    JSON null. Keys are restricted to ``^[A-Za-z0-9_]+$`` by contract:
+    DuckDB's json_type(j, key) addresses by PATH, so a key containing
+    '.' or '[' would silently resolve elsewhere — the gate makes the
+    exclusion explicit on both sides rather than hash-diverging.
+
+    Scale shape: one scan, one explode (rows = total key instances),
+    one (key, type)-keyed partial agg — the shuffle carries
+    |keys|·|types| partials per task, corpus-size-independent."""
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string, variant>")).alias(
+            "key", "v"
+        )
+    ).filter(F.col("key").rlike("^[A-Za-z0-9_]+$"))
+    t = F.schema_of_variant(F.col("v"))
+    jtype = (
+        F.when(t.startswith("OBJECT"), "object")
+        .when(t.startswith("ARRAY"), "array")
+        .when(t == "VOID", "null")
+        .when(t == "BOOLEAN", "bool")
+        .when(t == "STRING", "string")
+        .otherwise("number")
+    )
+    return (
+        kv.select("key", jtype.alias("jtype"))
+        .groupBy("key", "jtype")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("key", "jtype")
+    )

@@ -1823,3 +1823,194 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subspace", "n", F.round("_mse", 6).alias("mse"))
         .orderBy("subspace")
     )
+
+
+# --------------------------------------------------------------------------
+# ann_mmr_rerank — diversity-aware re-ranking over the exact-kNN shortlist
+# --------------------------------------------------------------------------
+
+_MMR_Q = 0          # query vector
+_MMR_POOL = 10      # candidate shortlist size
+_MMR_PICKS = 3      # results after re-ranking
+_MMR_LAMBDA = 0.7   # relevance/diversity trade-off
+
+
+def _round_away(x: float, d: int) -> float:
+    """round-half-away-from-zero — Spark's F.round / DuckDB's round
+    semantics, NOT Python's banker's rounding (driver-side MMR math
+    must round exactly like the oracle)."""
+    import math
+
+    s = 10.0 ** d
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+@query(
+    "ann_mmr_rerank",
+    oracle=f"""
+    WITH g AS (
+      SELECT vec_id, embedding FROM embeddings WHERE {_VEC_OK}
+    ),
+    q AS (SELECT embedding AS qe FROM g WHERE vec_id = {_MMR_Q}),
+    scored AS (
+      SELECT c.vec_id AS n_id,
+             round({V.dd_cosine('q.qe', 'c.embedding')}, 5) AS rel,
+             c.embedding AS ce
+      FROM g c CROSS JOIN q WHERE c.vec_id <> {_MMR_Q}
+    ),
+    cand AS (
+      SELECT n_id, rel, ce FROM (
+        SELECT n_id, rel, ce,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, n_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.n_id AS ai, b.n_id AS bi,
+             round({V.dd_cosine('a.ce', 'b.ce')}, 5) AS s
+      FROM cand a JOIN cand b ON a.n_id <> b.n_id
+    ),
+    p1 AS (
+      SELECT n_id, rel FROM cand ORDER BY rel DESC, n_id LIMIT 1
+    ),
+    m2 AS (
+      SELECT c.n_id, c.rel,
+             round({_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA:.1f} * s1.s, 6)
+               AS sc
+      FROM cand c
+      JOIN sims s1 ON s1.ai = c.n_id AND s1.bi = (SELECT n_id FROM p1)
+    ),
+    p2 AS (SELECT n_id, rel, sc FROM m2 ORDER BY sc DESC, n_id LIMIT 1),
+    m3 AS (
+      SELECT c.n_id, c.rel,
+             round({_MMR_LAMBDA} * c.rel
+                   - {1 - _MMR_LAMBDA:.1f} * greatest(sa.s, sb.s), 6) AS sc
+      FROM cand c
+      JOIN sims sa ON sa.ai = c.n_id AND sa.bi = (SELECT n_id FROM p1)
+      JOIN sims sb ON sb.ai = c.n_id AND sb.bi = (SELECT n_id FROM p2)
+    ),
+    p3 AS (SELECT n_id, rel, sc FROM m3 ORDER BY sc DESC, n_id LIMIT 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS rnk, n_id AS vec_id, rel,
+             round({_MMR_LAMBDA} * rel, 6) AS mmr_score
+      FROM p1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), n_id, rel, sc FROM p2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), n_id, rel, sc FROM p3
+    ) ORDER BY rnk
+    """,
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) over the exact-kNN shortlist: pick {_MMR_PICKS} of the
+    query's top-{_MMR_POOL} neighbors greedily by
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the standard
+    diversity pass between ANN retrieval and a RAG context window (the
+    raw top-k is often {_MMR_POOL} near-copies of one document;
+    ``dedup_semdedup`` removes those from the CORPUS, MMR removes them
+    from the RESULT).
+
+    The greedy loop is inherently sequential, but over a BOUNDED
+    shortlist — so the plan splits exactly like kmeans_two_rounds:
+    the corpus-scale part (shortlist scoring) is one narrow
+    broadcast-matmul scan with batch-local pruning (the
+    ``cosine_knn_exact`` kernel, rank by ROUNDED cos + vec_id so the
+    shortlist is engine-stable), and the {_MMR_PICKS} selection steps
+    run on the collected ≤{_MMR_POOL}-row frame — a sanctioned bounded
+    collect — with every score rounded half-AWAY-from-zero (Spark/
+    DuckDB round, not Python's banker's round) before each argmax, so
+    the unrolled SQL replay picks the identical chain. Pairwise
+    shortlist sims are {_MMR_POOL}²; numpy-vs-left-fold summation
+    drift is ~1e-14, nine orders below the 1e-5 score rounding (the
+    cosine_knn_exact acceptance).
+
+    Scale: corpus touched once; everything after is O(pool²) on the
+    driver. Degenerate inputs (query vector gated out, pool smaller
+    than {_MMR_PICKS}) emit however many picks exist — the oracle's
+    LIMIT-1 chain goes empty the same way."""
+    import numpy as np
+
+    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
+    q_rows = emb.filter(F.col("vec_id") == _MMR_Q).collect()  # bounded: ≤1×d
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "rnk long, vec_id long, rel double, mmr_score double"
+        )
+    qv = np.asarray(q_rows[0]["embedding"], dtype=np.float64)
+    qv /= max(np.linalg.norm(qv), V._EPS)
+    bc = spark.sparkContext.broadcast(qv)
+    pool, eps = _MMR_POOL, V._EPS
+
+    def score(batches):
+        import pandas as pd
+
+        qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mask = cids != _MMR_Q
+            if not mask.any():
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"][mask]]
+            )
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), eps)
+            s = x @ qm
+            r5 = np.copysign(np.floor(np.abs(s) * 1e5 + 0.5), s) / 1e5
+            top = np.lexsort((cids[mask], -r5))[:pool]  # local prune
+            yield pd.DataFrame(
+                {
+                    "n_id": cids[mask][top],
+                    "rel": r5[top],
+                }
+            )
+
+    local = emb.mapInPandas(score, schema="n_id long, rel double")
+    rn = F.row_number().over(Window.orderBy(F.desc("rel"), "n_id"))
+    cand_rows = (
+        local.select("n_id", "rel", rn.alias("rn"))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .collect()
+    )  # bounded: ≤ pool rows
+    if not cand_rows:
+        return spark.createDataFrame(
+            [], "rnk long, vec_id long, rel double, mmr_score double"
+        )
+    ids = [r["n_id"] for r in cand_rows]
+    rel = {r["n_id"]: r["rel"] for r in cand_rows}
+    cemb = emb.filter(F.col("vec_id").isin(ids)).collect()  # bounded: ≤ pool×d
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cemb]
+    )
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), V._EPS)
+    mat_ids = [r["vec_id"] for r in cemb]
+    simm = mat @ mat.T
+    sim = {
+        (a, b): _round_away(simm[i, j], 5)
+        for i, a in enumerate(mat_ids)
+        for j, b in enumerate(mat_ids)
+        if a != b
+    }
+    picked: list[tuple[int, int, float, float]] = []  # rnk, id, rel, score
+    remaining = sorted(ids)
+    for step in range(min(_MMR_PICKS, len(ids))):
+        best = None
+        for c in remaining:
+            if step == 0:
+                sc = _round_away(_MMR_LAMBDA * rel[c], 6)
+            else:
+                worst = max(sim[(c, p[1])] for p in picked)
+                sc = _round_away(
+                    _MMR_LAMBDA * rel[c] - (1 - _MMR_LAMBDA) * worst, 6
+                )
+            # argmax with lowest-id tiebreak (remaining is id-sorted)
+            if best is None or sc > best[1]:
+                best = (c, sc)
+        picked.append((step + 1, best[0], rel[best[0]], best[1]))
+        remaining.remove(best[0])
+    return spark.createDataFrame(
+        [(r, i, float(v), float(s)) for r, i, v, s in picked],
+        "rnk long, vec_id long, rel double, mmr_score double",
+    )

@@ -119,11 +119,16 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json",
     # json_valid guard (round-9 hostile sweep): Spark's get_json_object
     # answers NULL on malformed/empty JSON while DuckDB's json_extract
-    # RAISES — the guard pins both engines to NULL-on-malformed
+    # RAISES — the guard pins both engines to NULL-on-malformed.
+    # TRY_CAST (round-10 hostile sweep, type-diverse props rows): a
+    # NON-NUMERIC k ({"k": "s"}, {"k": true}) is a data condition, not a
+    # query bug — the strict cast threw task-fatally under ANSI on both
+    # engines; per the SCALING.md per-value-cast rule it answers NULL
     oracle="""
     SELECT event_id,
-           CAST(CASE WHEN json_valid(props)
-                     THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k
     FROM events ORDER BY event_id
     """,
 )
@@ -131,11 +136,13 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the semi-structured props column — scan-side
     expression, no shuffle. Malformed/empty payloads answer NULL (the
     get_json_object contract), mirrored by the oracle's json_valid
-    guard."""
+    guard; a k that exists but isn't numeric answers NULL too
+    (try_cast — the SCALING.md poison-row rule, pinned by the round-10
+    type-diverse hostile rows)."""
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
     ).orderBy("event_id")
 
 
@@ -1847,15 +1854,50 @@ def funnel_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_pctl(p: float) -> str:
+    """DuckDB mirror of the shared interpolation formula in
+    ``latency_percentile_bands`` — lo + (hi − lo)·f with idx = (n−1)·p,
+    spelled operation-for-operation like the Spark side. The fraction
+    literal is pinned ``::DOUBLE``: DuckDB parses ``0.99`` as an EXACT
+    DECIMAL (so (n−1)·0.99 would be exact where Spark's double is not),
+    and the interpolation must inherit the same float error to stay
+    bit-identical."""
+    pd_ = f"{p!r}::DOUBLE"
+    idx = f"((len(arr) - 1) * {pd_})"
+    lo1 = f"arr[CAST(floor({idx}) AS BIGINT) + 1]"
+    hi1 = f"arr[CAST(floor({idx}) AS BIGINT) + 2]"
+    return f"{lo1} + (coalesce({hi1}, {lo1}) - {lo1}) * ({idx} - floor({idx}))"
+
+
+def _dd_q4(x: str) -> str:
+    """Shared-arithmetic 4-dp quantizer: floor(x·1e4 + 0.5)/1e4 with
+    every literal pinned ``::DOUBLE`` — bit-identical to the Spark
+    side by construction. Builtin round() is NOT usable here: DuckDB's
+    multiply-round-divide drifts an ulp at 1e11+ magnitudes where
+    Spark's BigDecimal round is exact (round-10 hostile find), and
+    DuckDB's double→DECIMAL cast has the same drift. Half-way values
+    round toward +∞ (a deterministic, documented choice); −0.0
+    normalizes to +0.0 for free (floor(0.5)/1e4 = 0.0)."""
+    return f"floor(({x}) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE"
+
+
 @query(
     "latency_percentile_bands",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS h,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY 1 ORDER BY 1
+    oracle=f"""
+    WITH g AS (
+      SELECT date_trunc('hour', ts) AS h,
+             list_sort(list(value)
+                       FILTER (WHERE TRY_CAST(value AS DECIMAL(18,6))
+                                     IS NOT NULL)) AS arr,
+             CAST(COUNT(TRY_CAST(value AS DECIMAL(18,6))) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT h,
+           {_dd_q4(_dd_pctl(0.5))} AS p50,
+           {_dd_q4(_dd_pctl(0.9))} AS p90,
+           {_dd_q4(_dd_pctl(0.99))} AS p99,
+           n
+    FROM g ORDER BY h
     """,
 )
 def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,21 +1906,58 @@ def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles per hour-key (group sizes are events-per-hour, well
     inside a task's sort budget; the ``winsorized_stats`` idiom and
     its documented percentile_approx swap apply beyond that). One
-    hour-keyed shuffle; percentiles round to 4 dp, where both engines'
-    interpolation agrees bit-wise on these inputs. For MERGEABLE
+    hour-keyed shuffle; percentiles round to 4 dp. For MERGEABLE
     cross-shard percentiles at fleet scale the sketch path is the
-    answer (cf. ``hll_user_reach`` for the sketch posture)."""
+    answer (cf. ``hll_user_reach`` for the sketch posture).
+
+    Round-10 hostile finds, three layers deep, all fixed by SHARED
+    ARITHMETIC instead of trusting builtins: (1) Spark ``percentile``
+    and DuckDB ``quantile_cont`` interpolate with formulas that differ
+    in the last ulp — the interpolation is now spelled manually and
+    identically on both sides (sorted in-domain array, idx = (n−1)·p,
+    lo + (hi − lo)·f, fraction literals pinned ``::DOUBLE`` because
+    DuckDB parses 0.99 as exact DECIMAL); (2) builtin round(·, 4)
+    itself diverges — DuckDB's multiply-round-divide (and its
+    double→DECIMAL cast) drift an ulp at 1e11+ magnitudes where
+    Spark's BigDecimal round is exact — so the 4-dp quantizer is the
+    explicit floor(x·1e4 + 0.5)/1e4, bit-identical by construction
+    (halves toward +∞; −0.0 normalizes to +0.0 for free); (3) the
+    metric domain is gated to DECIMAL(18,6) by try_cast per the
+    poison-row rule — a 1e12 sentinel latency is a poisoned metric,
+    not a percentile input — and ``n`` counts the cast column so the
+    denominator matches the stats domain (the ADVICE r9 rule)."""
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
-            F.count("*").alias("n"),
+    dec = F.col("value").try_cast("decimal(18,6)")
+    g = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.when(dec.isNotNull(), F.col("value")).alias("v"),
         )
-        .orderBy("h")
+        .groupBy("h")
+        .agg(
+            F.sort_array(F.collect_list("v")).alias("arr"),  # skips NULLs
+            F.count("v").alias("n"),
+        )
     )
+
+    def pctl(p: float):
+        nv = F.size("arr")
+        idx = (nv - 1) * F.lit(p)
+        lo = F.floor(idx).cast("long")
+        v_lo = F.get("arr", lo)
+        v_hi = F.coalesce(F.get("arr", lo + 1), v_lo)
+        return v_lo + (v_hi - v_lo) * (idx - F.floor(idx))
+
+    def q4(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    return g.select(
+        "h",
+        q4(pctl(0.5)).alias("p50"),
+        q4(pctl(0.9)).alias("p90"),
+        q4(pctl(0.99)).alias("p99"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("h")
 
 
 @query(
@@ -3175,3 +3254,131 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_touches"),
         F.round(credit, 6).alias("credit"),
     ).orderBy("purchase_id", "click_id")
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS c,
+             date_diff('day',
+                       CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders
+                        WHERE o_orderdate IS NOT NULL)) AS r,
+             COUNT(*) AS f,
+             COALESCE(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2))), 0) AS m
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
+    ), vals AS (
+      SELECT c, r, f, CAST(m AS BIGINT) // 1000 AS mb, m FROM cust
+    ), n_t AS (SELECT COUNT(*) AS n FROM vals),
+    rq AS (
+      SELECT r AS v, SUM(COUNT(*)) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM vals GROUP BY r
+    ), fq AS (
+      SELECT f AS v, SUM(COUNT(*)) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM vals GROUP BY f
+    ), mq AS (
+      SELECT mb AS v, SUM(COUNT(*)) OVER (ORDER BY mb ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM vals GROUP BY mb
+    ), seg AS (
+      SELECT vals.c, vals.m,
+             least((rq.cum * 5 + n.n - 1) // n.n, 5) AS r_q,
+             least((fq.cum * 5 + n.n - 1) // n.n, 5) AS f_q,
+             least((mq.cum * 5 + n.n - 1) // n.n, 5) AS m_q
+      FROM vals
+      JOIN rq ON rq.v = vals.r
+      JOIN fq ON fq.v = vals.f
+      JOIN mq ON mq.v = vals.mb
+      CROSS JOIN n_t n
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m) AS DOUBLE) AS revenue
+    FROM seg GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: every customer scored 1-5 on Recency
+    (days since last order), Frequency (order count), and Monetary
+    (revenue), then rolled up to segment cells — the classic marketing
+    partition (R5F5M5 champions vs R1 lapsed) and, in a data pipeline,
+    the stratification key for value-weighted sampling.
+
+    The textbook formulation (NTILE(5) per dimension) is a corpus-sized
+    single-partition sort THREE times over, and row-based NTILE splits
+    ties arbitrarily — nondeterministic across engines. This plan uses
+    tie-sharing quantile buckets via the quality_score_auc domain
+    trick: per dimension, group by the VALUE, one cumulative window
+    over that domain (days / order counts / thousand-dollar revenue
+    bands — all bounded axes, corpus-size-independent), and bucket =
+    ceil(5·cum/n) in exact integer arithmetic ((cum·5 + n−1) // n),
+    capped at 5. Equal values land in the same bucket by construction,
+    on both engines, with zero float ops before the final revenue sum.
+
+    Monetary rides try_cast DECIMAL(18,2) sums (poison-row rule;
+    out-of-domain prices drop from revenue, COALESCE'd so an
+    all-poison customer keeps m = 0) and buckets on the thousand-
+    dollar band so the quantile domain stays bounded at any corpus
+    size. Dateless orders are excluded (timeline contract). Scale
+    shape: one customers-sized partial agg, three domain-sized window
+    passes joined back BROADCAST (each ≤ |domain| rows), one ≤125-cell
+    final rollup."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    d_ = F.col("o_orderdate").cast("date")
+    gmax = orders.agg(F.max(d_).alias("gd"))
+    cust = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.datediff(F.max("gd"), F.max(d_)).alias("r"),
+            F.count("*").alias("f"),
+            F.coalesce(
+                F.sum(F.expr("try_cast(o_totalprice AS DECIMAL(18,2))")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("m"),
+        )
+    )
+    vals = cust.select(
+        "c", "r", "f", "m", F.expr("CAST(m AS BIGINT) div 1000").alias("mb")
+    )
+    n = vals.count()  # bounded scalar (matches the oracle's COUNT(*) CTE)
+
+    def bucket_frame(col: str, alias: str):
+        """(value, bucket) for one dimension: cumulative count over the
+        grouped value DOMAIN, bucket = ceil(5·cum/n) capped at 5 — the
+        exact integer ceil-division form shared with the oracle."""
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        grouped = vals.groupBy(col).agg(F.count("*").alias("_c"))
+        cum = F.sum("_c").over(w).alias("_cum")
+        return grouped.select(F.col(col).alias(f"_{alias}_v"), cum).select(
+            f"_{alias}_v",
+            F.least(
+                F.expr(f"(_cum * 5 + {n} - 1) div {n}"),
+                F.lit(5).cast("long"),
+            ).alias(alias),
+        )
+
+    rq = bucket_frame("r", "r_q")
+    fq = bucket_frame("f", "f_q")
+    mq = bucket_frame("mb", "m_q")
+    seg = (
+        vals.join(F.broadcast(rq), vals["r"] == rq["_r_q_v"])
+        .join(F.broadcast(fq), vals["f"] == fq["_f_q_v"])
+        .join(F.broadcast(mq), vals["mb"] == mq["_m_q_v"])
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("m").cast("double").alias("revenue"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

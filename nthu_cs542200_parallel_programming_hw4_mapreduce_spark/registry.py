@@ -440,6 +440,17 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # ab_test_ztest+chi2 in this pool / quantile_price r6 /
 # k_anonymity_suppress). Parity-verified at all three SFs + the
 # hostile fixture the day they landed.
+# Round-10 additions, fifth wave (json_schema_profile — per-key JSON
+# type histogram over the variant surface; rfm_segmentation —
+# tie-sharing quantile-bucket RFM cells; sql_pipe_syntax — the
+# Spark-4 |> dialect against its ANSI rewrite; ann_mmr_rerank — MMR
+# diversity re-ranking over the exact-kNN shortlist): same recipe,
+# bumping join_nullsafe_keys / gini_label_balance / entropy_profile /
+# encode_corpus (family-redundant with null_semantics' r6-era proof +
+# join family r8 / the evalmetrics label stats in this pool /
+# drift_ks_binned r8 / dictionary_encode r4 + bpe_first_merge r9).
+# Parity-verified at all three SFs + the hostile fixture the day they
+# landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
@@ -458,6 +469,10 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "weighted_sample_topk",
     "attribution_position_based",
     "pq_reconstruction_error",
+    "json_schema_profile",
+    "rfm_segmentation",
+    "sql_pipe_syntax",
+    "ann_mmr_rerank",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -468,8 +483,7 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "url_canonicalize",
     # r5-era re-proofs (latest driver row = CORRECTNESS_r05)
     "ab_test_ztest", "abc_analysis", "anomaly_mad", "arrow_udf_reverse",
-    "burst_detection", "chi2_independence", "encode_corpus",
-    "entropy_profile", "gini_label_balance", "join_nullsafe_keys",
+    "burst_detection", "chi2_independence",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

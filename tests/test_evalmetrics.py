@@ -211,3 +211,72 @@ def test_weighted_sample_keys_match_python_aes(spark, tmp_path_factory):
         key = math.log((h + 0.5) / 2**32) / w
         assert out[doc_id]["sample_key"] == round(key, 6)
         assert out[doc_id]["weight"] == w
+
+
+def test_json_schema_profile_type_histogram(spark, tmp_path_factory):
+    """Planted type diversity: every canonical jtype lands in the right
+    bucket, malformed JSON and path-hostile keys are excluded."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        json_schema_profile,
+    )
+
+    t0 = datetime.datetime(2026, 5, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, '{"k": 1, "tag": "x"}'),
+        (2, t0, 1, "view", 1.0, '{"k": "s", "arr": [1]}'),
+        (3, t0, 1, "view", 1.0, '{"k": true, "o": {"z": 1}}'),
+        (4, t0, 1, "view", 1.0, '{"k": null, "a.b": 7}'),  # dotted key gated
+        (5, t0, 1, "view", 1.0, "not json"),               # malformed gated
+        (6, t0, 1, "view", 1.0, '{"k": 2.5}'),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("jsp"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {(r["key"], r["jtype"]): r["n"]
+           for r in json_schema_profile(spark, d).collect()}
+    assert out == {
+        ("k", "number"): 2, ("k", "string"): 1, ("k", "bool"): 1,
+        ("k", "null"): 1, ("tag", "string"): 1, ("arr", "array"): 1,
+        ("o", "object"): 1,
+    }
+
+
+def test_rfm_buckets_hand_computed(spark, tmp_path_factory):
+    """5 customers with strictly increasing R/F/M → every quintile
+    bucket 1..5 appears exactly once per dimension, and ties share."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.streaming import (
+        rfm_segmentation,
+    )
+
+    t0 = datetime.datetime(2026, 6, 30)
+    rows = []
+    oid = 0
+    # customer c places c orders, last one (30 - 5c) days before t0,
+    # each worth 1000·c → R strictly decreasing recency, F/M increasing
+    for c in range(1, 6):
+        for i in range(c):
+            oid += 1
+            rows.append(
+                (oid, c, "O", 1000.0 * c,
+                 t0 - datetime.timedelta(days=(30 - 5 * c) + i), "1-URGENT")
+            )
+    df = spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    d = str(tmp_path_factory.mktemp("rfm"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = rfm_segmentation(spark, d).collect()
+    # five distinct customers, five distinct (r, f, m) profiles →
+    # five cells, one customer each, with aligned quintiles
+    assert len(out) == 5
+    assert all(r["n_customers"] == 1 for r in out)
+    rqs = sorted(r["r_q"] for r in out)
+    fqs = sorted(r["f_q"] for r in out)
+    assert rqs == [1, 2, 3, 4, 5] and fqs == [1, 2, 3, 4, 5]
+    # most recent + most frequent customer (c=5) is the champion cell
+    champ = [r for r in out if r["f_q"] == 5][0]
+    assert champ["r_q"] == 1 and champ["revenue"] == 25000.0

@@ -54,6 +54,30 @@ skipped the oracle's ts IS NOT NULL filter, so the NULL-ts head row
 minted a phantom opening state version under Spark's NULLS FIRST —
 fixed with the explicit contract (changes from timestamped events
 only; a timestampless event's PIT state is NULL on both sides).
+
+Round 10's second fixture wave added TYPE-DIVERSE JSON props (every
+canonical jtype for key k, a path-hostile dotted key, a top-level
+JSON scalar) and its whole-registry sweep surfaced three more real
+divergence classes, each fixed and pinned here:
+
+8. Strict casts of extracted JSON values crashed under ANSI on a
+   non-numeric k ({"k": "s"}) — scalar_json now try_casts on both
+   sides, and json_quarantine/variant_shred gate on
+   json_type IN (UBIGINT, BIGINT) because Spark's from_json /
+   typed-variant reads are STRICTLY typed (true, 1.5, even "7" all
+   yield NULL) while DuckDB's TRY_CAST of the ->> text would coerce
+   them — and bare try_variant_get(..., 'bigint') on the engine side
+   coerced too (true → 1, 1.5 → 1), so the shred is now type-gated.
+9. Builtin float machinery diverges in the last ulp at 1e11+
+   magnitudes, which a 1e12 poison value amplifies past display
+   rounding: Spark percentile vs DuckDB quantile_cont interpolate
+   differently, DuckDB's round(·, 4) and double→DECIMAL cast both
+   drift where Spark's BigDecimal forms are exact, and DuckDB parses
+   0.99 as exact DECIMAL where Spark reads a double.
+   latency_percentile_bands now spells the interpolation AND the 4-dp
+   quantizer as shared arithmetic (sorted in-domain array,
+   lo + (hi−lo)·f, floor(x·1e4 + 0.5)/1e4, literals pinned ::DOUBLE)
+   and domain-gates the metric per the poison-row rule.
 """
 
 from __future__ import annotations
@@ -95,6 +119,18 @@ REGRESSION_SET = [
     "pca_project_2d", "kmeans_two_rounds",
     "dedup_cross_snapshot_fuzzy", "context_window_lineage",
     "embedding_drift_by_label",
+    # round-10 waves 2-5 (evalmetrics, mining, streaming sessions,
+    # sampling, attribution, PQ audit, JSON profiling, RFM, pipe
+    # syntax, MMR), green on the extended fixture from day one
+    "quality_score_auc", "score_calibration_bins",
+    "label_agreement_kappa", "benford_first_digit",
+    "kaplan_meier_conversion", "copurchase_pairs",
+    "embedding_mahalanobis_outliers", "streaming_session_window",
+    "weighted_sample_topk", "attribution_position_based",
+    "pq_reconstruction_error", "json_schema_profile",
+    "rfm_segmentation", "sql_pipe_syntax", "ann_mmr_rerank",
+    # the type-diverse JSON / float-ulp wave (divergence classes 8-9)
+    "json_quarantine", "latency_percentile_bands",
 ]
 
 

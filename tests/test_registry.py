@@ -294,6 +294,9 @@ ROUND10_ADDITIONS = {
     # fourth wave: weighted sampling, multi-touch attribution, PQ audit
     "weighted_sample_topk", "attribution_position_based",
     "pq_reconstruction_error",
+    # fifth wave: JSON profiling, RFM, pipe syntax, MMR re-rank
+    "json_schema_profile", "rfm_segmentation", "sql_pipe_syntax",
+    "ann_mmr_rerank",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -309,6 +312,9 @@ ROUND10_BUMPED = {
     "pmi_collocations", "pit_state_at_event", "null_semantics",
     # bumped by the fourth wave
     "linreg_by_key", "latency_percentile_bands", "l_diversity_check",
+    # bumped by the fifth wave
+    "join_nullsafe_keys", "gini_label_balance", "entropy_profile",
+    "encode_corpus",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-

@@ -206,3 +206,40 @@ def test_pq_reconstruction_error_zero_on_codebook_corpus(spark, tmp_path_factory
     out = pq_reconstruction_error(spark, d).collect()
     assert [r["subspace"] for r in out] == list(range(_PQ_M))
     assert all(r["n"] == _PQ_K and r["mse"] == 0.0 for r in out)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path_factory):
+    """Query q; candidates: two near-identical high-relevance vectors
+    and one moderately-relevant orthogonal-ish vector. Plain top-2 by
+    relevance takes the twins; MMR's second pick must be the diverse
+    one."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.similarity import (
+        _DIM,
+        ann_mmr_rerank,
+    )
+
+    def v(*pairs):
+        out = [0.0] * _DIM
+        for i, val in pairs:
+            out[i] = val
+        return out
+
+    # twins share dim1 (mutual cos ≈ 0.99); the diverse candidate has
+    # the same relevance (dim0 component) but rides dim2 instead, so
+    # its similarity to a picked twin is only ≈ 0.49:
+    #   pick-2 score(twin)    ≈ 0.7·0.70 − 0.3·0.99 ≈ 0.19
+    #   pick-2 score(diverse) ≈ 0.7·0.70 − 0.3·0.49 ≈ 0.34  → wins
+    rows = [
+        (0, v((0, 1.0)), 0),                       # the query vector
+        (1, v((0, 0.70), (1, 0.71)), 0),           # twin A
+        (2, v((0, 0.70), (1, 0.712)), 0),          # twin B
+        (3, v((0, 0.695), (2, 0.71)), 0),          # diverse
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    d = str(tmp_path_factory.mktemp("mmr"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = ann_mmr_rerank(spark, d).collect()
+    assert [r["rnk"] for r in out] == [1, 2, 3]
+    assert out[0]["vec_id"] == 1          # most relevant (id tiebreak)
+    assert out[1]["vec_id"] == 3          # MMR swaps in the diverse one
+    assert out[2]["vec_id"] == 2          # the twin comes last

@@ -125,7 +125,20 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
             -- Spark's NULLS FIRST but the TAIL under DuckDB's NULLS
             -- LAST — the row class that forced the NULL-ts contract on
             -- the sessionizers and event-time window assigners
-            (99007, NULL, 3, 'view', 1.0, '{{}}')
+            (99007, NULL, 3, 'view', 1.0, '{{}}'),
+            -- type-diverse + path-hostile JSON props (round 10): every
+            -- canonical jtype {{string,number,bool,array,object,null}}
+            -- appears for key k, plus a dotted key that DuckDB's
+            -- json_type(j, key) would resolve as a PATH — the class the
+            -- json_schema_profile key-charset gate exists for — and a
+            -- top-level JSON scalar (valid JSON, zero keys)
+            (99010, TIMESTAMP '2024-01-15 12:01:00', 5, 'view', 1.0,
+             '{{"k": "s", "extra": 1.5}}'),
+            (99011, TIMESTAMP '2024-01-15 12:01:01', 5, 'view', 1.0,
+             '{{"k": true, "arr": [1, 2]}}'),
+            (99012, TIMESTAMP '2024-01-15 12:01:02', 5, 'view', 1.0,
+             '{{"k": null, "o": {{"z": 1}}, "a.b": 7}}'),
+            (99013, TIMESTAMP '2024-01-15 12:01:03', 5, 'view', 1.0, '69')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
         """
