@@ -229,6 +229,9 @@ HEADLINE = [
     "rfm_segmentation",
     "sql_pipe_syntax",
     "ann_mmr_rerank",
+    "orc_scan",
+    "decontaminate_substring",
+    "streaming_stream_left_join",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

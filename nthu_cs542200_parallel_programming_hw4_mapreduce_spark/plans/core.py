@@ -3135,3 +3135,52 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority, o_orderstatus
         """
     )
+
+
+@query(
+    "orc_scan",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ORC round trip: lineitem → ORC files → ORC scan with a
+    pushed-down predicate → aggregate, the oracle running on the
+    ORIGINAL parquet — a green row proves the ORC writer/reader pair
+    loses, duplicates, and mistypes nothing across the second columnar
+    format a lakehouse meets in practice (Hive-era warehouses land
+    ORC; this is the fidelity check for reading them in place before
+    converting).
+
+    Same materialize-once posture as ``delta_scan``/``xml_ingest``.
+    Unlike XML, ORC is a first-class columnar source: the quantity
+    predicate reaches the ORC reader as a pushed filter and the scan
+    prunes to the three referenced columns (PLANS.md shows
+    PushedFilters/ReadSchema on the OrcScan exactly as on parquet), so
+    the round trip also certifies that the FAST path — not just
+    correctness — survives the format change. Revenue rides try_cast
+    DECIMAL(18,2) per the poison-row rule."""
+    from ..sources.cache import materialize_once
+
+    li = table(spark, sf_dir, "lineitem")
+    base = materialize_once(
+        "orc", sf_dir, "lineitem",
+        lambda tmp: li.write.mode("overwrite").orc(tmp),
+    )
+    return (
+        spark.read.orc(base)
+        .filter(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("try_cast(l_extendedprice AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3382,3 +3382,58 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@query(
+    "streaming_stream_left_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT least((SELECT MAX(click_ts) FROM c),
+                   (SELECT MAX(purchase_ts) FROM p)) AS w
+    ), j AS (
+      SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts < c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id FROM j
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER join — the semantics the inner
+    variant (``streaming_stream_join``) cannot give you: clicks that
+    never convert still come out, as NULL-purchase rows, which is what
+    funnel-drop and abandonment analyses actually consume. The
+    streaming runtime emits a NULL row for an unmatched click only
+    when the WATERMARK proves no qualifying purchase can still arrive
+    (state eviction at click_ts + horizon) — the part of outer-join
+    semantics that is genuinely streaming-specific.
+
+    Over a finite drain that proof threshold is deterministic: the
+    global watermark is the MIN of the two sides' per-source
+    watermarks (Spark's multipleWatermarkPolicy=min default), so the
+    final watermark is min(max click_ts, max purchase_ts) and the
+    oracle replays the emission rule as a scalar-subquery cutoff —
+    matched rows unconditionally, unmatched clicks iff click_ts +
+    horizon < that watermark (strict bound pinned empirically: the
+    click AT the watermark stays buffered). The two-sided twin of the
+    ``streaming_session_window`` drained-static contract. NULL-ts
+    events never match in batch and never watermark in the stream —
+    consistent by construction on both sides.
+
+    Scale shape: same watermark-bounded join state as the inner form
+    (state is O(events per horizon), not O(stream)); the outer variant
+    adds only the eviction-time null emission."""
+    from ..streaming.joins import run_clicks_purchases_left_join
+
+    return run_clicks_purchases_left_join(spark, f"{sf_dir}/events.parquet")

@@ -2568,3 +2568,80 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_TOPK)
         .drop("_k12")
     )
+
+
+_SUBSTR_SNIPPET_LEN = 40
+_SUBSTR_EVAL_ID_CAP = 50_000  # the eval suite is FIXED-size; see docstring
+
+
+@query(
+    "decontaminate_substring",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g')
+               AS t
+      FROM documents WHERE text IS NOT NULL
+    ), ev AS (
+      SELECT DISTINCT substr(t, 1, {_SUBSTR_SNIPPET_LEN}) AS snip
+      FROM norm
+      WHERE doc_id % 97 = 0 AND doc_id < {_SUBSTR_EVAL_ID_CAP}
+        AND length(t) >= {_SUBSTR_SNIPPET_LEN}
+    )
+    SELECT n.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM norm n JOIN ev ON n.doc_id % 97 <> 0
+                       AND position(ev.snip IN n.t) > 0
+    GROUP BY n.doc_id ORDER BY n.doc_id
+    """,
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring decontamination (the GPT-3/PaLM appendix
+    protocol): flag training documents that contain a verbatim
+    {_SUBSTR_SNIPPET_LEN}-char snippet of any eval example — the
+    strictest contamination test, catching verbatim quotes that
+    token-level n-gram overlap (``decontaminate_ngram``) can miss
+    across tokenization differences and that it complements (n-grams
+    catch paraphrase-adjacent reuse; substrings catch copy-paste).
+    Text is whitespace-normalized and lowercased on both sides first
+    (the ``doc_fingerprint`` canonicalization, explicit WS class per
+    the Java-vs-RE2 rule), so formatting noise doesn't hide a quote.
+
+    Scale shape: the eval side (doc_id % 97 under a fixed id cap —
+    the benchmark stand-in; a REAL eval suite is fixed-size, so the
+    stand-in must not grow with the corpus the way the bare %97 rule
+    would, which the 100× probe measured as an honest-but-misleading
+    snippets×corpus blow-up) collapses to DISTINCT leading snippets
+    and BROADCASTS; the corpus streams through one scan with
+    a codegen'd ``contains`` per snippet — no corpus shuffle, no
+    join-key explosion; only (doc, snip) hits reach the per-doc count.
+    At a real eval-suite size (thousands of snippets) the scan cost is
+    snippets×doc-length per task — the published protocol's cost — and
+    the Bloom/ngram pair remains the cheap pre-filter when that's too
+    hot."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.trim(F.col("text"))), "[ \t\n\r\f]+", " "
+        ).alias("t"),
+    )
+    ev = (
+        norm.filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.col("doc_id") < _SUBSTR_EVAL_ID_CAP)
+            & (F.length("t") >= _SUBSTR_SNIPPET_LEN)
+        )
+        .select(F.substring("t", 1, _SUBSTR_SNIPPET_LEN).alias("snip"))
+        .distinct()
+    )
+    hits = (
+        norm.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev))
+        .filter(F.expr("position(snip IN t) > 0"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .orderBy("doc_id")
+    )

@@ -451,6 +451,15 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # drift_ks_binned r8 / dictionary_encode r4 + bpe_first_merge r9).
 # Parity-verified at all three SFs + the hostile fixture the day they
 # landed.
+# Round-10 additions, sixth wave (orc_scan — the second columnar
+# format's round-trip fidelity + pushdown check; decontaminate_substring
+# — the GPT-3/PaLM exact-substring protocol; streaming_stream_left_join
+# — watermark-evicted NULL emission under a two-sided drained-static
+# cutoff): same recipe, bumping chi2_independence / burst_detection /
+# arrow_udf_reverse (family-redundant with drift_ks_binned r8 +
+# ab_test in this pool / anomaly_mad in this pool / udtf_tokenize r8 +
+# arrow_map_batches' deferral note). Parity-verified at all three SFs
+# + the hostile fixture the day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
@@ -473,6 +482,9 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "rfm_segmentation",
     "sql_pipe_syntax",
     "ann_mmr_rerank",
+    "orc_scan",
+    "decontaminate_substring",
+    "streaming_stream_left_join",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -482,8 +494,7 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "streaming_static_join", "streaming_stream_join", "streaming_topk",
     "url_canonicalize",
     # r5-era re-proofs (latest driver row = CORRECTNESS_r05)
-    "ab_test_ztest", "abc_analysis", "anomaly_mad", "arrow_udf_reverse",
-    "burst_detection", "chi2_independence",
+    "ab_test_ztest", "abc_analysis", "anomaly_mad",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

@@ -114,3 +114,71 @@ def run_clicks_purchases_join(
     finally:
         q.stop()
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+def run_clicks_purchases_left_join(
+    spark: SparkSession,
+    path: str,
+    horizon_minutes: int = 30,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """LEFT OUTER variant of the clicks→purchases stream-stream join:
+    matched pairs emit as soon as both sides arrive (inner semantics),
+    and an UNMATCHED click emits its NULL row only once the watermark
+    proves no qualifying purchase can still arrive — i.e. when the
+    global watermark passes click_ts + horizon. Spark's global
+    watermark over multiple event-time sources is the MIN of the
+    per-source watermarks (``multipleWatermarkPolicy=min``), so over a
+    finite drain the final watermark is min(max click_ts, max
+    purchase_ts) − delay, and the clicks still inside their horizon at
+    that point stay buffered, unemitted — the deterministic tail the
+    declared query's oracle replays (the streaming_session_window
+    cutoff pattern, two-sided)."""
+    clicks = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.p_user_id,
+            purchases.purchase_ts >= clicks.click_ts,
+            purchases.purchase_ts
+            < clicks.click_ts + F.expr(f"INTERVAL {horizon_minutes} MINUTES"),
+        ],
+        "leftOuter",
+    ).select(clicks.user_id, "click_id", "purchase_id")
+    name = f"stream_left_join_{next(_sink_counter)}"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("click_id", "purchase_id")

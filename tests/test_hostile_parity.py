@@ -129,6 +129,7 @@ REGRESSION_SET = [
     "weighted_sample_topk", "attribution_position_based",
     "pq_reconstruction_error", "json_schema_profile",
     "rfm_segmentation", "sql_pipe_syntax", "ann_mmr_rerank",
+    "orc_scan", "decontaminate_substring", "streaming_stream_left_join",
     # the type-diverse JSON / float-ulp wave (divergence classes 8-9)
     "json_quarantine", "latency_percentile_bands",
 ]

@@ -297,6 +297,9 @@ ROUND10_ADDITIONS = {
     # fifth wave: JSON profiling, RFM, pipe syntax, MMR re-rank
     "json_schema_profile", "rfm_segmentation", "sql_pipe_syntax",
     "ann_mmr_rerank",
+    # sixth wave: ORC round trip, exact-substring decontamination,
+    # left-outer stream-stream join
+    "orc_scan", "decontaminate_substring", "streaming_stream_left_join",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -315,6 +318,8 @@ ROUND10_BUMPED = {
     # bumped by the fifth wave
     "join_nullsafe_keys", "gini_label_balance", "entropy_profile",
     "encode_corpus",
+    # bumped by the sixth wave
+    "chi2_independence", "burst_detection", "arrow_udf_reverse",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-

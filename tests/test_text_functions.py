@@ -399,3 +399,23 @@ def test_lineage_partitions_every_token_and_agrees_with_packing(spark, sf_dir):
         # bins the doc spans are consecutive
         bins = list(g["bin_id"])
         assert bins == list(range(bins[0], bins[0] + len(bins)))
+
+
+def test_decontaminate_substring_catches_verbatim_quote(spark, tmp_path_factory):
+    """A training doc quoting 40+ chars of an eval doc verbatim (with
+    different whitespace/case) is flagged; an unrelated doc is not."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.text import (
+        decontaminate_substring,
+    )
+
+    eval_text = "The quick brown fox jumps over the lazy dog near the river bank."
+    rows = [
+        (0, eval_text, "en", "s", len(eval_text)),            # eval (0 % 97 == 0)
+        (1, "intro...  the  QUICK   brown fox Jumps over the lazy dog near the riv tail", "en", "s", 60),
+        (2, "totally unrelated text about parquet files and shuffles", "en", "s", 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path_factory.mktemp("decon"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r["n_hits"] for r in decontaminate_substring(spark, d).collect()}
+    assert out == {1: 1}
