@@ -233,3 +233,18 @@ def test_compact_files_oversized_input_skips_bins(spark, tmp_path):
     assert paths[0].endswith("compact-00000.parquet")
     assert int(paths[1].split("compact-")[1].split(".")[0]) >= 2
     assert spark.read.parquet(*paths).count() == 3010
+
+
+def test_avro_is_jar_gated(spark):
+    """spark-avro is external-module-only; absent jar → the honest
+    NotImplementedError gate (the Iceberg/JDBC posture). If this test
+    ever FAILS because avro resolved, implement the round trip —
+    the gate is a probe, not a permanent exclusion."""
+    import pytest as _pytest
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.sources.readers import (
+        read_avro,
+    )
+
+    with _pytest.raises(NotImplementedError, match="avro"):
+        read_avro(spark, "/nonexistent/_probe_")
