@@ -2493,7 +2493,15 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could coerce — via an explicit json_type guard.
     oracle="""
     WITH p AS (
-      SELECT CASE WHEN json_valid(props) THEN props END AS payload
+      -- duplicate-keyed payloads shred to NULL on both sides (round-10
+      -- review): the engine's map read keeps the LAST occurrence while
+      -- DuckDB's path lookup resolves the FIRST — same gate as
+      -- json_schema_profile
+      SELECT CASE WHEN json_valid(props) THEN
+               CASE WHEN len(json_keys(props))
+                         = len(list_distinct(json_keys(props)))
+                    THEN props END
+             END AS payload
       FROM events
     ), x AS (
       SELECT CASE WHEN json_type(payload, 'k') IN ('UBIGINT', 'BIGINT')
@@ -2529,8 +2537,14 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TRUNCATES 1.5 to 1 — silent dirty-data laundering a typed column
     # must not do — so only an integer-typed variant shreds; everything
     # else answers NULL (json_schema_profile is the audit that finds
-    # those keys).
-    v = ev.select(F.try_parse_json("props").alias("v"))
+    # those keys). Duplicate-keyed payloads are likewise
+    # out-of-contract (the engines resolve opposite occurrences —
+    # json_schema_profile's gate, mirrored in the oracle's p CTE).
+    keys = F.json_object_keys("props")  # NULL on malformed, dups kept
+    no_dups = F.size(keys) == F.size(F.array_distinct(keys))
+    v = ev.select(
+        F.when(no_dups, F.try_parse_json("props")).alias("v")
+    )
     kv = F.try_variant_get("v", "$.k", "variant")
     k = F.when(
         F.schema_of_variant(kv) == "BIGINT",

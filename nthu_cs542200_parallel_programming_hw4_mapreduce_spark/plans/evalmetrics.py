@@ -135,11 +135,8 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one codegen'd scan, one partial-agg'd groupBy of ≤10
     bins — the shuffle carries 10 partials per task regardless of
     corpus size."""
-    base = table(spark, sf_dir, "documents").select(
-        F.least(
-            F.coalesce(X.token_count("text"), F.lit(0)), F.lit(100)
-        ).alias("sc"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    base = _score_label(table(spark, sf_dir, "documents")).select(
+        F.least(F.col("s"), F.lit(100)).alias("sc"), "y"
     )
     return (
         base.groupBy(

@@ -939,7 +939,14 @@ def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (not the string 'NULL'), hence the COALESCE
     oracle=r"""
     WITH v AS (
-      SELECT props AS j FROM events WHERE json_valid(props)
+      -- duplicate-keyed payloads are gated (round-10 review): Spark's
+      -- from_json map DEDUPS to the LAST occurrence while DuckDB's
+      -- json_keys enumerates every occurrence and json_type resolves
+      -- the FIRST — irreconcilable on mixed-type duplicates, so the
+      -- profile declares them out-of-contract on both sides
+      SELECT props AS j FROM events
+      WHERE json_valid(props)
+        AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
     ), kv AS (
       SELECT u.k AS key,
              COALESCE(json_type(v.j, u.k), 'NULL') AS jt
@@ -978,12 +985,18 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's json_type(j, key) addresses by PATH, so a key containing
     '.' or '[' would silently resolve elsewhere — the gate makes the
     exclusion explicit on both sides rather than hash-diverging.
+    Duplicate-keyed payloads are likewise out-of-contract (Spark's map
+    keeps the LAST occurrence, DuckDB's path lookup resolves the
+    FIRST — round-10 review), gated by an explicit key-list
+    distinctness check on both sides.
 
     Scale shape: one scan, one explode (rows = total key instances),
     one (key, type)-keyed partial agg — the shuffle carries
     |keys|·|types| partials per task, corpus-size-independent."""
     ev = table(spark, sf_dir, "events")
-    kv = ev.select(
+    keys = F.json_object_keys("props")  # NULL on malformed, dups kept
+    no_dups = F.size(keys) == F.size(F.array_distinct(keys))
+    kv = ev.filter(no_dups).select(
         F.explode(F.from_json("props", "map<string, variant>")).alias(
             "key", "v"
         )

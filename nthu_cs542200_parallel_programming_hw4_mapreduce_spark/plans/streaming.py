@@ -120,15 +120,19 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # json_valid guard (round-9 hostile sweep): Spark's get_json_object
     # answers NULL on malformed/empty JSON while DuckDB's json_extract
     # RAISES — the guard pins both engines to NULL-on-malformed.
-    # TRY_CAST (round-10 hostile sweep, type-diverse props rows): a
-    # NON-NUMERIC k ({"k": "s"}, {"k": true}) is a data condition, not a
-    # query bug — the strict cast threw task-fatally under ANSI on both
-    # engines; per the SCALING.md per-value-cast rule it answers NULL
+    # Integer-literal regex gate (round-10 review): a bare TRY_CAST of
+    # the extracted text still DIVERGES on fractional/scientific forms
+    # — Spark try_cast('1.5' AS BIGINT) is NULL while DuckDB coerces
+    # '1.5'→2 and '1e3'→1000 — so only ^-?[0-9]+$ text casts at all
+    # (same class both regex engines; try_cast stays for overflow)
     oracle="""
     SELECT event_id,
-           TRY_CAST(CASE WHEN json_valid(props)
-                         THEN json_extract_string(props, '$.k') END
-                    AS BIGINT) AS k
+           TRY_CAST(CASE WHEN json_valid(props) THEN
+                      CASE WHEN regexp_matches(
+                                  json_extract_string(props, '$.k'),
+                                  '^-?[0-9]+$')
+                           THEN json_extract_string(props, '$.k') END
+                    END AS BIGINT) AS k
     FROM events ORDER BY event_id
     """,
 )
@@ -136,13 +140,19 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the semi-structured props column — scan-side
     expression, no shuffle. Malformed/empty payloads answer NULL (the
     get_json_object contract), mirrored by the oracle's json_valid
-    guard; a k that exists but isn't numeric answers NULL too
-    (try_cast — the SCALING.md poison-row rule, pinned by the round-10
-    type-diverse hostile rows)."""
+    guard; a k that exists but isn't an INTEGER LITERAL answers NULL
+    too — gated by an explicit ^-?[0-9]+$ regex on both sides, because
+    the engines' string→bigint coercions disagree off that class
+    (Spark NULLs '1.5'; DuckDB rounds it to 2 — round-10 review), and
+    the residual try_cast handles out-of-int64-range digit strings per
+    the poison-row rule."""
     ev = table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+        F.when(k_str.rlike("^-?[0-9]+$"), k_str)
+        .try_cast("bigint")
+        .alias("k"),
     ).orderBy("event_id")
 
 
@@ -1886,10 +1896,17 @@ def _dd_q4(x: str) -> str:
     oracle=f"""
     WITH g AS (
       SELECT date_trunc('hour', ts) AS h,
+             -- isfinite CASE inside the try_cast (round-10 review):
+             -- DuckDB v1.0's TRY_CAST RAISES on NaN doubles instead
+             -- of NULLing (the documented _dd_dec trap); Spark's
+             -- try_cast is already NULL-on-NaN
              list_sort(list(value)
-                       FILTER (WHERE TRY_CAST(value AS DECIMAL(18,6))
-                                     IS NOT NULL)) AS arr,
-             CAST(COUNT(TRY_CAST(value AS DECIMAL(18,6))) AS BIGINT) AS n
+                       FILTER (WHERE CASE WHEN isfinite(value)
+                                          THEN TRY_CAST(value AS DECIMAL(18,6))
+                                     END IS NOT NULL)) AS arr,
+             CAST(COUNT(CASE WHEN isfinite(value)
+                             THEN TRY_CAST(value AS DECIMAL(18,6)) END)
+                  AS BIGINT) AS n
       FROM events GROUP BY 1
     )
     SELECT h,
@@ -3269,7 +3286,14 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,2))), 0) AS m
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
     ), vals AS (
-      SELECT c, r, f, CAST(m AS BIGINT) // 1000 AS mb, m FROM cust
+      -- floor(m/1000) spelled identically both sides (round-10
+      -- review): CAST(decimal AS BIGINT) truncates in Spark but
+      -- ROUNDS in DuckDB, so a .5+ fraction at a ...999 boundary
+      -- would band-shift one engine's customer
+      SELECT c, r, f,
+             CAST(floor(CAST(m AS DOUBLE) / 1000.0::DOUBLE) AS BIGINT)
+               AS mb, m
+      FROM cust
     ), n_t AS (SELECT COUNT(*) AS n FROM vals),
     rq AS (
       SELECT r AS v, SUM(COUNT(*)) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
@@ -3347,8 +3371,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vals = cust.select(
-        "c", "r", "f", "m", F.expr("CAST(m AS BIGINT) div 1000").alias("mb")
-    )
+        "c", "r", "f", "m",
+        F.floor(F.col("m").cast("double") / 1000.0).cast("long").alias("mb"),
+    ).localCheckpoint()  # five consumers (count + 3 bucket frames +
+    # the final join) — without pinning, each re-runs the orders scan
+    # and the customer rollup (round-10 review)
     n = vals.count()  # bounded scalar (matches the oracle's COUNT(*) CTE)
 
     def bucket_frame(col: str, alias: str):
@@ -3394,8 +3421,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
       FROM events WHERE event_type = 'purchase'
     ), wm AS (
-      SELECT least((SELECT MAX(click_ts) FROM c),
-                   (SELECT MAX(purchase_ts) FROM p)) AS w
+      -- both sides must have advanced for the global min-watermark to
+      -- move at all (round-10 review): DuckDB least() IGNORES a NULL
+      -- arm, but a purchase-free stream keeps Spark's global watermark
+      -- at epoch 0 and nothing ever evicts — so a missing side means
+      -- NULL (no null-row emission), not "the other side's max"
+      SELECT CASE WHEN (SELECT MAX(click_ts) FROM c) IS NOT NULL
+                   AND (SELECT MAX(purchase_ts) FROM p) IS NOT NULL
+                  THEN least((SELECT MAX(click_ts) FROM c),
+                             (SELECT MAX(purchase_ts) FROM p)) END AS w
     ), j AS (
       SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
       FROM c LEFT JOIN p

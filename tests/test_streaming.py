@@ -789,3 +789,40 @@ def test_position_based_attribution_planted_journeys(spark, tmp_path_factory):
     assert out[(14, 12)]["credit"] == 0.2   # middle
     assert out[(14, 13)]["credit"] == 0.4   # last touch
     assert out[(24, 22)]["credit"] == 0.5 == out[(24, 23)]["credit"]
+
+
+def test_latency_bands_oracle_survives_nan_metric(spark, tmp_path_factory):
+    """Defensive pin for the round-10 isfinite guard: a NaN value row
+    (out-of-contract — data_expectations gates these upstream) must be
+    EXCLUDED by both engines, not crash DuckDB v1.0's TRY_CAST (which
+    raises on NaN instead of NULLing) or skew the percentile."""
+    import datetime
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from tools.parity import compare
+
+    t0 = datetime.datetime(2026, 7, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 1, "view", 3.0, "{}"),
+        (3, t0, 1, "view", float("nan"), "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path_factory.mktemp("nanval"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = E.queries()["latency_percentile_bands"](spark, d).collect()
+    assert len(out) == 1 and out[0]["n"] == 2  # NaN excluded, counted out
+    assert out[0]["p50"] == 2.0 and not math.isnan(out[0]["p99"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    ddf = con.execute(E.oracle_sql()["latency_percentile_bands"]).df()
+    sdf = E.queries()["latency_percentile_bands"](spark, d).toPandas()
+    assert not compare("latency_percentile_bands", sdf, ddf)

@@ -138,7 +138,22 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
              '{{"k": true, "arr": [1, 2]}}'),
             (99012, TIMESTAMP '2024-01-15 12:01:02', 5, 'view', 1.0,
              '{{"k": null, "o": {{"z": 1}}, "a.b": 7}}'),
-            (99013, TIMESTAMP '2024-01-15 12:01:03', 5, 'view', 1.0, '69')
+            (99013, TIMESTAMP '2024-01-15 12:01:03', 5, 'view', 1.0, '69'),
+            -- round-10 review classes: a FRACTIONAL k (Spark try_cast
+            -- NULLs '1.5' where DuckDB would coerce to 2 — the
+            -- integer-literal regex gate) and a DUPLICATE-keyed
+            -- payload (Spark map keeps LAST, DuckDB path lookup
+            -- resolves FIRST — the distinctness gate). NaN metric
+            -- values stay OUT of this fixture by design: the repo's
+            -- finite-value contract routes NaN/±Inf through
+            -- data_expectations upstream, and ~20 oracles rely on it
+            -- (DuckDB v1.0 TRY_CAST raises on NaN); the one defensive
+            -- isfinite guard (latency_percentile_bands) is pinned by
+            -- its own planted-NaN test instead
+            (99014, TIMESTAMP '2024-01-15 12:01:04', 5, 'view', 1.0,
+             '{{"k": 1.5}}'),
+            (99015, TIMESTAMP '2024-01-15 12:01:05', 5, 'view', 1.0,
+             '{{"k": 1, "k": "s"}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
         """
