@@ -232,6 +232,8 @@ HEADLINE = [
     "orc_scan",
     "decontaminate_substring",
     "streaming_stream_left_join",
+    "referential_integrity_audit",
+    "seasonality_dow",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

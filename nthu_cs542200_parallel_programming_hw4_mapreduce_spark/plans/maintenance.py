@@ -1016,3 +1016,93 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("key", "jtype")
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE s.s_nationkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region',
+           CAST((SELECT COUNT(*) FROM nation n
+                 WHERE n.n_regionkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = n.n_regionkey))
+                AS BIGINT)
+    ORDER BY relationship
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for every
+    foreign-key relationship in the star schema — the multi-table
+    sibling of ``data_expectations`` (which checks single-table rules)
+    and the first thing a warehouse QA pass runs after an ingest: a
+    nonzero row means a fact arrived before (or outlived) its
+    dimension. NULL FKs are not orphans — they're the single-table
+    null-rate check's business — so each probe is null-gated,
+    identically on both sides.
+
+    Scale shape: each relationship is one LEFT ANTI join collapsed to
+    a one-row count — the dimension sides broadcast while they fit and
+    degrade to shuffled-hash beyond that (AQE, per relationship), and
+    the anti-join form never materializes matches, only misses cross
+    the wire; the UNION of one-row aggregates is driver-trivial (the
+    ``data_expectations`` assembly shape, kept LAZY — no driver-side
+    counts at plan-build time)."""
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+        return (
+            fact.filter(F.col(fk).isNotNull())
+            .join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count("*").cast("long").alias("orphans"))
+            .select(F.lit(name).alias("relationship"), "orphans")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    sup = table(spark, sf_dir, "supplier")
+    reg = table(spark, sf_dir, "region")
+    frames = [
+        orphans(cust, "c_nationkey", nat, "n_nationkey",
+                "customer.c_nationkey -> nation"),
+        orphans(li, "l_orderkey", orders, "o_orderkey",
+                "lineitem.l_orderkey -> orders"),
+        orphans(nat, "n_regionkey", reg, "r_regionkey",
+                "nation.n_regionkey -> region"),
+        orphans(orders, "o_custkey", cust, "c_custkey",
+                "orders.o_custkey -> customer"),
+        orphans(sup, "s_nationkey", nat, "n_nationkey",
+                "supplier.s_nationkey -> nation"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relationship")

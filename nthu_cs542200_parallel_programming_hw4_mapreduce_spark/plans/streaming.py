@@ -3471,3 +3471,67 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import run_clicks_purchases_left_join
 
     return run_clicks_purchases_left_join(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "seasonality_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             SUM(TRY_CAST(value AS DECIMAL(18,6))) AS s
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), dow AS (
+      SELECT dayofweek(d) + 1 AS w, SUM(s) AS sw, COUNT(*) AS c
+      FROM daily GROUP BY 1
+    )
+    SELECT daily.d AS day, CAST(dow.w AS BIGINT) AS dow,
+           CAST(daily.s AS DOUBLE) AS total,
+           round(CAST(dow.sw AS DOUBLE) / dow.c, 6) AS dow_mean,
+           round(CAST(daily.s AS DOUBLE)
+                 - CAST(dow.sw AS DOUBLE) / dow.c, 6) AS resid
+    FROM daily JOIN dow ON dayofweek(daily.d) + 1 = dow.w
+    ORDER BY day
+    """,
+)
+def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily metric total:
+    each day's value split into its weekday's mean (the seasonal
+    component) and the residual — the naive-seasonal baseline every
+    monitoring stack runs before alerting on traffic (a quiet Sunday
+    is not an incident; a quiet Tuesday is), and the de-seasonalized
+    residual feeds ``anomaly_zscore``-style detectors without the
+    weekly sawtooth.
+
+    Exact-arithmetic discipline: daily totals are order-free DECIMAL
+    sums; the weekday means are one decimal-sum-over-count division in
+    double, and the residual subtracts that identical double — single
+    closed-form float ops both sides, rounded (the ab_test rule).
+    Weekday numbering is pinned to Spark's convention (1 = Sunday) via
+    ``dayofweek(d) + 1`` on the DuckDB side (DuckDB counts Sunday as
+    0). Out-of-DECIMAL-domain poison values drop via try_cast;
+    NULL-ts events are unplaceable (timeline contract).
+
+    Scale shape: one events-sized partial-agg'd groupBy to days, then
+    every downstream frame is day-axis-sized (≤ span days) — the
+    weekday rollup is ≤7 rows, broadcast back. Corpus touched once."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.col("value").try_cast("decimal(18,6)")).alias("s"))
+    )
+    dow = (
+        daily.groupBy(F.dayofweek("d").alias("w"))
+        .agg(F.sum("s").alias("sw"), F.count("*").alias("c"))
+    )
+    mean = F.col("sw").cast("double") / F.col("c")
+    return (
+        daily.join(F.broadcast(dow), F.dayofweek(F.col("d")) == F.col("w"))
+        .select(
+            F.col("d").alias("day"),
+            F.col("w").cast("long").alias("dow"),
+            F.col("s").cast("double").alias("total"),
+            F.round(mean, 6).alias("dow_mean"),
+            F.round(F.col("s").cast("double") - mean, 6).alias("resid"),
+        )
+        .orderBy("day")
+    )

@@ -460,6 +460,13 @@ ROUND9_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND9_ROTATION_POOL
 # ab_test in this pool / anomaly_mad in this pool / udtf_tokenize r8 +
 # arrow_map_batches' deferral note). Parity-verified at all three SFs
 # + the hostile fixture the day they landed.
+# Round-10 additions, seventh wave (referential_integrity_audit — the
+# multi-table FK-orphan sibling of data_expectations;
+# seasonality_dow — day-of-week seasonal decomposition of the daily
+# metric): same recipe, bumping abc_analysis / anomaly_mad
+# (family-redundant with revenue/rollup members r9-era /
+# anomaly_zscore in this pool). Parity-verified at all three SFs +
+# the hostile fixture the day they landed.
 ROUND10_ROTATION_POOL: tuple[str, ...] = (
     # new in round 10 (never checked)
     "pca_project_2d",
@@ -485,6 +492,8 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "orc_scan",
     "decontaminate_substring",
     "streaming_stream_left_join",
+    "referential_integrity_audit",
+    "seasonality_dow",
     # bumped by the round-9 graduations
     "window_range_frame", "xml_ingest",
     # r4-era rows deferred from round 9
@@ -494,7 +503,7 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
     "streaming_static_join", "streaming_stream_join", "streaming_topk",
     "url_canonicalize",
     # r5-era re-proofs (latest driver row = CORRECTNESS_r05)
-    "ab_test_ztest", "abc_analysis", "anomaly_mad",
+    "ab_test_ztest",
 )
 
 # Round-10 window, ACTIVE: 9 core + 41-slot pool = exactly 50, all

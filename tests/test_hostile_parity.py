@@ -78,6 +78,22 @@ divergence classes, each fixed and pinned here:
    quantizer as shared arithmetic (sorted in-domain array,
    lo + (hi−lo)·f, floor(x·1e4 + 0.5)/1e4, literals pinned ::DOUBLE)
    and domain-gates the metric per the poison-row rule.
+
+A review pass then extended the fixture once more (a FRACTIONAL k and
+a DUPLICATE-keyed payload) and pinned two final classes:
+
+10. The engines' string→bigint coercions disagree off the integer
+    literal class (Spark try_cast NULLs '1.5'; DuckDB coerces to 2) —
+    scalar_json gates extraction on an explicit ^-?[0-9]+$ regex; and
+    duplicate JSON keys resolve to OPPOSITE occurrences (Spark map
+    reads keep the LAST, DuckDB path lookups the FIRST) — the typed
+    shreds and the schema profile gate duplicate-keyed payloads out
+    via a key-list distinctness check on both sides. NaN metric values
+    stay out of this fixture by the repo's finite-value contract
+    (DuckDB v1.0 TRY_CAST raises on NaN; ~20 oracles rely on
+    data_expectations gating NaN upstream) — the one defensive
+    isfinite oracle guard is pinned by its own planted-NaN test in
+    tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -130,6 +146,7 @@ REGRESSION_SET = [
     "pq_reconstruction_error", "json_schema_profile",
     "rfm_segmentation", "sql_pipe_syntax", "ann_mmr_rerank",
     "orc_scan", "decontaminate_substring", "streaming_stream_left_join",
+    "referential_integrity_audit", "seasonality_dow",
     # the type-diverse JSON / float-ulp wave (divergence classes 8-9)
     "json_quarantine", "latency_percentile_bands",
 ]

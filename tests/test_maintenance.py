@@ -209,3 +209,43 @@ def test_pit_state_matches_scd2_intervals(spark, sf_dir):
         ]
         assert len(expect) == 1
         assert pit[e["event_id"]]["state"] == expect[0]
+
+
+def test_referential_integrity_audit_counts_planted_orphans(spark, tmp_path_factory):
+    """Planted orphans: two lineitems pointing at a missing order and
+    one order at a missing customer must be counted; NULL FKs are not
+    orphans by contract."""
+    import datetime
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.maintenance import (
+        referential_integrity_audit,
+    )
+
+    d = str(tmp_path_factory.mktemp("ri"))
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def w(name, df):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+
+    w("region", spark.createDataFrame([(0, "r")], ["r_regionkey", "r_name"]))
+    w("nation", spark.createDataFrame([(0, "n", 0)], ["n_nationkey", "n_name", "n_regionkey"]))
+    w("customer", spark.createDataFrame([(1, "c", 0)], ["c_custkey", "c_name", "c_nationkey"]))
+    w("supplier", spark.createDataFrame([(1, "s", 0)], ["s_suppkey", "s_name", "s_nationkey"]))
+    w("orders", spark.createDataFrame(
+        [(10, 1, "O", 1.0, t0, "p"), (11, 999, "O", 1.0, t0, "p"),
+         (12, None, "O", 1.0, t0, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"))
+    w("lineitem", spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+         (777, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+         (888, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"))
+    out = {r["relationship"]: r["orphans"]
+           for r in referential_integrity_audit(spark, d).collect()}
+    assert out["lineitem.l_orderkey -> orders"] == 2
+    assert out["orders.o_custkey -> customer"] == 1  # NULL FK not counted
+    assert out["customer.c_nationkey -> nation"] == 0

@@ -300,6 +300,8 @@ ROUND10_ADDITIONS = {
     # sixth wave: ORC round trip, exact-substring decontamination,
     # left-outer stream-stream join
     "orc_scan", "decontaminate_substring", "streaming_stream_left_join",
+    # seventh wave: FK-orphan audit, day-of-week seasonality
+    "referential_integrity_audit", "seasonality_dow",
 }
 
 # The re-proofs the round-10 additions bumped from the pool's end
@@ -320,6 +322,8 @@ ROUND10_BUMPED = {
     "encode_corpus",
     # bumped by the sixth wave
     "chi2_independence", "burst_detection", "arrow_udf_reverse",
+    # bumped by the seventh wave
+    "abc_analysis", "anomaly_mad",
 }
 
 # The fifteen r5-era rows deferred from the round-10 pool, each family-
