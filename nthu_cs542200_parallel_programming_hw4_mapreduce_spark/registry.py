@@ -512,6 +512,45 @@ ROUND10_ROTATION_POOL: tuple[str, ...] = (
 # row is older than r6.
 ROUND10_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND10_ROTATION_POOL
 
+# Round-11 rotation pool, PRE-STAGED at round-10 close (the a9da324
+# receipt pattern): after CORRECTNESS_r10 lands, the stalest era is
+# the 40 r5-era rows not in the round-10 window — 37 of them
+# oracle-backed (the 25 re-proofs the round-10 additions bumped plus
+# the 15 deferred, minus the 3 rows-only members bpe_merges /
+# hll_user_reach / pca_project; ab_test_ztest kept its round-10
+# slot) —
+# and the remaining 4 slots take the oldest r6-era rows preferring
+# family diversity (filter: filter_pred; top-k: topk; set ops:
+# set_union; grouping sets: cube_agg), keeping the THIRD consecutive
+# all-oracle window. The 3 rows-only r5-era members stay on their
+# foothold/error-bound proofs (tests/test_entry.py) rather than
+# burning hash-window slots on rows-only checks.
+# Pre-verified at round-10 close (2026-08-16): every member below was
+# parity-green in this round's whole-registry sweeps at sf0.001,
+# sf0.01, sf0.1 AND the extended hostile fixture (240/240, 0 failures
+# each) — the round-11 flip carries no rot. Queries ADDED during
+# round 11 take priority — bump re-proofs from this tuple's end, per
+# the standing recipe.
+ROUND11_ROTATION_POOL: tuple[str, ...] = (
+    # r5-era re-proofs bumped out of round 10 by its 25 additions
+    "winsorized_stats", "zorder_layout", "value_histogram",
+    "vocab_growth_curve", "user_overlap_jaccard", "tfidf_cosine_pairs",
+    "sql_parameterized", "skew_report", "readability_flesch",
+    "quantile_normalize", "pmi_collocations", "pit_state_at_event",
+    "null_semantics", "linreg_by_key", "latency_percentile_bands",
+    "l_diversity_check", "join_nullsafe_keys", "gini_label_balance",
+    "entropy_profile", "encode_corpus", "chi2_independence",
+    "burst_detection", "arrow_udf_reverse", "abc_analysis", "anomaly_mad",
+    # r5-era re-proofs deferred from the round-10 pool (oracle-backed)
+    "arrow_map_batches", "bounce_rate_daily", "decayed_engagement",
+    "drift_ks_test", "funnel_weekly_trend", "fuzzy_name_match",
+    "python_stream_source", "revenue_yoy_growth",
+    "schema_evolution_scan", "session_paths_topk", "time_weighted_avg",
+    "udtf_analyze_split",
+    # oldest r6-era rows, family-diverse
+    "filter_pred", "topk", "set_union", "cube_agg",
+)
+
 DRIVER_WINDOW: tuple[str, ...] = ROUND10_WINDOW_PLAN
 
 

@@ -412,3 +412,28 @@ def test_bench_core_is_pinned():
         separators=(",", ":"),
     )
     assert len(line) < 1500
+
+
+def test_round11_pool_is_prestaged():
+    """The INACTIVE round-11 pool (pre-staged at round-10 close, the
+    a9da324 receipt pattern): 41 unique names, all registered, all
+    oracle-backed (the third consecutive all-oracle window when it
+    flips), disjoint from the active round-10 window, and composed of
+    exactly the r5-era oracle-backed leftovers (the 25 bumped + 12
+    oracle-backed deferred) plus 4 family-diverse r6-era rows."""
+    pool = registry.ROUND11_ROTATION_POOL
+    assert len(pool) == 41 and len(set(pool)) == 41
+    assert set(pool) <= set(registry.all_queries())
+    assert set(pool) <= set(registry.all_oracles())
+    assert not (set(pool) & set(registry.DRIVER_WINDOW))
+    r5_era = (
+        _checked("r05")
+        - _checked("r06", "r07", "r08", "r09")
+        - set(registry.ROUND10_WINDOW_PLAN)
+        - set(registry.CORE_WINDOW)
+    )
+    r5_oracle = r5_era & set(registry.all_oracles())
+    assert r5_oracle <= set(pool)
+    assert set(pool) - r5_oracle == {"filter_pred", "topk", "set_union", "cube_agg"}
+    # the live window stays round 10 until the next round flips it
+    assert registry.DRIVER_WINDOW == registry.ROUND10_WINDOW_PLAN
