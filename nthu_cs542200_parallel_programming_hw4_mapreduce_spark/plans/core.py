@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import jsonx as X_JSON
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -2491,15 +2492,14 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_variant_get, not throw. Booleans are normalized away first —
     # DuckDB TRY_CAST('true' AS BIGINT) answers NULL where a variant
     # could coerce — via an explicit json_type guard.
-    oracle="""
+    oracle=f"""
     WITH p AS (
       -- duplicate-keyed payloads shred to NULL on both sides (round-10
       -- review): the engine's map read keeps the LAST occurrence while
-      -- DuckDB's path lookup resolves the FIRST — same gate as
-      -- json_schema_profile
+      -- DuckDB's path lookup resolves the FIRST — the shared
+      -- functions/jsonx contract, same gate as json_schema_profile
       SELECT CASE WHEN json_valid(props) THEN
-               CASE WHEN len(json_keys(props))
-                         = len(list_distinct(json_keys(props)))
+               CASE WHEN {X_JSON.dd_no_dup_keys()}
                     THEN props END
              END AS payload
       FROM events
@@ -2540,10 +2540,8 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # those keys). Duplicate-keyed payloads are likewise
     # out-of-contract (the engines resolve opposite occurrences —
     # json_schema_profile's gate, mirrored in the oracle's p CTE).
-    keys = F.json_object_keys("props")  # NULL on malformed, dups kept
-    no_dups = F.size(keys) == F.size(F.array_distinct(keys))
     v = ev.select(
-        F.when(no_dups, F.try_parse_json("props")).alias("v")
+        F.when(X_JSON.no_dup_keys(), F.try_parse_json("props")).alias("v")
     )
     kv = F.try_variant_get("v", "$.k", "variant")
     k = F.when(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import jsonx as X_JSON
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -937,21 +938,21 @@ def l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical-type mapping: DuckDB json_type → {object,array,null,
     # bool,string,number}; a JSON null answers SQL NULL from json_type
     # (not the string 'NULL'), hence the COALESCE
-    oracle=r"""
+    oracle=rf"""
     WITH v AS (
-      -- duplicate-keyed payloads are gated (round-10 review): Spark's
+      -- duplicate-keyed payloads are gated (round-10 review, via the
+      -- shared functions/jsonx contract): Spark's
       -- from_json map DEDUPS to the LAST occurrence while DuckDB's
       -- json_keys enumerates every occurrence and json_type resolves
       -- the FIRST — irreconcilable on mixed-type duplicates, so the
       -- profile declares them out-of-contract on both sides
       SELECT props AS j FROM events
-      WHERE json_valid(props)
-        AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+      WHERE json_valid(props) AND {X_JSON.dd_no_dup_keys()}
     ), kv AS (
       SELECT u.k AS key,
              COALESCE(json_type(v.j, u.k), 'NULL') AS jt
       FROM v, UNNEST(json_keys(v.j)) AS u(k)
-      WHERE regexp_matches(u.k, '^[A-Za-z0-9_]+$')
+      WHERE regexp_matches(u.k, '\A[A-Za-z0-9_]+\z')
     )
     SELECT key,
            CASE WHEN jt = 'OBJECT' THEN 'object'
@@ -981,7 +982,9 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     {number, string, bool, array, object, null} — Spark's
     BIGINT/DECIMAL/DOUBLE and DuckDB's UBIGINT/BIGINT/DOUBLE all mean
     'number'; Spark's VOID and DuckDB's SQL-NULL json_type both mean
-    JSON null. Keys are restricted to ``^[A-Za-z0-9_]+$`` by contract:
+    JSON null. Keys are restricted to ``\\A[A-Za-z0-9_]+\\z`` by contract
+    (\\A/\\z anchors — Java's $ matches before a trailing line
+    terminator, RE2's does not; round-10 review):
     DuckDB's json_type(j, key) addresses by PATH, so a key containing
     '.' or '[' would silently resolve elsewhere — the gate makes the
     exclusion explicit on both sides rather than hash-diverging.
@@ -994,13 +997,11 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (key, type)-keyed partial agg — the shuffle carries
     |keys|·|types| partials per task, corpus-size-independent."""
     ev = table(spark, sf_dir, "events")
-    keys = F.json_object_keys("props")  # NULL on malformed, dups kept
-    no_dups = F.size(keys) == F.size(F.array_distinct(keys))
-    kv = ev.filter(no_dups).select(
+    kv = ev.filter(X_JSON.no_dup_keys()).select(
         F.explode(F.from_json("props", "map<string, variant>")).alias(
             "key", "v"
         )
-    ).filter(F.col("key").rlike("^[A-Za-z0-9_]+$"))
+    ).filter(F.col("key").rlike(r"\A[A-Za-z0-9_]+\z"))
     t = F.schema_of_variant(F.col("v"))
     jtype = (
         F.when(t.startswith("OBJECT"), "object")

@@ -123,14 +123,14 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer-literal regex gate (round-10 review): a bare TRY_CAST of
     # the extracted text still DIVERGES on fractional/scientific forms
     # — Spark try_cast('1.5' AS BIGINT) is NULL while DuckDB coerces
-    # '1.5'→2 and '1e3'→1000 — so only ^-?[0-9]+$ text casts at all
+    # '1.5'→2 and '1e3'→1000 — so only \A-?[0-9]+\z text casts at all
     # (same class both regex engines; try_cast stays for overflow)
-    oracle="""
+    oracle=r"""
     SELECT event_id,
            TRY_CAST(CASE WHEN json_valid(props) THEN
                       CASE WHEN regexp_matches(
                                   json_extract_string(props, '$.k'),
-                                  '^-?[0-9]+$')
+                                  '\A-?[0-9]+\z')
                            THEN json_extract_string(props, '$.k') END
                     END AS BIGINT) AS k
     FROM events ORDER BY event_id
@@ -141,7 +141,9 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, no shuffle. Malformed/empty payloads answer NULL (the
     get_json_object contract), mirrored by the oracle's json_valid
     guard; a k that exists but isn't an INTEGER LITERAL answers NULL
-    too — gated by an explicit ^-?[0-9]+$ regex on both sides, because
+    too — gated by an explicit \\A-?[0-9]+\\z regex on both sides (\\A/\\z, not
+    ^/$: Java's $ matches BEFORE a trailing line terminator while
+    RE2's does not — round-10 review), because
     the engines' string→bigint coercions disagree off that class
     (Spark NULLs '1.5'; DuckDB rounds it to 2 — round-10 review), and
     the residual try_cast handles out-of-int64-range digit strings per
@@ -150,7 +152,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_str = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id",
-        F.when(k_str.rlike("^-?[0-9]+$"), k_str)
+        F.when(k_str.rlike(r"\A-?[0-9]+\z"), k_str)
         .try_cast("bigint")
         .alias("k"),
     ).orderBy("event_id")
@@ -3486,9 +3488,12 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT daily.d AS day, CAST(dow.w AS BIGINT) AS dow,
            CAST(daily.s AS DOUBLE) AS total,
-           round(CAST(dow.sw AS DOUBLE) / dow.c, 6) AS dow_mean,
-           round(CAST(daily.s AS DOUBLE)
-                 - CAST(dow.sw AS DOUBLE) / dow.c, 6) AS resid
+           floor((CAST(dow.sw AS DOUBLE) / dow.c)
+                 * 1000000.0::DOUBLE + 0.5::DOUBLE)
+             / 1000000.0::DOUBLE AS dow_mean,
+           floor((CAST(daily.s AS DOUBLE) - CAST(dow.sw AS DOUBLE) / dow.c)
+                 * 1000000.0::DOUBLE + 0.5::DOUBLE)
+             / 1000000.0::DOUBLE AS resid
     FROM daily JOIN dow ON dayofweek(daily.d) + 1 = dow.w
     ORDER BY day
     """,
@@ -3505,7 +3510,11 @@ def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-arithmetic discipline: daily totals are order-free DECIMAL
     sums; the weekday means are one decimal-sum-over-count division in
     double, and the residual subtracts that identical double — single
-    closed-form float ops both sides, rounded (the ab_test rule).
+    closed-form float ops both sides, quantized to 6 dp by the SHARED
+    floor(x·1e6 + 0.5)/1e6 arithmetic (not builtin round, which drifts
+    an ulp between the engines above ~1e10 — the
+    latency_percentile_bands class; daily sums at 100 TB reach that
+    magnitude).
     Weekday numbering is pinned to Spark's convention (1 = Sunday) via
     ``dayofweek(d) + 1`` on the DuckDB side (DuckDB counts Sunday as
     0). Out-of-DECIMAL-domain poison values drop via try_cast;
@@ -3530,8 +3539,11 @@ def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("day"),
             F.col("w").cast("long").alias("dow"),
             F.col("s").cast("double").alias("total"),
-            F.round(mean, 6).alias("dow_mean"),
-            F.round(F.col("s").cast("double") - mean, 6).alias("resid"),
+            (F.floor(mean * 1000000.0 + 0.5) / 1000000.0).alias("dow_mean"),
+            (
+                F.floor((F.col("s").cast("double") - mean) * 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias("resid"),
         )
         .orderBy("day")
     )
