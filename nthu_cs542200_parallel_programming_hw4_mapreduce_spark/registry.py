@@ -551,7 +551,14 @@ ROUND11_ROTATION_POOL: tuple[str, ...] = (
     "filter_pred", "topk", "set_union", "cube_agg",
 )
 
-DRIVER_WINDOW: tuple[str, ...] = ROUND10_WINDOW_PLAN
+# Round-11 window, ACTIVE (flipped at round-11 open in the same commit
+# as the test-pin rewrite, per the codified round-5 lesson): 9 core +
+# the pre-staged 41-slot pool above = exactly 50, all oracle-backed —
+# the THIRD consecutive all-oracle window. Once CORRECTNESS_r11 lands
+# green, no oracle-backed query's newest driver row is older than r7.
+ROUND11_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND11_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND11_WINDOW_PLAN
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

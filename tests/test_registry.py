@@ -57,25 +57,23 @@ ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
 
 
 def test_window_covers_rotation_targets():
-    """Round-10 rotation (VERDICT r9 "Next round" #1 + #4 + #5): the 41
-    rotating slots are the 5 round-10 additions (never driver-checked,
-    priority) + re-proofs — the 2 rows the round-9 graduations bumped +
-    the 13 r4-era rows deferred from round 9 + 21 r5-era rows. Every
-    re-proof slot's latest driver row must predate r06."""
+    """Round-11 rotation (VERDICT r10 "Next round" #1): the 41 rotating
+    slots are all RE-PROOFS — the 37 r5-era oracle-backed rows left
+    stale by round 10's growth plus 4 family-diverse r6-era rows.
+    Every slot's latest driver row must predate r07 (r5-era members
+    predate r06)."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    assert rotation == set(registry.ROUND10_ROTATION_POOL)
-    # re-proof slots are stale rows — never re-checked since r05
-    reproof = rotation - ROUND10_ADDITIONS
-    assert reproof <= _checked("r01", "r02", "r03", "r04", "r05")
-    assert not (reproof & _checked("r06", "r07", "r08", "r09"))
-    # the additions are brand-new: no driver row anywhere yet
-    assert not (ROUND10_ADDITIONS & _checked(
-        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"
-    ))
+    assert rotation == set(registry.ROUND11_ROTATION_POOL)
+    # every slot is a stale re-proof: nothing re-checked since r06
+    assert not (rotation & _checked("r07", "r08", "r09", "r10"))
+    r6_era = {"filter_pred", "topk", "set_union", "cube_agg"}
+    assert r6_era <= rotation and r6_era <= _checked("r06")
+    assert (rotation - r6_era) <= _checked("r01", "r02", "r03", "r04", "r05")
+    assert not ((rotation - r6_era) & _checked("r06"))
 
 
 def _new_in_round7() -> set[str]:
@@ -368,8 +366,9 @@ def test_round10_pool_is_registered():
     )
     # one bumped re-proof per addition — the bumps are not silent drops
     assert len(ROUND10_BUMPED) == len(ROUND10_ADDITIONS)
-    # the live window is the round-10 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND10_WINDOW_PLAN
+    # history pin: the round-10 driver checked exactly that window,
+    # all green (CORRECTNESS_r10 = the recorded receipt)
+    assert _checked("r10") == set(registry.ROUND10_WINDOW_PLAN)
 
 
 def test_bench_core_is_pinned():
@@ -414,18 +413,21 @@ def test_bench_core_is_pinned():
     assert len(line) < 1500
 
 
-def test_round11_pool_is_prestaged():
-    """The INACTIVE round-11 pool (pre-staged at round-10 close, the
-    a9da324 receipt pattern): 41 unique names, all registered, all
-    oracle-backed (the third consecutive all-oracle window when it
-    flips), disjoint from the active round-10 window, and composed of
-    exactly the r5-era oracle-backed leftovers (the 25 bumped + 12
-    oracle-backed deferred) plus 4 family-diverse r6-era rows."""
+def test_round11_pool_is_active():
+    """The round-11 pool (pre-staged at round-10 close, flipped ACTIVE
+    at round-11 open — VERDICT r10 "Next round" #1): 41 unique names,
+    all registered, all oracle-backed (the third consecutive all-oracle
+    window), disjoint from the round-10 window, and composed of exactly
+    the r5-era oracle-backed leftovers (the 25 bumped + 12 oracle-backed
+    deferred) plus 4 family-diverse r6-era rows. Queries ADDED during
+    round 11 bump re-proofs from the tuple's end, per the standing
+    recipe — this pin is rewritten in the same commit when that
+    happens."""
     pool = registry.ROUND11_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
     assert set(pool) <= set(registry.all_oracles())
-    assert not (set(pool) & set(registry.DRIVER_WINDOW))
+    assert not (set(pool) & set(registry.ROUND10_WINDOW_PLAN))
     r5_era = (
         _checked("r05")
         - _checked("r06", "r07", "r08", "r09")
@@ -435,5 +437,5 @@ def test_round11_pool_is_prestaged():
     r5_oracle = r5_era & set(registry.all_oracles())
     assert r5_oracle <= set(pool)
     assert set(pool) - r5_oracle == {"filter_pred", "topk", "set_union", "cube_agg"}
-    # the live window stays round 10 until the next round flips it
-    assert registry.DRIVER_WINDOW == registry.ROUND10_WINDOW_PLAN
+    # the live window is the round-11 plan
+    assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN
