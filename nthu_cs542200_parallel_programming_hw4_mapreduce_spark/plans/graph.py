@@ -291,12 +291,31 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     5·10^11 pairs. The plan therefore (1) collapses to DISTINCT
     (order, part) memberships first — duplicate line items must not
     inflate support — and (2) drops baskets over {_BASKET_CAP} distinct
-    parts BEFORE the self-join (the LSH ``_MAX_BUCKET`` degenerate-
-    bucket discipline applied to baskets; the cap is mirrored verbatim
-    in the oracle, so exclusion is a checked contract). What remains is
-    an equi-self-join ON the basket key — pairs are generated inside
-    each order's hash partition, volume bounded by baskets ·
-    C({_BASKET_CAP},2) — partial-agg'd into (part, part) support
+    parts via an O(1)-per-group COUNT (never materializing a whale's
+    part set) BEFORE any pair is formed (the LSH ``_MAX_BUCKET``
+    degenerate-bucket discipline applied to baskets; the cap is
+    mirrored verbatim in the oracle, so exclusion is a checked
+    contract).
+
+    Pair generation is JOIN-FREE (round 11 — VERDICT r10 #3): the
+    original membership⋈membership self-join sorted the corpus-sized
+    side TWICE and held merge-join buffers on top, which is exactly
+    the posture that OOM'd the 1000× probe's shared 8 g JVM
+    (SCALING.md "1000× round 10"). Instead, capped baskets collect
+    into one SORTED part array per order (≤{_BASKET_CAP} elements by
+    construction — the cap precedes the collect, so no whale ever
+    materializes) and the C(n,2) expansion runs inside whole-stage
+    codegen as nested array ``transform``s over that array — ascending
+    sort gives the x < y orientation positionally, no comparison
+    filter discards half the generated rows. One corpus-sized sort
+    (the basket grouping) instead of two plus a join; pair volume is
+    unchanged and still bounded by baskets · C({_BASKET_CAP},2). An
+    a-priori frequent-item prefilter was considered and rejected: pair
+    support ≤ min item frequency, so pruning items below the 20th
+    pair's support is answer-preserving, but on any corpus whose item
+    frequencies sit well above pair supports (this fixture: freqs
+    ~30-50, 20th support 2-3) it prunes nothing and costs an extra
+    corpus aggregate. Pairs partial-agg into (part, part) support
     counts, then a TakeOrdered top-{_COPURCHASE_TOPK} with a full
     deterministic tiebreak (support DESC, part_a, part_b), never a
     global sort."""
@@ -307,17 +326,23 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = b.groupBy("o").agg(F.count("*").alias("_n")).filter(
         F.col("_n") <= _BASKET_CAP
     )
-    # every join side here scales with the corpus (memberships, basket
-    # sizes) — pin them to sort-merge per the lsh_jaccard_verified rule
-    # rather than letting size estimates pick a broadcast that 100 TB
-    # invalidates (observed OOM at the dedup family's 100× probe)
+    # both join sides scale with the corpus (memberships, basket sizes)
+    # — pin to sort-merge per the lsh_jaccard_verified rule rather than
+    # letting size estimates pick a broadcast that 100 TB invalidates
+    # (observed OOM at the dedup family's 100× probe). The join output
+    # is hash-partitioned by o, so the basket groupBy below reuses that
+    # exchange instead of adding one.
     bb = b.join(sz.select("o").hint("merge"), "o")
-    x = bb.alias("x").hint("merge")
-    y = bb.alias("y").hint("merge")
-    pairs = x.join(
-        y,
-        (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")),
-    ).select(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
+    baskets = bb.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("support"))

@@ -1177,6 +1177,8 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(embedding[2] AS DOUBLE) AS x1
       FROM embeddings
       WHERE {_VEC_OK} AND len(embedding) >= 2
+        AND abs(CAST(embedding[1] AS DOUBLE)) < 1e4
+        AND abs(CAST(embedding[2] AS DOUBLE)) < 1e4
         AND {_dd_dec("CAST(embedding[1] AS DOUBLE)")} IS NOT NULL
         AND {_dd_dec("CAST(embedding[2] AS DOUBLE)")} IS NOT NULL
     ),
@@ -1184,9 +1186,9 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(SUM({_dd_dec("x0")}) AS DOUBLE) AS s0,
              CAST(SUM({_dd_dec("x1")}) AS DOUBLE) AS s1,
-             CAST(SUM({_dd_dec("x0")} * {_dd_dec("x0")}) AS DOUBLE) AS sxx,
-             CAST(SUM({_dd_dec("x0")} * {_dd_dec("x1")}) AS DOUBLE) AS sxy,
-             CAST(SUM({_dd_dec("x1")} * {_dd_dec("x1")}) AS DOUBLE) AS syy
+             CAST(SUM({_dd_dec("x0 * x0")}) AS DOUBLE) AS sxx,
+             CAST(SUM({_dd_dec("x0 * x1")}) AS DOUBLE) AS sxy,
+             CAST(SUM({_dd_dec("x1 * x1")}) AS DOUBLE) AS syy
       FROM e
     ),
     s AS (
@@ -1263,8 +1265,18 @@ def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = vec_table(spark, sf_dir).filter(F.size("embedding") >= 2)
     x0 = F.get("embedding", 0).cast("double")
     x1 = F.get("embedding", 1).cast("double")
+    # |x| < 1e4 gate + DOUBLE-first products (round 11): DuckDB's
+    # DECIMAL(18,6)×DECIMAL(18,6) multiply overflows int64 on clean
+    # in-domain values near 1e4 (scaled 1e10² > 2⁶³) where Spark
+    # widens to DECIMAL(38,12) — caught by the hostile near-gate
+    # vector. Products now multiply in double (one exactly-rounded op,
+    # bit-identical in both engines) and decimal-cast ONCE, the
+    # mahalanobis/pq moment discipline; the gate keeps x² ≤ 1e8 in the
+    # exact double→DECIMAL band.
     e = emb.select("vec_id", x0.alias("x0"), x1.alias("x1")).filter(
-        F.col("x0").try_cast("decimal(18,6)").isNotNull()
+        (F.abs(F.col("x0")) < F.lit(1e4))
+        & (F.abs(F.col("x1")) < F.lit(1e4))
+        & F.col("x0").try_cast("decimal(18,6)").isNotNull()
         & F.col("x1").try_cast("decimal(18,6)").isNotNull()
     )
     d0 = F.col("x0").try_cast("decimal(18,6)")
@@ -1273,9 +1285,9 @@ def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(d0).alias("s0"),
         F.sum(d1).alias("s1"),
-        F.sum(d0 * d0).alias("sxx"),
-        F.sum(d0 * d1).alias("sxy"),
-        F.sum(d1 * d1).alias("syy"),
+        F.sum((F.col("x0") * F.col("x0")).try_cast("decimal(18,6)")).alias("sxx"),
+        F.sum((F.col("x0") * F.col("x1")).try_cast("decimal(18,6)")).alias("sxy"),
+        F.sum((F.col("x1") * F.col("x1")).try_cast("decimal(18,6)")).alias("syy"),
     ).first()  # bounded: one 6-scalar row
     if row["n"] == 0:
         return spark.createDataFrame([], "vec_id long, pc1 double, pc2 double")
@@ -1566,8 +1578,8 @@ _MAHA_VAR_FLOOR = 0.001
     WITH e AS (
       SELECT vec_id, label, embedding FROM embeddings
       WHERE {_VEC_OK} AND label IS NOT NULL AND len(embedding) = {_DIM}
-        AND CAST(list_max(embedding) AS DOUBLE) < 1e6
-        AND CAST(list_min(embedding) AS DOUBLE) > -1e6
+        AND CAST(list_max(embedding) AS DOUBLE) < 1e4
+        AND CAST(list_min(embedding) AS DOUBLE) > -1e4
     ),
     cells AS (
       SELECT label, i.range AS i,
@@ -1619,7 +1631,10 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
 
     Replay discipline (``embedding_drift_by_label``): per-(label, dim)
     moments ride order-free DECIMAL(18,6) sums (domain-gated
-    |x| < 1e6 so x² also fits the decimal — mirrored as array min/max
+    |x| < 1e4 so x² ≤ 1e8 stays in the EXACT double→DECIMAL band —
+    x²·1e6 < 2⁵³, so both engines' decimal conversions agree bit-for-
+    bit; the earlier 1e6 gate let x² reach 1e12, the documented
+    ulp-drift class (ADVICE r10) — mirrored as array min/max
     range checks, no per-element lambda on the scan), each divided
     ONCE in double; variances clamp to max(σ², {_MAHA_VAR_FLOOR}) so a
     constant dimension (hostile fixture: identical vectors) contributes
@@ -1639,8 +1654,8 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     emb = vec_table(spark, sf_dir).filter(
         F.col("label").isNotNull()
         & (F.size("embedding") == _DIM)
-        & (F.array_max("embedding").cast("double") < F.lit(1e6))
-        & (F.array_min("embedding").cast("double") > F.lit(-1e6))
+        & (F.array_max("embedding").cast("double") < F.lit(1e4))
+        & (F.array_min("embedding").cast("double") > F.lit(-1e4))
     )
     x = F.col("x").cast("double")
     dec = x.try_cast("decimal(18,6)")
@@ -1701,8 +1716,8 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     WITH e AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE {_VEC_OK} AND len(embedding) = {_DIM}
-        AND CAST(list_max(embedding) AS DOUBLE) < 1e5
-        AND CAST(list_min(embedding) AS DOUBLE) > -1e5
+        AND CAST(list_max(embedding) AS DOUBLE) < 1e4
+        AND CAST(list_min(embedding) AS DOUBLE) > -1e4
     ),
     cb AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
@@ -1752,8 +1767,11 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's left-fold ``list_sum`` — the one-line trap this plan
     dodges), giving bit-identical doubles in both engines; corpus
     aggregation then rides order-free DECIMAL(18,6) sums (domain gate
-    |x| < 1e5 keeps every d2 ≤ 8·(2e5)² inside the decimal — mirrored
-    as array min/max range checks), divided ONCE, rounded once.
+    |x| < 1e4 keeps every d2 ≤ 8·(2e4)² = 3.2e9 in the EXACT
+    double→DECIMAL band — d2·1e6 < 2⁵³, so both engines convert
+    identically; the earlier 1e5 gate allowed d2 up to 3.2e11, the
+    documented ulp-drift class (ADVICE r10) — mirrored as array
+    min/max range checks), divided ONCE, rounded once.
 
     Scale shape: identical to ``pq_encode`` — bounded codebook collect
     + broadcast, ONE narrow mapInPandas corpus scan emitting
@@ -1765,8 +1783,8 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_table(spark, sf_dir)
         .filter(
             (F.size("embedding") == _DIM)
-            & (F.array_max("embedding").cast("double") < F.lit(1e5))
-            & (F.array_min("embedding").cast("double") > F.lit(-1e5))
+            & (F.array_max("embedding").cast("double") < F.lit(1e4))
+            & (F.array_min("embedding").cast("double") > F.lit(-1e4))
         )
         .select("vec_id", "embedding")
     )
@@ -1849,7 +1867,8 @@ def _round_away(x: float, d: int) -> float:
     "ann_mmr_rerank",
     oracle=f"""
     WITH g AS (
-      SELECT vec_id, embedding FROM embeddings WHERE {_VEC_OK}
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_VEC_OK} AND len(embedding) = {_DIM}
     ),
     q AS (SELECT embedding AS qe FROM g WHERE vec_id = {_MMR_Q}),
     scored AS (
@@ -1931,7 +1950,14 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT-1 chain goes empty the same way."""
     import numpy as np
 
-    emb = vec_table(spark, sf_dir).select("vec_id", "embedding")
+    # np.stack needs uniform length — one clean wrong-length vector
+    # would raise in the kernel while the oracle's gated CTE still
+    # answers (ADVICE r10), so mirror the len(embedding) = _DIM gate.
+    emb = (
+        vec_table(spark, sf_dir)
+        .filter(F.size("embedding") == _DIM)
+        .select("vec_id", "embedding")
+    )
     q_rows = emb.filter(F.col("vec_id") == _MMR_Q).collect()  # bounded: ≤1×d
     if not q_rows:
         return spark.createDataFrame(

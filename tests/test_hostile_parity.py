@@ -94,6 +94,18 @@ a DUPLICATE-keyed payload) and pinned two final classes:
     data_expectations gating NaN upstream) — the one defensive
     isfinite oracle guard is pinned by its own planted-NaN test in
     tests/test_streaming.py.
+
+Round 11 planted a near-gate-limit embedding (99009, |x| = 9999.875 —
+ADVICE r10's decimal-band concern) and a real contamination pair
+(9797/99010), surfacing one more divergence class:
+
+11. DuckDB's DECIMAL(18,6)×DECIMAL(18,6) multiply overflows int64 on
+    clean in-domain values near 1e4 (scaled 1e10 squared > 2⁶³) where
+    Spark silently widens to DECIMAL(38,12) — pca_project_2d's moment
+    products now multiply in DOUBLE (one exactly-rounded op, identical
+    bits both engines) and decimal-cast once, behind an |x| < 1e4
+    element gate (the mahalanobis/pq discipline, also tightened from
+    1e6/1e5 to 1e4 this round so x²·1e6 stays under 2⁵³).
 """
 
 from __future__ import annotations
@@ -164,6 +176,32 @@ def test_hostile_parity(spark, hostile_dir, name):
     ddf = con.execute(E.oracle_sql()[name]).df()
     problems = compare(name, sdf, ddf)
     assert not problems, "\n".join(problems)
+
+
+def test_contamination_pair_hits(spark, hostile_dir):
+    """ADVICE r10: decontaminate_substring's recorded parity was
+    0-rows-both-sides at every swept SF, so the join/count hit path
+    was proven only by a planted unit test. The fixture now carries a
+    REAL pair (eval doc 9797, train doc 99010 quoting its normalized
+    40-char head verbatim) — the hit path must fire on every sweep."""
+    out = E.queries()["decontaminate_substring"](spark, hostile_dir).toPandas()
+    assert len(out) > 0
+    hit = out[out["doc_id"] == 99010]
+    assert len(hit) == 1 and int(hit["n_hits"].iloc[0]) >= 1
+
+
+def test_near_gate_vector_in_domain(spark, hostile_dir):
+    """ADVICE r10: the decimal-moment queries' domain gates tightened
+    from 1e6/1e5 to 1e4 so x²/d2 stay in the exact double→DECIMAL band
+    (x·1e6 < 2⁵³). Vector 99009 sits just UNDER the new gate at
+    |x| = 9999.875 (x² ≈ 1e8, the top of the exact band): it must stay
+    IN domain — and, being ~4 decades beyond the corpus scale, rank as
+    label 0's #1 Mahalanobis outlier — with parity still exact."""
+    maha = E.queries()["embedding_mahalanobis_outliers"](
+        spark, hostile_dir
+    ).toPandas()
+    top0 = maha[(maha["label"] == 0) & (maha["rnk"] == 1)]
+    assert len(top0) == 1 and int(top0["vec_id"].iloc[0]) == 99009
 
 
 def test_ascii_gate_scope(spark, hostile_dir):

@@ -178,9 +178,17 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         (99006, 'tie doc exact duplicate body for dedup stress', 'en', 'web', 46),
         (99007, 'one', 'xx', '', 3),
         (99008, chr(65279) || 'bom prefixed doc the first token wears a bom', 'en', 'web', 46),
-        (99009, 'emoji \U0001f600 doc with \U0001f680 four byte chars in the text', 'en', 'social', 52)
+        (99009, 'emoji \U0001f600 doc with \U0001f680 four byte chars in the text', 'en', 'social', 52),
+        (9797, 'Contamination canary: this exact sentence leaks into training data verbatim.', 'en', 'web', 76),
+        (99010, 'A scraped page quoting: contamination canary: this exact sentence leaks into training data verbatim. Plus trailing chatter.', 'en', 'web', 123)
       ) t(doc_id, text, lang, source, n_chars)
     """)
+    # 9797 (% 97 = 0, under the eval id cap) + 99010 (% 97 ≠ 0, quotes
+    # 9797's normalized 40-char head verbatim) plant a REAL
+    # contamination pair for decontaminate_substring — its recorded
+    # parity was 0-rows-both-sides at every swept SF (ADVICE r10), so
+    # the join/count hit path was proven only by the planted unit
+    # test. Now every sweep exercises a nonzero hit.
 
     con.execute(
         f"""
@@ -196,6 +204,14 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
             UNION ALL SELECT 99006, list_transform(range(64), x -> 0.0::FLOAT), 2
             UNION ALL SELECT 99007, (SELECT embedding FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 7), 1
             UNION ALL SELECT 99008, (SELECT embedding FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 7), 1
+            -- near-gate-limit magnitude (round 11, ADVICE r10): one clean
+            -- in-domain vector at |x| = 9999.875, just under the 1e4 domain
+            -- gates of the decimal-moment queries (mahalanobis, PQ error) —
+            -- x² ≈ 1e8 sits at the TOP of the exact double→DECIMAL band
+            -- (x²·1e6 < 2⁵³), so any bare-cast drift the tightened gates
+            -- miss shows up here instead of on a real corpus. 9999.875 is
+            -- exactly representable in FLOAT32 and its square has ≤ 6 dp.
+            UNION ALL SELECT 99009, list_transform(range(64), x -> CASE WHEN x % 2 = 0 THEN 9999.875::FLOAT ELSE -9999.875::FLOAT END), 0
           )
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
         """
