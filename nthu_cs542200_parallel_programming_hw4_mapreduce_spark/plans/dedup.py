@@ -1328,31 +1328,36 @@ def dedup_cross_snapshot_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (doc_id, band_id, band_key) rows of the old corpus
     participate, never its text.
 
-    Scale shape: signatures/bands are the shared explode→partial-MIN
-    chain (one corpus-independent-width shuffle); the degenerate-bucket
-    gate caps boilerplate keys on the COMBINED bucket size exactly like
-    the batch plan and the round-10 incremental cap; the new⋈old join
-    keys on (band_id, band_key) and is pinned to sort-merge (both sides
-    scale with the corpus — the ``dedup_cross_snapshot`` rule; in
-    production the old side is the previous run's bucketed band-index
-    table, making the join bucket-local). Per-new-doc MIN partial-
-    aggregates map-side."""
+    Scale shape (rewritten round 11 — VERDICT r10 #4): the original
+    count-gate semi-join + new⋈old sort-merge join computed the
+    signature chain TWICE and sorted two corpus-sized band frames,
+    which is where the 1000× probe's 5.5×-per-10× spill superlinearity
+    came from (SCALING.md "1000× round 10"). The plan is now the
+    ``lsh_candidate_pairs`` bucket shape: ONE groupBy over the band
+    frame collects each bucket's member ids (the signature chain runs
+    once; buffers hold ids only — 8 bytes per member even for a
+    boilerplate whale bucket, the accepted id-collection posture),
+    the (>1, ≤{_MAX_BUCKET}) degenerate-bucket gate applies to the
+    COMBINED size exactly as before, and the new-vs-old split happens
+    INSIDE each bucket with codegen'd array ops (min even id; explode
+    odd ids) — no membership join at all. Per-new-doc MIN partial-
+    aggregates map-side; in production the bucket table is the
+    previous run's persisted band index, so the incremental run only
+    appends the new snapshot's bands before this same groupBy."""
     bands = minhash_bands(
         minhash_signatures(table(spark, sf_dir, "documents"))
     )
-    ok = (
+    buckets = (
         bands.groupBy("band_id", "band_key")
-        .count()
-        .filter((F.col("count") > 1) & (F.col("count") <= _MAX_BUCKET))
-        .drop("count")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
     )
-    gated = bands.join(ok, ["band_id", "band_key"], "left_semi")
-    new = gated.filter(F.col("doc_id") % 2 == 1)
-    old = gated.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("old_id"), "band_id", "band_key"
-    )
+    old_min = F.array_min(F.filter("ids", lambda x: x % 2 == 0))
+    news = F.filter("ids", lambda x: x % 2 == 1)
     return (
-        new.join(old.hint("merge"), ["band_id", "band_key"])
+        buckets.select(old_min.alias("old_id"), news.alias("news"))
+        .filter(F.col("old_id").isNotNull() & (F.size("news") > 0))
+        .select("old_id", F.explode("news").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.min("old_id").alias("dup_of"))
         .orderBy("doc_id")
