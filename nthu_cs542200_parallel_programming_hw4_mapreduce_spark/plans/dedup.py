@@ -1365,6 +1365,179 @@ def dedup_cross_snapshot_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_novelty",
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    old AS (SELECT DISTINCT s FROM ex WHERE doc_id % 2 = 0),
+    nw AS (SELECT doc_id, s FROM ex WHERE doc_id % 2 = 1)
+    SELECT nw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE old.s IS NULL) AS BIGINT)
+             AS novel_shingles,
+           round(CAST(COUNT(*) FILTER (WHERE old.s IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM nw LEFT JOIN old ON nw.s = old.s
+    GROUP BY nw.doc_id ORDER BY nw.doc_id
+    """,
+)
+def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY of the new snapshot against the old
+    corpus (VERDICT r10 #7): for each new-snapshot doc (odd ids), the
+    fraction of its distinct 3-word shingles never seen in the previous
+    corpus (even ids) — the recurring-crawl triage metric that decides
+    what a new snapshot is WORTH: a doc at novelty ≈ 0 is boilerplate
+    the old corpus already covers (skip it before any dedup pass even
+    runs), novelty ≈ 1 is genuinely fresh text worth quality-scoring
+    and keeping. The shingle unit and snapshot convention are shared
+    with ``dedup_cross_snapshot_fuzzy``; where that query asks "which
+    new docs near-duplicate a SPECIFIC old doc", this scores graded
+    freshness against the old corpus AS A SET — the two run off the
+    same scan in a production snapshot-intake pipeline.
+
+    Scale shape: shingle sets come from the module's lag-compare
+    distinct (doc_id-partitioned, no (doc_id, s) reshuffle); the old
+    side collapses to DISTINCT shingles — in production the previous
+    run's persisted gram index, exactly like the fuzzy query's band
+    index — and the membership probe is one sort-merge join keyed on
+    the gram (merge-pinned: both sides scale with the corpus, the
+    dedup_cross_snapshot rule), partial-agg'd straight into per-doc
+    (count, novel) pairs. Nothing corpus-sized crosses the wire twice;
+    the ratio is a single double division rounded once on both
+    sides."""
+    sh = shingle_rows(table(spark, sf_dir, "documents"))
+    old = (
+        sh.filter(F.col("doc_id") % 2 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    new = sh.filter(F.col("doc_id") % 2 == 1)
+    novel = F.sum(
+        F.when(F.col("_seen").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        new.join(old.hint("merge"), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.alias("novel_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel_shingles",
+            F.round(
+                F.col("novel_shingles").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_cluster_safe",
+    # the dedup_clusters recursive-CTE components + the train_split_hash
+    # CASE, keyed on the CLUSTER id instead of the doc id
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DD_SHINGLES}),
+    {_DD_SIG_CTE},
+    {_DD_BANDS_CTE},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+    ),
+    sp AS (
+      SELECT doc_id, cluster,
+             CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'd'
+                  THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                  THEN 'val' ELSE 'test' END AS naive
+      FROM lab
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+             AS rescued_docs
+    FROM sp GROUP BY split ORDER BY split
+    """,
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split (VERDICT r10 #7): assign every
+    document the split of its DEDUP CLUSTER — first hex digit of
+    md5(cluster id), the ``train_split_hash`` 12/2/2 rule keyed on the
+    cluster's canonical min doc_id — so near-duplicates can never
+    straddle train and test. Hashing raw doc ids leaks: two near-copies
+    hash independently, and a test doc whose twin sits in train is a
+    memorization hole in the eval. ``rescued_docs`` quantifies exactly
+    that leak: docs whose naive doc-hash split differs from their
+    cluster split — each one a doc the naive rule would have placed in
+    a DIFFERENT split from some near-duplicate clustermate.
+
+    Composition: ``dedup_clusters``' LSH star-edges → min-label
+    propagation (checkpointed constant-size rounds) produces the
+    labels; the split CASE is the same codegen'd expression
+    ``train_split_hash`` uses, applied to the cluster id; the final
+    aggregate is 3 groups. The oracle replays components with the same
+    recursive CTE dedup_clusters pins, then the same CASE — cluster
+    ids equal component-min doc_ids in both engines, so md5 of their
+    string forms agree exactly.
+
+    Scale shape: everything corpus-sized is the dedup_clusters
+    machinery (bucket-bounded edges, frontier-limited propagation);
+    the split assignment adds one narrow projection and a 3-key
+    partial agg. Split stability inherits from the hash: a cluster
+    keeps its split as long as its canonical member survives — and
+    the docstring contract for re-crawls is the same as
+    train_split_hash's (content-independent, growth-stable)."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    edges = lsh_candidate_pairs(sigs, edges_only=True)
+    labels = connected_components(docs.select("doc_id"), edges)
+
+    def split_of(col: str):
+        h = F.substring(F.md5(F.col(col).cast("string")), 1, 1)
+        return (
+            F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+        )
+
+    sp = labels.select(
+        split_of("cluster").alias("split"),
+        split_of("doc_id").alias("naive"),
+        "cluster",
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster").cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("naive") != F.col("split"), 1).otherwise(0))
+            .cast("long")
+            .alias("rescued_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
     "dedup_keep_best",
     oracle="""
     SELECT source, lang, doc_id, n_chars FROM (

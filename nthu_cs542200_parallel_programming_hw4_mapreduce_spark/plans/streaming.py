@@ -30,6 +30,20 @@ from ..catalog import table
 from ..registry import query
 
 
+def _dd_q4(x: str) -> str:
+    """Shared-arithmetic 4-dp quantizer: floor(x·1e4 + 0.5)/1e4 with
+    every literal pinned ``::DOUBLE`` — bit-identical to the Spark
+    side by construction. Builtin round() is NOT usable here: DuckDB's
+    multiply-round-divide drifts an ulp at 1e11+ magnitudes where
+    Spark's BigDecimal round is exact (round-10 hostile find), and
+    DuckDB's double→DECIMAL cast has the same drift. Half-way values
+    round toward +∞ (a deterministic, documented choice); −0.0
+    normalizes to +0.0 for free (floor(0.5)/1e4 = 0.0). Defined up
+    here (module helpers precede the first consumer) — the oracle
+    f-strings evaluate at decoration time, top-down."""
+    return f"floor(({x}) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE"
+
+
 @query(
     "event_window",
     oracle="""
@@ -829,35 +843,153 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_user_reach")  # rows-only: DataSketches HLL has no DuckDB twin
+#: hand-rolled HLL layout: m = 1024 registers (σ ≈ 1.04/√m ≈ 3.3%),
+#: register index = first 3 md5 hex digits mod 1024, rank field = the
+#: next 13 hex digits (52 bits), ρ = 53 − bitlen(w) (leading zeros + 1;
+#: w = 0 degenerates to ρ = 52 via bin(0) = '0' — identical in both
+#: engines, so the 2⁻⁵² corner stays bit-exact rather than special-
+#: cased). Register terms 2^−M sum EXACTLY as integers scaled by 2⁵²
+#: (each term is a power of two; double summation of a 2⁰..2⁻⁵²
+#: exponent spread would round order-dependently, so the sum rides
+#: DECIMAL(38,0) of shiftleft longs — order-free and exact).
+_HLL_M = 1024
+_HLL_W_BITS = 52
+_HLL_SCALE = 1 << _HLL_W_BITS  # 4503599627370496
+
+
+@query(
+    "hll_user_reach",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS UBIGINT) % {_HLL_M} AS j,
+             53 - length(bin(CAST(('0x' || substr(md5(CAST(user_id
+                  AS VARCHAR)), 4, 13)) AS UBIGINT))) AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, j, MAX(rho) AS m FROM x GROUP BY event_type, j
+      UNION ALL
+      SELECT '~all', j, MAX(rho) FROM x GROUP BY j
+    ),
+    z AS (
+      SELECT event_type,
+             SUM(CAST((1::BIGINT << ({_HLL_W_BITS} - m)) AS DECIMAL(38,0)))
+               + ({_HLL_M} - COUNT(*)) * CAST({_HLL_SCALE} AS DECIMAL(38,0))
+               AS zs,
+             {_HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {_HLL_M}.0::DOUBLE)
+               * {_HLL_M}.0::DOUBLE * {_HLL_M}.0::DOUBLE
+               * {_HLL_SCALE}.0::DOUBLE / CAST(zs AS DOUBLE) AS raw,
+             v
+      FROM z
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events
+      WHERE user_id IS NOT NULL GROUP BY event_type
+      UNION ALL
+      SELECT '~all', COUNT(DISTINCT user_id) FROM events
+      WHERE user_id IS NOT NULL
+    )
+    SELECT est.event_type,
+           {_dd_q4(f"CASE WHEN raw <= 2560.0::DOUBLE AND v > 0 "
+                   f"THEN {_HLL_M}.0::DOUBLE * ln({_HLL_M}.0::DOUBLE / v) "
+                   f"ELSE raw END")} AS est_users,
+           exact_users
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    ORDER BY est.event_type
+    """,
+)
 def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: an HLL sketch of the user
     population per event type, plus the UNION of those sketches for
     total reach — without rescanning raw events for the total.
 
     This is the 100 TB idiom for COUNT(DISTINCT): store per-partition /
-    per-day sketch tables (bytes per cell, built in one partial-agg'd
-    pass) and answer any rollup by merging sketches; exact distinct
-    over a trillion-row fact would shuffle every key, and re-counting
-    the union from raw data would re-scan the corpus per rollup.
-    ``approx_agg`` covers the one-shot approx_count_distinct form; this
-    query exercises the MERGEABLE form (sketch_agg → union_agg →
-    estimate), which is what makes sketches composable across tables
-    and time. Estimates are engine-specific (Apache DataSketches HLL),
-    hence rows-only; the unit test bounds the error against exact
-    counts and checks union consistency."""
-    ev = table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    per-day sketch tables (m integers per cell, built in one
+    partial-agg'd pass) and answer any rollup by merging sketches;
+    exact distinct over a trillion-row fact would shuffle every key,
+    and re-counting the union from raw data would re-scan the corpus
+    per rollup. ``approx_agg`` covers the one-shot
+    approx_count_distinct form; this exercises the MERGEABLE form —
+    the ``~all`` row is computed by REGISTER MERGE (max of per-type
+    register maxima), never by rescanning users.
+
+    GRADUATED from rows-only in round 11 (VERDICT r10 #5): the
+    original used Apache DataSketches (engine-specific bits, no DuckDB
+    twin); the sketch is now the textbook Flajolet HLL hand-rolled
+    from the repo's md5 hash family (see the layout constants above),
+    so registers, the scaled-integer Z sum, the α·m²/Z estimator
+    (operation order mirrored verbatim), and the small-range linear-
+    counting branch (raw ≤ 2.5m ∧ V>0 → m·ln(m/V), the ln-parity
+    precedent), and the final ``_dd_q4`` quantizer are all
+    bit-identical in both engines — the WHOLE estimate is
+    hash-checked, not error-bounded. An exact_users column
+    rides along as the in-row accuracy witness (the unit test bounds
+    |est − exact| against the σ ≈ 3.3% class).
+
+    Scale shape: one narrow scan computes (j, ρ) inside codegen; the
+    shuffle carries ≤ types·m register partials (map-side MAX), the
+    merge row reuses the same register frame, and the exact column's
+    COUNT(DISTINCT) — present for the witness, the one corpus-keyed
+    shuffle — is exactly what a production deployment would DROP,
+    keeping only the sketch path."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = F.md5(F.col("user_id").cast("string"))
+    x = ev.select(
+        "event_type",
+        (F.conv(F.substring(h, 1, 3), 16, 10).cast("long") % _HLL_M).alias("j"),
+        (
+            F.lit(53)
+            - F.length(F.bin(F.conv(F.substring(h, 4, 13), 16, 10).cast("long")))
+        ).alias("rho"),
     )
-    per = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    per = x.groupBy("event_type", "j").agg(F.max("rho").alias("m"))
+    merged = per.groupBy("j").agg(F.max("m").alias("m")).select(
+        F.lit("~all").alias("event_type"), "j", "m"
     )
-    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("~all").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+    regs = per.unionAll(merged)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS} - m)")
+    z = regs.groupBy("event_type").agg(
+        (
+            F.sum(term.cast("decimal(38,0)"))
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.lit(_HLL_SCALE).cast("decimal(38,0)")
+        ).alias("zs"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
     )
-    return per.unionAll(total).orderBy("event_type")
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_SCALE))
+        / F.col("zs").cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    est = z.select(
+        "event_type",
+        (F.floor(corrected * 10000.0 + 0.5) / 10000.0).alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    ).select(F.lit("~all").alias("event_type"), "exact_users")
+    return (
+        est.join(exact.unionAll(exact_all), "event_type")
+        .select("event_type", "est_users", "exact_users")
+        .orderBy("event_type")
+    )
 
 
 @query(
@@ -1879,18 +2011,6 @@ def _dd_pctl(p: float) -> str:
     lo1 = f"arr[CAST(floor({idx}) AS BIGINT) + 1]"
     hi1 = f"arr[CAST(floor({idx}) AS BIGINT) + 2]"
     return f"{lo1} + (coalesce({hi1}, {lo1}) - {lo1}) * ({idx} - floor({idx}))"
-
-
-def _dd_q4(x: str) -> str:
-    """Shared-arithmetic 4-dp quantizer: floor(x·1e4 + 0.5)/1e4 with
-    every literal pinned ``::DOUBLE`` — bit-identical to the Spark
-    side by construction. Builtin round() is NOT usable here: DuckDB's
-    multiply-round-divide drifts an ulp at 1e11+ magnitudes where
-    Spark's BigDecimal round is exact (round-10 hostile find), and
-    DuckDB's double→DECIMAL cast has the same drift. Half-way values
-    round toward +∞ (a deterministic, documented choice); −0.0
-    normalizes to +0.0 for free (floor(0.5)/1e4 = 0.0)."""
-    return f"floor(({x}) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE"
 
 
 @query(

@@ -2645,3 +2645,100 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+# PII regex classes — explicit character classes only (the Java-\s-vs-
+# RE2-\s rule generalized: no shorthand classes, no lookaround, no
+# backreferences, so the Java and RE2 engines compile the IDENTICAL
+# automaton), dots as [.] so the pattern text needs no escaping in
+# either dialect.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+_PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+
+@query(
+    "pii_scrub_counts",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, text,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS e,
+             len(regexp_extract_all(text, '{_PII_SSN}')) AS s,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS p,
+             len(regexp_extract_all(text, '{_PII_IPV4}')) AS ip,
+             length(text) - length(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_PII_EMAIL}', '', 'g'), '{_PII_SSN}', '', 'g'),
+                 '{_PII_PHONE}', '', 'g'), '{_PII_IPV4}', '', 'g')
+             ) AS redacted
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e + s + p + ip > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(s) AS BIGINT) AS n_ssn,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(ip) AS BIGINT) AS n_ipv4,
+           CAST(SUM(redacted) AS BIGINT) AS chars_redacted
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PII scrubbing audit (VERDICT r10 #7 — the privacy
+    sibling of ``k_anonymity_suppress``): per source, how many
+    documents carry regex-class PII (emails, SSNs, phone numbers,
+    IPv4 addresses), per-class match counts, and the total characters
+    a redaction pass would remove — the go/no-go summary a
+    training-data release review reads before any corpus ships.
+    Counts are per-class on the RAW text (classes may overlap inside
+    a larger token — e.g. a phone-shaped digit run inside an email
+    local part counts for both; the documented, deterministic choice);
+    the redaction column applies the classes SEQUENTIALLY
+    (email → SSN → phone → IPv4), so earlier classes consume their
+    text before later ones scan.
+
+    Every source emits a row even at zero hits — the audit must
+    affirmatively say "clean", and the all-zero fixture rows keep the
+    oracle non-vacuous while the hostile fixture's planted PII doc
+    exercises every hit path (the decontaminate_substring lesson,
+    ADVICE r10). Patterns are explicit-class-only so Java and RE2
+    compile identical automata (see the constants above); replacement
+    is all-occurrence on both engines (Spark default; DuckDB 'g').
+
+    Scale shape: one narrow scan — four codegen'd regexp_counts plus
+    one chained-replace length diff per row, no Python, no join — then
+    a |sources|-key partial agg. At 100 TB this is scan-bound I/O, the
+    cheapest shape there is; a real deployment would also WRITE the
+    scrubbed column, which adds no shuffle."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cnt = lambda pat: F.regexp_count(F.col("text"), F.lit(pat))  # noqa: E731
+    scrub = F.col("text")
+    for pat in (_PII_EMAIL, _PII_SSN, _PII_PHONE, _PII_IPV4):
+        scrub = F.regexp_replace(scrub, pat, "")
+    d = docs.select(
+        "source",
+        cnt(_PII_EMAIL).alias("e"),
+        cnt(_PII_SSN).alias("s"),
+        cnt(_PII_PHONE).alias("p"),
+        cnt(_PII_IPV4).alias("ip"),
+        (F.length("text") - F.length(scrub)).alias("redacted"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("e") + F.col("s") + F.col("p") + F.col("ip") > 0, 1)
+                .otherwise(0)
+            ).cast("long").alias("docs_with_pii"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("s").cast("long").alias("n_ssn"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("ip").cast("long").alias("n_ipv4"),
+            F.sum("redacted").cast("long").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )

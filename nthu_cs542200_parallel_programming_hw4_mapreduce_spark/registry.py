@@ -531,7 +531,19 @@ ROUND10_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND10_ROTATION_POOL
 # each) — the round-11 flip carries no rot. Queries ADDED during
 # round 11 take priority — bump re-proofs from this tuple's end, per
 # the standing recipe.
+# Round-11 additions (each bumped one row from the tuple's end — the
+# 4 r6-era family-diverse picks roll to round 12, so this window
+# clears the ENTIRE r5-era oracle-backed debt): snapshot_novelty +
+# split_cluster_safe + pii_scrub_counts (the VERDICT r10 #7 LLM-
+# pipeline batch) and hll_user_reach (VERDICT r10 #5 — graduated from
+# rows-only: the hand-rolled md5-register HLL replays bit-exactly in
+# DuckDB, so the sketch itself is now hash-checked). All four
+# parity-verified at sf0.001/sf0.01 + the re-extended hostile fixture
+# the day they landed.
 ROUND11_ROTATION_POOL: tuple[str, ...] = (
+    # new in round 11 (never driver-checked under an oracle)
+    "snapshot_novelty", "split_cluster_safe", "pii_scrub_counts",
+    "hll_user_reach",
     # r5-era re-proofs bumped out of round 10 by its 25 additions
     "winsorized_stats", "zorder_layout", "value_histogram",
     "vocab_growth_curve", "user_overlap_jaccard", "tfidf_cosine_pairs",
@@ -547,7 +559,12 @@ ROUND11_ROTATION_POOL: tuple[str, ...] = (
     "python_stream_source", "revenue_yoy_growth",
     "schema_evolution_scan", "session_paths_topk", "time_weighted_avg",
     "udtf_analyze_split",
-    # oldest r6-era rows, family-diverse
+)
+
+# The 4 r6-era family-diverse rows the round-11 additions bumped from
+# the pool's end (the standing one-bump-per-addition recipe); they
+# lead the round-12 re-proof queue.
+ROUND11_BUMPED: tuple[str, ...] = (
     "filter_pred", "topk", "set_union", "cube_agg",
 )
 

@@ -27,12 +27,14 @@ def test_registry_alignment():
     # the MLlib hash family, iterative algorithms, live streaming
     # state (streaming_stateful's arbitrary-state operator has no
     # batch-SQL twin; each member keeps an oracle-backed foothold or
-    # property/error-bound test).
+    # property/error-bound test). Round 11 graduated hll_user_reach
+    # (VERDICT r10 #5): the DataSketches HLL was replaced by a
+    # hand-rolled md5-register HLL whose estimator replays bit-exactly
+    # in DuckDB — the sketch itself is now hash-checked.
     assert rows_only == {
         "approx_agg",
         "dedup_minhash_mllib",
         "kmeans_lloyd",
-        "hll_user_reach",
         "streaming_stateful",
         "pca_project",
         "bpe_merges",

@@ -161,6 +161,11 @@ REGRESSION_SET = [
     "referential_integrity_audit", "seasonality_dow",
     # the type-diverse JSON / float-ulp wave (divergence classes 8-9)
     "json_quarantine", "latency_percentile_bands",
+    # round-11 wave: the LLM-pipeline batch + the hll graduation +
+    # the decimal-band refits, green on the re-extended fixture
+    # (contamination pair, near-gate vector, PII plant) from day one
+    "snapshot_novelty", "split_cluster_safe", "pii_scrub_counts",
+    "hll_user_reach",
 ]
 
 
@@ -188,6 +193,21 @@ def test_contamination_pair_hits(spark, hostile_dir):
     assert len(out) > 0
     hit = out[out["doc_id"] == 99010]
     assert len(hit) == 1 and int(hit["n_hits"].iloc[0]) >= 1
+
+
+def test_pii_plant_fires_every_class(spark, hostile_dir):
+    """Doc 99011 plants all four PII regex classes; the base fixture
+    has no digits or '@' at all, so without it pii_scrub_counts'
+    hit paths would record only vacuous zero parity (the
+    decontaminate_substring lesson)."""
+    out = E.queries()["pii_scrub_counts"](spark, hostile_dir).toPandas()
+    assert int(out["n_emails"].sum()) >= 2
+    assert int(out["n_ssn"].sum()) >= 1
+    assert int(out["n_phones"].sum()) >= 1
+    assert int(out["n_ipv4"].sum()) >= 2
+    assert int(out["chars_redacted"].sum()) > 0
+    # clean sources still report affirmatively
+    assert (out["docs_with_pii"] == 0).any()
 
 
 def test_near_gate_vector_in_domain(spark, hostile_dir):

@@ -56,24 +56,44 @@ ROUND9_BUMPED = {"window_range_frame", "xml_ingest"}
 ROUND9_GRADUATIONS = {"streaming_dedup", "streaming_incremental_dedup"}
 
 
+ROUND11_ADDITIONS = {
+    "snapshot_novelty", "split_cluster_safe", "pii_scrub_counts",
+    # graduated from rows-only in round 11 (hand-rolled md5 HLL —
+    # first ORACLE-backed driver row, though r1-era rows-only rows
+    # exist in the history files)
+    "hll_user_reach",
+}
+
+
 def test_window_covers_rotation_targets():
-    """Round-11 rotation (VERDICT r10 "Next round" #1): the 41 rotating
-    slots are all RE-PROOFS — the 37 r5-era oracle-backed rows left
-    stale by round 10's growth plus 4 family-diverse r6-era rows.
-    Every slot's latest driver row must predate r07 (r5-era members
-    predate r06)."""
+    """Round-11 rotation (VERDICT r10 "Next round" #1 + #5 + #7): the
+    41 rotating slots are the 4 round-11 additions (priority slots,
+    bumping the 4 r6-era picks to round 12 per the standing recipe)
+    plus the 37 r5-era oracle-backed re-proofs left stale by round
+    10's growth — so this window clears the ENTIRE r5-era oracle
+    debt. Every re-proof slot's latest driver row must predate
+    r06."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
     assert rotation == set(registry.ROUND11_ROTATION_POOL)
-    # every slot is a stale re-proof: nothing re-checked since r06
-    assert not (rotation & _checked("r07", "r08", "r09", "r10"))
-    r6_era = {"filter_pred", "topk", "set_union", "cube_agg"}
-    assert r6_era <= rotation and r6_era <= _checked("r06")
-    assert (rotation - r6_era) <= _checked("r01", "r02", "r03", "r04", "r05")
-    assert not ((rotation - r6_era) & _checked("r06"))
+    reproof = rotation - ROUND11_ADDITIONS
+    # every re-proof slot is a stale row: nothing re-checked since r05
+    assert reproof <= _checked("r01", "r02", "r03", "r04", "r05")
+    assert not (reproof & _checked("r06", "r07", "r08", "r09", "r10"))
+    # the three NEW additions have no driver row anywhere yet; the
+    # graduation (hll_user_reach) has only ROWS-ONLY history rows
+    assert not ((ROUND11_ADDITIONS - {"hll_user_reach"}) & _checked(
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"
+    ))
+    # the bumps are named, not silent drops
+    assert len(registry.ROUND11_BUMPED) == len(ROUND11_ADDITIONS)
+    assert set(registry.ROUND11_BUMPED) == {
+        "filter_pred", "topk", "set_union", "cube_agg",
+    }
+    assert not (set(registry.ROUND11_BUMPED) & rotation)
 
 
 def _new_in_round7() -> set[str]:
@@ -415,14 +435,14 @@ def test_bench_core_is_pinned():
 
 def test_round11_pool_is_active():
     """The round-11 pool (pre-staged at round-10 close, flipped ACTIVE
-    at round-11 open — VERDICT r10 "Next round" #1): 41 unique names,
-    all registered, all oracle-backed (the third consecutive all-oracle
-    window), disjoint from the round-10 window, and composed of exactly
-    the r5-era oracle-backed leftovers (the 25 bumped + 12 oracle-backed
-    deferred) plus 4 family-diverse r6-era rows. Queries ADDED during
-    round 11 bump re-proofs from the tuple's end, per the standing
-    recipe — this pin is rewritten in the same commit when that
-    happens."""
+    at round-11 open, then amended in the same commits as the round-11
+    additions landed — VERDICT r10 "Next round" #1 + #5 + #7): 41
+    unique names, all registered, all oracle-backed (the third
+    consecutive all-oracle window), disjoint from the round-10 window,
+    and composed of exactly the 4 round-11 additions plus the r5-era
+    oracle-backed leftovers (the 25 bumped + 12 oracle-backed
+    deferred); the pre-staged 4 r6-era picks were bumped by the
+    additions and roll to round 12 (ROUND11_BUMPED)."""
     pool = registry.ROUND11_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
@@ -434,8 +454,8 @@ def test_round11_pool_is_active():
         - set(registry.ROUND10_WINDOW_PLAN)
         - set(registry.CORE_WINDOW)
     )
-    r5_oracle = r5_era & set(registry.all_oracles())
+    r5_oracle = r5_era & set(registry.all_oracles()) - ROUND11_ADDITIONS
     assert r5_oracle <= set(pool)
-    assert set(pool) - r5_oracle == {"filter_pred", "topk", "set_union", "cube_agg"}
+    assert set(pool) - r5_oracle == ROUND11_ADDITIONS
     # the live window is the round-11 plan
     assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN

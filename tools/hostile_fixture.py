@@ -180,9 +180,15 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         (99008, chr(65279) || 'bom prefixed doc the first token wears a bom', 'en', 'web', 46),
         (99009, 'emoji \U0001f600 doc with \U0001f680 four byte chars in the text', 'en', 'social', 52),
         (9797, 'Contamination canary: this exact sentence leaks into training data verbatim.', 'en', 'web', 76),
-        (99010, 'A scraped page quoting: contamination canary: this exact sentence leaks into training data verbatim. Plus trailing chatter.', 'en', 'web', 123)
+        (99010, 'A scraped page quoting: contamination canary: this exact sentence leaks into training data verbatim. Plus trailing chatter.', 'en', 'web', 123),
+        (99011, 'Contact jane.doe+spam@example-mail.org or 555-867-5309, SSN 123-45-6789, server 192.168.001.042 backup 10.0.0.1, alt email bob@test.io.', 'en', 'web', 135)
       ) t(doc_id, text, lang, source, n_chars)
     """)
+    # 99011 plants every PII regex class (2 emails, 1 SSN, 1 phone,
+    # 2 IPv4) so pii_scrub_counts' per-class counters and the
+    # sequential-redaction length all fire on every sweep (the
+    # non-vacuous-oracle rule) — the base fixture text has no digits
+    # or @ at all.
     # 9797 (% 97 = 0, under the eval id cap) + 99010 (% 97 ≠ 0, quotes
     # 9797's normalized 40-char head verbatim) plant a REAL
     # contamination pair for decontaminate_substring — its recorded
