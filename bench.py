@@ -234,6 +234,11 @@ HEADLINE = [
     "streaming_stream_left_join",
     "referential_integrity_audit",
     "seasonality_dow",
+    # round-11 additions
+    "snapshot_novelty",
+    "split_cluster_safe",
+    "pii_scrub_counts",
+    "hll_user_reach",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -87,10 +87,12 @@ def read_jdbc(spark: SparkSession, url: str, dbtable: str, **options: str) -> Da
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro scan — the format module is external since Spark 2.4 and
     the spark-avro jar is NOT on this environment's classpath
-    (re-probed round 10: DATA_SOURCE_NOT_FOUND with the built-in
-    deployment hint), so this is an honest gate like Iceberg/JDBC, not
-    a stub: the moment the jar lands, the same call reads Avro with
-    zero code change here."""
+    (re-probed round 11, 2026-08-16: avro/iceberg DATA_SOURCE_NOT_FOUND
+    with the built-in deployment hint, JDBC "No suitable driver",
+    protobuf import still absent for transformWithStateInPandas), so
+    this is an honest gate like Iceberg/JDBC, not a stub: the moment
+    the jar lands, the same call reads Avro with zero code change
+    here."""
     _require_format(
         spark, "avro",
         "Add org.apache.spark:spark-avro and retry: "
