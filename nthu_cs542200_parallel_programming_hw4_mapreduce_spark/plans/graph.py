@@ -288,31 +288,35 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic scale trap here is the basket whale: pair expansion is
     C(n,2) per basket, so ONE degenerate million-item basket emits
-    5·10^11 pairs. The plan therefore (1) collapses to DISTINCT
-    (order, part) memberships first — duplicate line items must not
-    inflate support — and (2) drops baskets over {_BASKET_CAP} distinct
-    parts via an O(1)-per-group COUNT (never materializing a whale's
-    part set) BEFORE any pair is formed (the LSH ``_MAX_BUCKET``
-    degenerate-bucket discipline applied to baskets; the cap is
-    mirrored verbatim in the oracle, so exclusion is a checked
-    contract).
+    5·10^11 pairs. The plan collapses each order to its DISTINCT part
+    SET — duplicate line items must not inflate support — and drops
+    baskets over {_BASKET_CAP} distinct parts BEFORE any pair is
+    formed (the LSH ``_MAX_BUCKET`` degenerate-bucket discipline
+    applied to baskets; the cap is mirrored verbatim in the oracle,
+    so exclusion is a checked contract).
 
-    Pair generation is JOIN-FREE (round 11 — VERDICT r10 #3): the
-    original membership⋈membership self-join sorted the corpus-sized
-    side TWICE and held merge-join buffers on top, which is exactly
-    the posture that OOM'd the 1000× probe's shared 8 g JVM
-    (SCALING.md "1000× round 10"). Instead, capped baskets collect
-    into one SORTED part array per order (≤{_BASKET_CAP} elements by
-    construction — the cap precedes the collect, so no whale ever
-    materializes) and the C(n,2) expansion runs inside whole-stage
-    codegen as nested array ``transform``s over that array — ascending
-    sort gives the x < y orientation positionally, no comparison
-    filter discards half the generated rows. One corpus-sized sort
-    (the basket grouping) instead of two plus a join; pair volume is
-    unchanged and still bounded by baskets · C({_BASKET_CAP},2). An
-    a-priori frequent-item prefilter was considered and rejected: pair
-    support ≤ min item frequency, so pruning items below the 20th
-    pair's support is answer-preserving, but on any corpus whose item
+    Pair generation is JOIN-FREE and the dedup is BASKET-LOCAL
+    (round 11 — VERDICT r10 #3, two iterations): the original
+    membership⋈membership self-join sorted the corpus-sized side
+    TWICE, and the first rewrite still ran a GLOBAL (order, part)
+    DISTINCT whose 600M-row hash-agg stage is exactly what kept
+    OOM-ing the 1000× probe's shared 8 g JVM (0.25 GB per task slot —
+    SCALING.md "1000× round 10/11"). Both are gone: ONE groupBy on the
+    order key collects each basket's distinct sorted part array
+    (``collect_set`` dedupes INSIDE the basket — a global pair-keyed
+    exchange proves nothing the per-order set doesn't), the
+    ≤{_BASKET_CAP} gate applies to the collected size, and the C(n,2)
+    expansion runs inside whole-stage codegen as nested array
+    ``transform``s — ascending sort gives the x < y orientation
+    positionally. Whale posture: buffers hold part IDS only
+    (8 bytes/member — the accepted id-collection posture shared with
+    ``lsh_candidate_pairs``; a 10⁶-part whale basket costs 8 MB
+    before the gate drops it, and the gate still precedes the
+    QUADRATIC expansion, which is the real hazard), and the object-agg
+    falls back to sort-based spilling per group. An a-priori
+    frequent-item prefilter was considered and rejected: pair support
+    ≤ min item frequency, so pruning items below the 20th pair's
+    support is answer-preserving, but on any corpus whose item
     frequencies sit well above pair supports (this fixture: freqs
     ~30-50, 20th support 2-3) it prunes nothing and costs an extra
     corpus aggregate. Pairs partial-agg into (part, part) support
@@ -320,20 +324,12 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak (support DESC, part_a, part_b), never a
     global sort."""
     li = table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    sz = b.groupBy("o").agg(F.count("*").alias("_n")).filter(
-        F.col("_n") <= _BASKET_CAP
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") <= _BASKET_CAP)
     )
-    # both join sides scale with the corpus (memberships, basket sizes)
-    # — pin to sort-merge per the lsh_jaccard_verified rule rather than
-    # letting size estimates pick a broadcast that 100 TB invalidates
-    # (observed OOM at the dedup family's 100× probe). The join output
-    # is hash-partitioned by o, so the basket groupBy below reuses that
-    # exchange instead of adding one.
-    bb = b.join(sz.select("o").hint("merge"), "o")
-    baskets = bb.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pairs = baskets.select(
         F.explode(
             F.expr(
