@@ -577,6 +577,38 @@ ROUND11_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND11_ROTATION_POOL
 
 DRIVER_WINDOW: tuple[str, ...] = ROUND11_WINDOW_PLAN
 
+# Round-12 rotation pool, PRE-STAGED at round-11 close (the standing
+# receipt pattern): once CORRECTNESS_r11 lands green on the round-11
+# window, the r5-era oracle debt is CLEARED and the stalest era is
+# r6 — exactly 40 oracle-backed rows whose newest driver row is
+# CORRECTNESS_r06 (including the 4 ROUND11_BUMPED picks), computed
+# from the recorded CORRECTNESS files in
+# tests/test_registry.py::test_round12_pool_is_prestaged so the pin
+# cannot rot. The 41st slot takes the oldest r7-era row preferring
+# the documented leftover: ``limit_offset`` (the single round-6
+# window leftover, driver-checked once in r07). Queries ADDED during
+# round 12 take priority — bump re-proofs from this tuple's end, per
+# the standing recipe.
+# Pre-verified at round-11 close (2026-08-16): every member was
+# parity-green in the round-11 whole-registry sweeps at sf0.001,
+# sf0.01, sf0.1 AND the re-extended hostile fixture (244/244, 0
+# failures each) — the round-12 flip carries no rot.
+ROUND12_ROTATION_POOL: tuple[str, ...] = (
+    # the 40 r6-era rows (newest driver row = CORRECTNESS_r06)
+    "agg_string_list", "cube_agg", "distinct_dedup", "filter_pred",
+    "grouping_sets_explicit", "histogram_value", "join_equi",
+    "join_multiway", "join_outer", "join_semi_anti", "pivot_status",
+    "quality_deciles_approx", "quantile_price", "rollup_agg",
+    "rollup_grouping_id", "scalar_array", "scalar_date", "scalar_text",
+    "session_paths_topk_salted", "set_intersect_except", "set_ops_all",
+    "set_union", "sql_api_subquery", "topk", "tpch_q10", "tpch_q13",
+    "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "unpivot_stack", "window_lag_lead", "window_rank", "window_running",
+    # oldest r7-era row — the documented round-6 leftover
+    "limit_offset",
+)
+
 
 def _ordered(names: dict[str, object]) -> list[str]:
     front = [n for n in DRIVER_WINDOW if n in names]

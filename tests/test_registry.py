@@ -459,3 +459,31 @@ def test_round11_pool_is_active():
     assert set(pool) - r5_oracle == ROUND11_ADDITIONS
     # the live window is the round-11 plan
     assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN
+
+
+def test_round12_pool_is_prestaged():
+    """The INACTIVE round-12 pool (pre-staged at round-11 close): 41
+    unique names, all registered, all oracle-backed, disjoint from the
+    active round-11 window, and composed of exactly the 40 r6-era
+    oracle-backed rows (newest driver row = CORRECTNESS_r06 — the
+    stalest era once round 11 clears the r5-era debt; includes the 4
+    ROUND11_BUMPED picks) plus limit_offset, the oldest r7-era row
+    (the documented round-6 window leftover). Computed from the
+    recorded CORRECTNESS files so the pin cannot rot."""
+    pool = registry.ROUND12_ROTATION_POOL
+    assert len(pool) == 41 and len(set(pool)) == 41
+    assert set(pool) <= set(registry.all_queries())
+    assert set(pool) <= set(registry.all_oracles())
+    assert not (set(pool) & set(registry.ROUND11_WINDOW_PLAN))
+    r6_era = (
+        _checked("r06")
+        - _checked("r07", "r08", "r09", "r10")
+        - set(registry.ROUND11_WINDOW_PLAN)
+    ) & set(registry.all_oracles())
+    assert set(registry.ROUND11_BUMPED) <= r6_era
+    assert set(pool) == r6_era | {"limit_offset"}
+    # limit_offset really is r7-era
+    assert "limit_offset" in _checked("r07")
+    assert "limit_offset" not in _checked("r08", "r09", "r10")
+    # the live window stays round 11 until the next round flips it
+    assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN
