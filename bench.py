@@ -239,6 +239,8 @@ HEADLINE = [
     "split_cluster_safe",
     "pii_scrub_counts",
     "hll_user_reach",
+    "tokenizer_fertility",
+    "effective_token_budget",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

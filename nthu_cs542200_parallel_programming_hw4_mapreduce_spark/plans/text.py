@@ -2742,3 +2742,147 @@ def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks,
+             length(text) AS chars,
+             strlen(text) AS bytes
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(chars) AS DOUBLE) / SUM(toks), 6)
+             AS chars_per_token,
+           round(CAST(SUM(bytes) AS DOUBLE) / SUM(toks), 6)
+             AS bytes_per_token,
+           round(CAST(SUM(toks) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc
+    FROM d GROUP BY lang HAVING SUM(toks) > 0 ORDER BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: characters and UTF-8 bytes per
+    token under the BPE-ish tokenizer, plus tokens per document — the
+    compute-budget lens on a multilingual mix (a language at 2× the
+    bytes-per-token costs 2× the storage and context length for the
+    same token budget; fertility outliers are the classic symptom of a
+    tokenizer that under-serves a script). Uses the same token unit as
+    ``token_count_est``/``encode_corpus`` so the numbers compose with
+    the rest of the token accounting; bytes come from octet_length
+    (Spark) / strlen (DuckDB), both UTF-8 — the chars≠bytes split is
+    exercised by the hostile fixture's accented/emoji docs.
+
+    Scale shape: one narrow codegen scan (regex count + two lengths),
+    |langs|-key partial agg; ratios are single double divisions
+    rounded once, computed from order-free integer sums — nothing
+    here can drift. The cheapest possible 100 TB shape."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    d = docs.select(
+        "lang",
+        X.bpe_ish_token_count("text").cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").alias("_chars"),
+        F.sum("bytes").alias("_bytes"),
+    ).filter(F.col("n_tokens") > 0)
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("_bytes").cast("double") / F.col("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "tokens_per_doc"
+        ),
+    ).orderBy("lang")
+
+
+@query(
+    "effective_token_budget",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    k AS (
+      SELECT source, toks,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS is_keep
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS raw_docs,
+           CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+           CAST(SUM(is_keep) AS BIGINT) AS unique_docs,
+           CAST(SUM(CASE WHEN is_keep = 1 THEN toks ELSE 0 END) AS BIGINT)
+             AS effective_tokens,
+           CAST(SUM(CASE WHEN is_keep = 0 THEN toks ELSE 0 END) AS BIGINT)
+             AS dup_token_waste
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def effective_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE token budget per source: raw tokens vs tokens
+    surviving exact dedup (md5-fingerprint keep-first, the
+    ``dedup_exact`` rule) — the number that actually matters when
+    sizing a training mix, because a source whose raw volume is half
+    duplicates contributes half the unique tokens its row count
+    suggests (the Chinchilla-style accounting a curator does before
+    setting mixture weights; ``dup_token_waste`` is the column that
+    pays for the dedup pipeline). Keep-first attribution is global:
+    a duplicate cluster spanning sources credits the earliest doc's
+    source, mirroring what an actual dedup pass would ship.
+
+    Scale shape: one fingerprint shuffle (the dedup_exact exchange);
+    keep-marking is an unbounded MIN window over the fp partition —
+    same exchange, no join-back (the window's per-key state is one
+    min, and fp whale keys carry only (doc_id, source, toks) triples,
+    never text) — then a |sources|-key partial agg of integer sums.
+    Exact integers end-to-end; nothing can drift."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        "source",
+        X.fingerprint("text").alias("fp"),
+        X.bpe_ish_token_count("text").cast("long").alias("toks"),
+    )
+    keep = F.when(
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")), 1
+    ).otherwise(0)
+    k = d.select("source", "toks", keep.alias("is_keep"))
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("raw_docs"),
+            F.sum("toks").cast("long").alias("raw_tokens"),
+            F.sum("is_keep").cast("long").alias("unique_docs"),
+            F.sum(F.when(F.col("is_keep") == 1, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("effective_tokens"),
+            F.sum(F.when(F.col("is_keep") == 0, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("dup_token_waste"),
+        )
+        .orderBy("source")
+    )

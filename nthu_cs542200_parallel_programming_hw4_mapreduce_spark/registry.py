@@ -540,10 +540,21 @@ ROUND10_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND10_ROTATION_POOL
 # DuckDB, so the sketch itself is now hash-checked). All four
 # parity-verified at sf0.001/sf0.01 + the re-extended hostile fixture
 # the day they landed.
+# Round-11 additions, second wave (tokenizer_fertility — bytes/chars
+# per token per language, the compute-budget lens; and
+# effective_token_budget — per-source raw vs post-exact-dedup token
+# accounting): same recipe, bumping time_weighted_avg /
+# udtf_analyze_split from the tuple's end (each family-redundant with
+# a member already re-proving: time_weighted_avg_salted is the
+# production default of the same pair, and udtf_analyze_split's UDTF
+# family has udtf_tokenize r8). Being r5-era rows, the two bumps are
+# STALER than the pre-staged round-12 pool's r6-era members — so they
+# take round-12 slots immediately (see ROUND12_ROTATION_POOL's
+# amendment below), keeping the oldest-first invariant.
 ROUND11_ROTATION_POOL: tuple[str, ...] = (
     # new in round 11 (never driver-checked under an oracle)
     "snapshot_novelty", "split_cluster_safe", "pii_scrub_counts",
-    "hll_user_reach",
+    "hll_user_reach", "tokenizer_fertility", "effective_token_budget",
     # r5-era re-proofs bumped out of round 10 by its 25 additions
     "winsorized_stats", "zorder_layout", "value_histogram",
     "vocab_growth_curve", "user_overlap_jaccard", "tfidf_cosine_pairs",
@@ -557,15 +568,16 @@ ROUND11_ROTATION_POOL: tuple[str, ...] = (
     "arrow_map_batches", "bounce_rate_daily", "decayed_engagement",
     "drift_ks_test", "funnel_weekly_trend", "fuzzy_name_match",
     "python_stream_source", "revenue_yoy_growth",
-    "schema_evolution_scan", "session_paths_topk", "time_weighted_avg",
-    "udtf_analyze_split",
+    "schema_evolution_scan", "session_paths_topk",
 )
 
-# The 4 r6-era family-diverse rows the round-11 additions bumped from
-# the pool's end (the standing one-bump-per-addition recipe); they
-# lead the round-12 re-proof queue.
+# The rows the round-11 additions bumped from the pool's end (the
+# standing one-bump-per-addition recipe): the 4 r6-era family-diverse
+# picks lead the round-12 re-proof queue; the 2 r5-era second-wave
+# bumps are staler still and take round-12 slots directly.
 ROUND11_BUMPED: tuple[str, ...] = (
     "filter_pred", "topk", "set_union", "cube_agg",
+    "time_weighted_avg", "udtf_analyze_split",
 )
 
 # Round-11 window, ACTIVE (flipped at round-11 open in the same commit
@@ -591,10 +603,19 @@ DRIVER_WINDOW: tuple[str, ...] = ROUND11_WINDOW_PLAN
 # the standing recipe.
 # Pre-verified at round-11 close (2026-08-16): every member was
 # parity-green in the round-11 whole-registry sweeps at sf0.001,
-# sf0.01, sf0.1 AND the re-extended hostile fixture (244/244, 0
-# failures each) — the round-12 flip carries no rot.
+# sf0.01, sf0.1 AND the re-extended hostile fixture (0 failures
+# each) — the round-12 flip carries no rot.
+# AMENDED by the round-11 second-wave bumps: time_weighted_avg and
+# udtf_analyze_split are r5-era (strictly staler than this pool's
+# r6-era base), so they take slots immediately; tpch_q5 and tpch_q7
+# defer to round 13 (join-family redundant — q3/q8/q10/q18/q19 all
+# re-prove from this pool, and the core re-proves q12 every round).
 ROUND12_ROTATION_POOL: tuple[str, ...] = (
-    # the 40 r6-era rows (newest driver row = CORRECTNESS_r06)
+    # r5-era rows bumped by the round-11 second-wave additions —
+    # the stalest oracle-backed rows anywhere, so they go first
+    "time_weighted_avg", "udtf_analyze_split",
+    # the r6-era rows (newest driver row = CORRECTNESS_r06), minus
+    # the two named tpch deferrals
     "agg_string_list", "cube_agg", "distinct_dedup", "filter_pred",
     "grouping_sets_explicit", "histogram_value", "join_equi",
     "join_multiway", "join_outer", "join_semi_anti", "pivot_status",
@@ -603,11 +624,15 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
     "session_paths_topk_salted", "set_intersect_except", "set_ops_all",
     "set_union", "sql_api_subquery", "topk", "tpch_q10", "tpch_q13",
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q4", "tpch_q6", "tpch_q8",
     "unpivot_stack", "window_lag_lead", "window_rank", "window_running",
     # oldest r7-era row — the documented round-6 leftover
     "limit_offset",
 )
+
+# The two r6-era rows the amendment deferred to round 13 (named, not
+# silently dropped — the standing deferral discipline).
+ROUND12_DEFERRED: tuple[str, ...] = ("tpch_q5", "tpch_q7")
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

@@ -165,7 +165,7 @@ REGRESSION_SET = [
     # the decimal-band refits, green on the re-extended fixture
     # (contamination pair, near-gate vector, PII plant) from day one
     "snapshot_novelty", "split_cluster_safe", "pii_scrub_counts",
-    "hll_user_reach",
+    "hll_user_reach", "tokenizer_fertility", "effective_token_budget",
 ]
 
 

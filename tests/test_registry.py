@@ -62,6 +62,8 @@ ROUND11_ADDITIONS = {
     # first ORACLE-backed driver row, though r1-era rows-only rows
     # exist in the history files)
     "hll_user_reach",
+    # second wave: token accounting
+    "tokenizer_fertility", "effective_token_budget",
 }
 
 
@@ -92,6 +94,7 @@ def test_window_covers_rotation_targets():
     assert len(registry.ROUND11_BUMPED) == len(ROUND11_ADDITIONS)
     assert set(registry.ROUND11_BUMPED) == {
         "filter_pred", "topk", "set_union", "cube_agg",
+        "time_weighted_avg", "udtf_analyze_split",
     }
     assert not (set(registry.ROUND11_BUMPED) & rotation)
 
@@ -455,21 +458,24 @@ def test_round11_pool_is_active():
         - set(registry.CORE_WINDOW)
     )
     r5_oracle = r5_era & set(registry.all_oracles()) - ROUND11_ADDITIONS
-    assert r5_oracle <= set(pool)
+    second_wave_bumps = {"time_weighted_avg", "udtf_analyze_split"}
+    assert second_wave_bumps <= r5_oracle
+    assert r5_oracle - second_wave_bumps <= set(pool)
     assert set(pool) - r5_oracle == ROUND11_ADDITIONS
     # the live window is the round-11 plan
     assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN
 
 
 def test_round12_pool_is_prestaged():
-    """The INACTIVE round-12 pool (pre-staged at round-11 close): 41
-    unique names, all registered, all oracle-backed, disjoint from the
-    active round-11 window, and composed of exactly the 40 r6-era
-    oracle-backed rows (newest driver row = CORRECTNESS_r06 — the
-    stalest era once round 11 clears the r5-era debt; includes the 4
-    ROUND11_BUMPED picks) plus limit_offset, the oldest r7-era row
-    (the documented round-6 window leftover). Computed from the
-    recorded CORRECTNESS files so the pin cannot rot."""
+    """The INACTIVE round-12 pool (pre-staged at round-11 close,
+    amended by the second-wave bumps): 41 unique names, all
+    registered, all oracle-backed, disjoint from the active round-11
+    window, and composed of the two r5-era second-wave bumps (the
+    stalest rows anywhere) + the r6-era oracle-backed rows (newest
+    driver row = CORRECTNESS_r06) minus the two named tpch deferrals
+    + limit_offset, the oldest r7-era row (the documented round-6
+    window leftover). Computed from the recorded CORRECTNESS files so
+    the pin cannot rot."""
     pool = registry.ROUND12_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
@@ -480,8 +486,17 @@ def test_round12_pool_is_prestaged():
         - _checked("r07", "r08", "r09", "r10")
         - set(registry.ROUND11_WINDOW_PLAN)
     ) & set(registry.all_oracles())
-    assert set(registry.ROUND11_BUMPED) <= r6_era
-    assert set(pool) == r6_era | {"limit_offset"}
+    r5_bumps = {"time_weighted_avg", "udtf_analyze_split"}
+    assert set(registry.ROUND11_BUMPED) - r5_bumps <= r6_era
+    assert r5_bumps <= _checked("r05")
+    assert not (r5_bumps & _checked("r06", "r07", "r08", "r09", "r10"))
+    assert set(registry.ROUND12_DEFERRED) == {"tpch_q5", "tpch_q7"}
+    assert set(registry.ROUND12_DEFERRED) <= r6_era
+    assert set(pool) == (
+        r5_bumps
+        | (r6_era - set(registry.ROUND12_DEFERRED))
+        | {"limit_offset"}
+    )
     # limit_offset really is r7-era
     assert "limit_offset" in _checked("r07")
     assert "limit_offset" not in _checked("r08", "r09", "r10")
