@@ -1070,13 +1070,26 @@ def connected_components(
 
 @query(
     "dedup_clusters",
+    # sized CTE added round 11 (code-review find): the engine's
+    # lsh_candidate_pairs applies the (>1, ≤_MAX_BUCKET) degenerate-
+    # bucket gate, but this oracle's pairs CTE was ungated — latent
+    # divergence on any corpus with a >10k-member band bucket (no
+    # current fixture has one, which is why ten rounds of sweeps never
+    # tripped it). Same mirror the minhash_lsh / cross_snapshot_fuzzy
+    # oracles have carried since ADVICE r9.
     oracle=f"""
     WITH RECURSIVE sh AS ({_DD_SHINGLES}),
     {_DD_SIG_CTE},
     {_DD_BANDS_CTE},
+    sized AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN sized s ON s.band_id = a.band_id AND s.band_key = a.band_key
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     edges AS (
@@ -1151,13 +1164,23 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_lsh_jaccard_verified",
+    # sized CTE added round 11 (code-review find, the dedup_clusters
+    # gate audit): the engine candidates come from the capped
+    # lsh_candidate_pairs, so the oracle mirrors the (>1, ≤_MAX_BUCKET)
+    # degenerate-bucket gate
     oracle=f"""
     WITH sh AS ({_DD_SHINGLES}),
     {_DD_SIG_CTE},
     {_DD_BANDS_CTE},
+    sized AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN sized sz ON sz.band_id = a.band_id AND sz.band_key = a.band_key
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
@@ -1443,9 +1466,15 @@ def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sh AS ({_DD_SHINGLES}),
     {_DD_SIG_CTE},
     {_DD_BANDS_CTE},
+    sized AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN sized s ON s.band_id = a.band_id AND s.band_key = a.band_key
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     edges AS (
@@ -1660,14 +1689,23 @@ _DD_REPDOCS = r"""
 
 @query(
     "dedup_fuzzy_production",
+    # sized CTE added round 11 — same gate mirror as
+    # dedup_lsh_jaccard_verified (the engine path is
+    # lsh_jaccard_verified_over → capped lsh_candidate_pairs)
     oracle=f"""
     WITH repdocs AS ({_DD_REPDOCS}),
     sh AS ({_DD_REP_SHINGLES}),
     {_DD_SIG_CTE},
     {_DD_BANDS_CTE},
+    sized AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN sized sz ON sz.band_id = a.band_id AND sz.band_key = a.band_key
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),

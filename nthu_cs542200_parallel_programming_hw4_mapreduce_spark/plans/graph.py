@@ -306,9 +306,12 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``collect_set`` dedupes INSIDE the basket — a global pair-keyed
     exchange proves nothing the per-order set doesn't), the
     ≤{_BASKET_CAP} gate applies to the collected size, and the C(n,2)
-    expansion runs inside whole-stage codegen as nested array
-    ``transform``s — ascending sort gives the x < y orientation
-    positionally. Whale posture: buffers hold part IDS only
+    expansion is the shared ``expand_pairs`` generator (chained
+    streaming explodes + a < b filter — the dedup module's measured
+    rule: the higher-order transform form is interpreted outside
+    codegen and materializes the whole pair array per row, so the one
+    pair expander lives in one place). Whale posture: buffers hold
+    part IDS only
     (8 bytes/member — the accepted id-collection posture shared with
     ``lsh_candidate_pairs``; a 10⁶-part whale basket costs 8 MB
     before the gate drops it, and the gate still precedes the
@@ -323,6 +326,8 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, then a TakeOrdered top-{_COPURCHASE_TOPK} with a full
     deterministic tiebreak (support DESC, part_a, part_b), never a
     global sort."""
+    from .dedup import expand_pairs
+
     li = table(spark, sf_dir, "lineitem")
     baskets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -330,15 +335,9 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
         .filter(F.size("ps") <= _BASKET_CAP)
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.part_a", "pr.part_b")
+    pairs = expand_pairs(baskets, "ps").select(
+        F.col("a_id").alias("part_a"), F.col("b_id").alias("part_b")
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("support"))

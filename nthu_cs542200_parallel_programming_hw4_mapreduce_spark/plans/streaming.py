@@ -897,7 +897,7 @@ _HLL_SCALE = 1 << _HLL_W_BITS  # 4503599627370496
       WHERE user_id IS NOT NULL
     )
     SELECT est.event_type,
-           {_dd_q4(f"CASE WHEN raw <= 2560.0::DOUBLE AND v > 0 "
+           {_dd_q4(f"CASE WHEN raw <= {2.5 * _HLL_M}::DOUBLE AND v > 0 "
                    f"THEN {_HLL_M}.0::DOUBLE * ln({_HLL_M}.0::DOUBLE / v) "
                    f"ELSE raw END")} AS est_users,
            exact_users

@@ -264,3 +264,57 @@ def test_cross_snapshot_fuzzy_matches_lsh_pair_semantics(spark, sf_dir):
             if new % 2 == 1 and old % 2 == 0:
                 partners.setdefault(new, set()).add(old)
     assert fuzzy == {n: min(olds) for n, olds in partners.items()}
+
+
+def test_cluster_oracles_gate_degenerate_buckets(spark, tmp_path_factory):
+    """Round-11 code-review find: dedup_clusters' (and the new
+    split_cluster_safe's) oracle pairs CTE was UNGATED while the engine
+    applies lsh_candidate_pairs' (>1, ≤_MAX_BUCKET) degenerate-bucket
+    cap — a latent divergence no fixture tripped because none carries a
+    >10k-member band bucket. This plants one (_MAX_BUCKET + 1 identical
+    boilerplate docs) plus a normal near-dup pair and asserts ENGINE
+    and ORACLE agree: boilerplate docs stay singleton clusters, the
+    near-dup pair still clusters."""
+    import duckdb
+
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        _MAX_BUCKET,
+        dedup_clusters,
+    )
+
+    boiler = "lorem ipsum dolor sit amet boilerplate navigation footer links"
+    n_boiler = _MAX_BUCKET + 1
+    base = spark.range(n_boiler).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.lit(boiler).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(len(boiler)).cast("long").alias("n_chars"),
+    )
+    pair = spark.createDataFrame(
+        [
+            (0, BASE, "en", "src", len(BASE)),
+            (1, BASE.replace("today", "tonight"), "en", "src", len(BASE)),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = str(tmp_path_factory.mktemp("overcap"))
+    base.unionByName(pair).coalesce(2).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    labels = {r["doc_id"]: r["cluster"] for r in dedup_clusters(spark, d).collect()}
+    # near-dup pair clusters; every boilerplate doc is its own cluster
+    assert labels[1] == labels[0] == 0
+    assert all(labels[i] == i for i in range(100, 110))
+    assert len(set(labels.values())) == n_boiler + 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{d}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(registry.oracle_for("dedup_clusters")).df()
+    olabels = dict(zip(oracle["doc_id"], oracle["cluster"]))
+    assert olabels == labels

@@ -69,12 +69,13 @@ ROUND11_ADDITIONS = {
 
 def test_window_covers_rotation_targets():
     """Round-11 rotation (VERDICT r10 "Next round" #1 + #5 + #7): the
-    41 rotating slots are the 4 round-11 additions (priority slots,
-    bumping the 4 r6-era picks to round 12 per the standing recipe)
-    plus the 37 r5-era oracle-backed re-proofs left stale by round
-    10's growth — so this window clears the ENTIRE r5-era oracle
-    debt. Every re-proof slot's latest driver row must predate
-    r06."""
+    41 rotating slots are the 6 round-11 additions (priority slots —
+    the first wave bumped the 4 pre-staged r6-era picks, the second
+    wave bumped 2 r5-era rows, all per the standing recipe) plus the
+    35 remaining r5-era oracle-backed re-proofs left stale by round
+    10's growth; the 2 r5-era bumps take round-12 slots directly so
+    no r5-era row waits past round 12. Every re-proof slot's latest
+    driver row must predate r06."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
@@ -442,10 +443,11 @@ def test_round11_pool_is_active():
     additions landed — VERDICT r10 "Next round" #1 + #5 + #7): 41
     unique names, all registered, all oracle-backed (the third
     consecutive all-oracle window), disjoint from the round-10 window,
-    and composed of exactly the 4 round-11 additions plus the r5-era
-    oracle-backed leftovers (the 25 bumped + 12 oracle-backed
-    deferred); the pre-staged 4 r6-era picks were bumped by the
-    additions and roll to round 12 (ROUND11_BUMPED)."""
+    and composed of exactly the 6 round-11 additions plus 35 of the
+    37 r5-era oracle-backed leftovers; the pre-staged 4 r6-era picks
+    and the 2 second-wave r5-era bumps were displaced by the additions
+    and take round-12 slots (ROUND11_BUMPED / the amended
+    ROUND12_ROTATION_POOL)."""
     pool = registry.ROUND11_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
