@@ -329,8 +329,19 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import expand_pairs
 
     li = table(spark, sf_dir, "lineitem")
+    # repartition BEFORE the groupBy: a map-side partial collect_set is
+    # pure cost here — order keys are spread across scan splits, so the
+    # combine reduces almost nothing while every scan task builds a
+    # ~|orders-per-split|-key object-agg map (the component that hit
+    # UNABLE_TO_ACQUIRE_MEMORY at the 1000× probe's 600M-row scale).
+    # With an explicit o-exchange first, the scan stage carries ZERO
+    # aggregation state (it only writes narrow (o, p) shuffle rows) and
+    # the collect happens once, post-shuffle, on o-clustered data — the
+    # classic skip-partial-agg-when-reduction≈1 call, made explicitly
+    # because Catalyst has no cardinality evidence to make it itself.
     baskets = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .repartition(F.col("o"))
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
         .filter(F.size("ps") <= _BASKET_CAP)
