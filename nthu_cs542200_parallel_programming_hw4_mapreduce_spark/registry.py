@@ -580,14 +580,11 @@ ROUND11_BUMPED: tuple[str, ...] = (
     "time_weighted_avg", "udtf_analyze_split",
 )
 
-# Round-11 window, ACTIVE (flipped at round-11 open in the same commit
-# as the test-pin rewrite, per the codified round-5 lesson): 9 core +
-# the pre-staged 41-slot pool above = exactly 50, all oracle-backed —
-# the THIRD consecutive all-oracle window. Once CORRECTNESS_r11 lands
-# green, no oracle-backed query's newest driver row is older than r7.
+# Round-11 window, RETIRED (was active for the round-11 driver run;
+# CORRECTNESS_r11 landed 50/50 green): 9 core + the 41-slot pool
+# above, all oracle-backed — the third consecutive all-oracle window.
+# Kept for the audit trail; the live window is DRIVER_WINDOW below.
 ROUND11_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND11_ROTATION_POOL
-
-DRIVER_WINDOW: tuple[str, ...] = ROUND11_WINDOW_PLAN
 
 # Round-12 rotation pool, PRE-STAGED at round-11 close (the standing
 # receipt pattern): once CORRECTNESS_r11 lands green on the round-11
@@ -633,6 +630,25 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
 # The two r6-era rows the amendment deferred to round 13 (named, not
 # silently dropped — the standing deferral discipline).
 ROUND12_DEFERRED: tuple[str, ...] = ("tpch_q5", "tpch_q7")
+
+# The rows round-12 additions bump from the pool's end (one bump per
+# addition, per the standing recipe; empty until additions land).
+ROUND12_BUMPED: tuple[str, ...] = ()
+
+# Round-12 window, ACTIVE (flipped at round-12 open in the same commit
+# as the test-pin rewrite, per the codified round-5 lesson and
+# VERDICT r11 "Next round" #1): 9 core + the pre-staged 41-slot pool
+# above = exactly 50, all oracle-backed — the FOURTH consecutive
+# all-oracle window. Every pool member was pre-verified parity-green
+# in the round-11 whole-registry sweeps (tri-SF + hostile), and the
+# full 50-query window was re-swept at sf0.01 immediately before this
+# flip (round-12 open, 2026-08-16). Once CORRECTNESS_r12 lands green,
+# the r6-era re-proof debt is cleared except the two NAMED round-13
+# deferrals (tpch_q5/tpch_q7), and no other oracle-backed query's
+# newest driver row predates r07.
+ROUND12_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND12_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND12_WINDOW_PLAN
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

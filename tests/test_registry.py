@@ -67,37 +67,40 @@ ROUND11_ADDITIONS = {
 }
 
 
+# Queries added during round 12 (no driver row before CORRECTNESS_r12;
+# each took a priority window slot and bumped one re-proof from the
+# pool tuple's END, named in registry.ROUND12_BUMPED).
+ROUND12_ADDITIONS: set[str] = set()
+
+
 def test_window_covers_rotation_targets():
-    """Round-11 rotation (VERDICT r10 "Next round" #1 + #5 + #7): the
-    41 rotating slots are the 6 round-11 additions (priority slots —
-    the first wave bumped the 4 pre-staged r6-era picks, the second
-    wave bumped 2 r5-era rows, all per the standing recipe) plus the
-    35 remaining r5-era oracle-backed re-proofs left stale by round
-    10's growth; the 2 r5-era bumps take round-12 slots directly so
-    no r5-era row waits past round 12. Every re-proof slot's latest
-    driver row must predate r06."""
+    """Round-12 rotation (VERDICT r11 "Next round" #1): the 41
+    rotating slots are the round-12 additions (priority slots, per
+    the standing recipe) plus stale re-proofs — the 2 r5-era
+    second-wave bumps (stalest rows anywhere), the r6-era rows minus
+    the two named round-13 deferrals, and limit_offset (oldest
+    r7-era row). Every re-proof slot's latest driver row must predate
+    r08."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    assert rotation == set(registry.ROUND11_ROTATION_POOL)
-    reproof = rotation - ROUND11_ADDITIONS
-    # every re-proof slot is a stale row: nothing re-checked since r05
-    assert reproof <= _checked("r01", "r02", "r03", "r04", "r05")
-    assert not (reproof & _checked("r06", "r07", "r08", "r09", "r10"))
-    # the three NEW additions have no driver row anywhere yet; the
-    # graduation (hll_user_reach) has only ROWS-ONLY history rows
-    assert not ((ROUND11_ADDITIONS - {"hll_user_reach"}) & _checked(
-        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"
+    assert rotation == set(registry.ROUND12_ROTATION_POOL)
+    reproof = rotation - ROUND12_ADDITIONS
+    # every re-proof slot is a stale row: nothing re-checked since r07
+    assert reproof <= _checked(
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07"
+    )
+    assert not (reproof & _checked("r08", "r09", "r10", "r11"))
+    # brand-new additions have no driver row anywhere yet
+    assert not (ROUND12_ADDITIONS & _checked(
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
+        "r10", "r11",
     ))
     # the bumps are named, not silent drops
-    assert len(registry.ROUND11_BUMPED) == len(ROUND11_ADDITIONS)
-    assert set(registry.ROUND11_BUMPED) == {
-        "filter_pred", "topk", "set_union", "cube_agg",
-        "time_weighted_avg", "udtf_analyze_split",
-    }
-    assert not (set(registry.ROUND11_BUMPED) & rotation)
+    assert len(registry.ROUND12_BUMPED) == len(ROUND12_ADDITIONS)
+    assert not (set(registry.ROUND12_BUMPED) & rotation)
 
 
 def _new_in_round7() -> set[str]:
@@ -464,14 +467,16 @@ def test_round11_pool_is_active():
     assert second_wave_bumps <= r5_oracle
     assert r5_oracle - second_wave_bumps <= set(pool)
     assert set(pool) - r5_oracle == ROUND11_ADDITIONS
-    # the live window is the round-11 plan
-    assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN
+    # retired: the round-11 plan is no longer the live window
+    assert registry.ROUND11_WINDOW_PLAN != registry.DRIVER_WINDOW
 
 
-def test_round12_pool_is_prestaged():
-    """The INACTIVE round-12 pool (pre-staged at round-11 close,
-    amended by the second-wave bumps): 41 unique names, all
-    registered, all oracle-backed, disjoint from the active round-11
+def test_round12_pool_is_active():
+    """The ACTIVE round-12 pool (pre-staged at round-11 close, amended
+    by the second-wave bumps, flipped ACTIVE at round-12 open in the
+    same commit as this pin rewrite — VERDICT r11 "Next round" #1):
+    41 unique names, all registered, all oracle-backed (the fourth
+    consecutive all-oracle window), disjoint from the round-11
     window, and composed of the two r5-era second-wave bumps (the
     stalest rows anywhere) + the r6-era oracle-backed rows (newest
     driver row = CORRECTNESS_r06) minus the two named tpch deferrals
@@ -502,5 +507,8 @@ def test_round12_pool_is_prestaged():
     # limit_offset really is r7-era
     assert "limit_offset" in _checked("r07")
     assert "limit_offset" not in _checked("r08", "r09", "r10")
-    # the live window stays round 11 until the next round flips it
-    assert registry.DRIVER_WINDOW == registry.ROUND11_WINDOW_PLAN
+    # the live window IS the round-12 plan
+    assert registry.ROUND12_WINDOW_PLAN == (
+        registry.CORE_WINDOW + registry.ROUND12_ROTATION_POOL
+    )
+    assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
