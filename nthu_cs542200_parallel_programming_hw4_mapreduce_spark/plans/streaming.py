@@ -933,6 +933,19 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along as the in-row accuracy witness (the unit test bounds
     |est − exact| against the σ ≈ 3.3% class).
 
+    PLATFORM-PARITY SENSITIVITY (ADVICE r11): the hash-exact contract
+    additionally rests on JVM ``Math.log`` and DuckDB/libm ``ln``
+    (plus the double divisions feeding them) agreeing bit-for-bit in
+    the linear-counting branch. Both are correctly-rounded or
+    near-correctly-rounded on this platform and the ``_dd_q4``
+    4-dp floor quantizer absorbs sub-ulp drift except exactly at a
+    quantization boundary — narrow, but not zero, on a DIFFERENT
+    JVM/libm. If the environment (JDK, Spark, DuckDB, or glibc) is
+    ever bumped, re-run the hostile sweep and the tri-SF parity
+    sweeps for this query before trusting historical CORRECTNESS
+    rows; the error-bound unit test (test_plans) is the backstop that
+    stays meaningful on any platform.
+
     Scale shape: one narrow scan computes (j, ρ) inside codegen; the
     shuffle carries ≤ types·m register partials (map-side MAX), the
     merge row reuses the same register frame, and the exact column's

@@ -2698,7 +2698,16 @@ def pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     local part counts for both; the documented, deterministic choice);
     the redaction column applies the classes SEQUENTIALLY
     (email → SSN → phone → IPv4), so earlier classes consume their
-    text before later ones scan.
+    text before later ones scan. Second documented choice (ADVICE
+    r11): ``_PII_IPV4`` matches any dotted digit quad — out-of-range
+    octets (999.999.999.999) and version strings (1.2.3.4) included —
+    so ``n_ipv4``/``chars_redacted`` are a deliberate SUPERSET of
+    true IPv4 addresses. That is the right polarity for a redaction
+    audit (over-scrub, never under-scrub), keeps the automaton to
+    pure explicit classes (the octet-range alternation triples the
+    pattern without closing the version-string case, which needs
+    context, not ranges), and is deterministic and mirrored verbatim
+    in the oracle, so parity is unaffected.
 
     Every source emits a row even at zero hits — the audit must
     affirmatively say "clean", and the all-zero fixture rows keep the

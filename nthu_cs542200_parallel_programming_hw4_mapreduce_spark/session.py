@@ -9,6 +9,7 @@ scale-posture part (AQE on, shuffle partitions sized to cores, Arrow on).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -43,6 +44,15 @@ def get_spark(
         # are the one remaining writer that could land after the JSON
         # line (bench.py also drops the log level to ERROR)
         .config("spark.ui.showConsoleProgress", "false")
+        # Hygiene (VERDICT r11 #7): Spark's default warehouse dir is
+        # ./spark-warehouse relative to the launch cwd, so any local
+        # run launched from the repo root could litter it. Point it at
+        # a per-process temp dir instead — no plan here uses a
+        # persistent catalog, so nothing depends on its location.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
