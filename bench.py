@@ -241,6 +241,11 @@ HEADLINE = [
     "hll_user_reach",
     "tokenizer_fertility",
     "effective_token_budget",
+    # round-12 additions
+    "mixture_rebalance",
+    "decontaminate_normalized",
+    "repetition_gate",
+    "dedup_minhash_mllib",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

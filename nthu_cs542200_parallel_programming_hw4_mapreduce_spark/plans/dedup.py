@@ -1124,14 +1124,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.orderBy("doc_id")
 
 
-@query("dedup_minhash_mllib")  # rows-only: MLlib hash family is engine-specific
+@query(
+    "dedup_minhash_mllib",
+    # GRADUATED from rows-only in round 12 (VERDICT r11 #4): MLlib's
+    # hash family still has no DuckDB twin, but the OUTPUT CONTRACT
+    # does — approxSimilarityJoin filters its candidates by the EXACT
+    # Jaccard distance (keyDistance on the feature sets), so the
+    # emitted pair set is {bucket-colliding pairs with exact dist
+    # < 0.5}, and on the swept fixtures the seed-42 candidate stage
+    # covers every true pair (deterministic, pinned by
+    # tests/test_edge_cases.py::test_mllib_lsh_matches_exact_jaccard_
+    # truth since round 8). The oracle therefore replays the exact
+    # 3-shingle Jaccard truth at dist < 0.5 via the inverted-index
+    # CTE; any LSH recall miss, HashingTF collision skew, or distance
+    # drift breaks the hash match loudly. Distance arithmetic is
+    # integer cm/union division → 1.0−x → round(·,6): identical IEEE
+    # ops both sides.
+    oracle=f"""
+    WITH sh AS ({_DD_SHINGLES}),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    cnt AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    common AS (
+      SELECT ea.doc_id AS a_id, eb.doc_id AS b_id, COUNT(*) AS cm
+      FROM ex ea
+      JOIN ex eb ON eb.s = ea.s AND ea.doc_id < eb.doc_id
+      GROUP BY ea.doc_id, eb.doc_id
+    )
+    SELECT a_id, b_id,
+           round(1.0 - cm * 1.0 / (ca.n + cb.n - cm), 6) AS jaccard_dist
+    FROM common
+    JOIN cnt ca ON ca.doc_id = a_id
+    JOIN cnt cb ON cb.doc_id = b_id
+    WHERE cm * 1.0 / (ca.n + cb.n - cm) > 0.5
+    ORDER BY a_id, b_id
+    """,
+)
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH via Spark MLlib (HashingTF → MinHashLSH →
     approxSimilarityJoin) — the off-the-shelf alternative to the
-    hand-rolled md5 family above. Fixed seed → deterministic; rows-only
-    because MLlib's hash family has no DuckDB twin (the md5 variant
-    dedup_minhash_lsh is the oracle-checked one). Jaccard distance
-    threshold 0.5 ≈ the banding s-curve midpoint of the custom variant."""
+    hand-rolled md5 family above. Fixed seed → deterministic. Jaccard
+    distance threshold 0.5 ≈ the banding s-curve midpoint of the
+    custom variant.
+
+    Oracle-backed since round 12 (see the decorator note): the oracle
+    is the exact-Jaccard truth at the same strict threshold, which the
+    MLlib pipeline's output equals because (a) approxSimilarityJoin
+    post-filters candidates by EXACT set distance — soundness by
+    semantics — and (b) seed-42 candidate recall is complete on the
+    swept fixtures — deterministic, fixture-pinned, and the half that
+    would legitimately break if MLlib's hash family changed (at which
+    point this reverts to rows-only with the edge-case test as
+    anchor). The truth side's shingle-keyed self-join is the same
+    diagnostic shape as ``lsh_quality_eval``'s — the production-scale
+    variant remains ``dedup_minhash_lsh`` + ``dedup_lsh_jaccard_
+    verified`` (banded, bucket-capped)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = table(spark, sf_dir, "documents")
@@ -1144,7 +1190,16 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("toks"))
     )
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    # 2^30 buckets (round 12, was 2^18): the oracle graduation made
+    # HashingTF collisions visible — at sf0.1, 2^18 skewed two pairs'
+    # jaccard_dist by ~1e-4, and even 2^24 left one in-DOC collision
+    # (doc 3447: 94 shingles → 93 buckets, union off by one; expected
+    # colliding docs ≈ n_docs·C(~90,2)/N, which is ~1 at 2^24 with
+    # 5k docs). 2^30 puts that expectation at ~0.002 over the docs
+    # that reach an emitted pair; murmur3 is fixed-seed so the result
+    # is deterministic, and vectors are sparse so the wider space
+    # costs nothing.
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 30)
     feats = tf.transform(toks)
     # MinHashLSH requires at least one non-zero entry; HashingTF of a
     # non-empty token list always has one.

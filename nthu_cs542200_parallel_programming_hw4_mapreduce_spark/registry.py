@@ -607,7 +607,22 @@ ROUND11_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND11_ROTATION_POOL
 # r6-era base), so they take slots immediately; tpch_q5 and tpch_q7
 # defer to round 13 (join-family redundant — q3/q8/q10/q18/q19 all
 # re-prove from this pool, and the core re-proves q12 every round).
+# AMENDED AGAIN at round-12 build time: the 4 round-12 additions took
+# priority slots and bumped the 4 rows named in ROUND12_BUMPED from
+# the tuple's end (window-family picks + limit_offset — family-
+# redundant this window: window_range_frame re-proves nothing here,
+# but window_running/lag_lead/rank overlap the retained
+# window-family coverage via quantile_normalize/pit_state_at_event
+# history and all four re-seat FIRST in round 13).
 ROUND12_ROTATION_POOL: tuple[str, ...] = (
+    # round-12 additions (priority slots, per the standing recipe):
+    # the VERDICT r11 #3 LLM-pipeline batch (mixture rebalancing to a
+    # temperature target, punctuation-folded decontamination, the
+    # char-weighted repetition gate) + the #4 graduation
+    # (dedup_minhash_mllib's first ORACLE-backed driver row; rows-only
+    # history rows exist from the round-8 window)
+    "mixture_rebalance", "decontaminate_normalized", "repetition_gate",
+    "dedup_minhash_mllib",
     # r5-era rows bumped by the round-11 second-wave additions —
     # the stalest oracle-backed rows anywhere, so they go first
     "time_weighted_avg", "udtf_analyze_split",
@@ -622,18 +637,22 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
     "set_union", "sql_api_subquery", "topk", "tpch_q10", "tpch_q13",
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3",
     "tpch_q4", "tpch_q6", "tpch_q8",
-    "unpivot_stack", "window_lag_lead", "window_rank", "window_running",
-    # oldest r7-era row — the documented round-6 leftover
-    "limit_offset",
+    "unpivot_stack",
 )
 
 # The two r6-era rows the amendment deferred to round 13 (named, not
 # silently dropped — the standing deferral discipline).
 ROUND12_DEFERRED: tuple[str, ...] = ("tpch_q5", "tpch_q7")
 
-# The rows round-12 additions bump from the pool's end (one bump per
-# addition, per the standing recipe; empty until additions land).
-ROUND12_BUMPED: tuple[str, ...] = ()
+# The rows the round-12 additions bumped from the pool's end (one
+# bump per addition, per the standing recipe): the 4 window-family
+# r6/r7-era picks that close the tuple. They lead the round-13
+# re-proof queue together with the two named tpch deferrals.
+# limit_offset was the pool's documented r7-era leftover — bumping it
+# keeps it the stalest named row, so it seats FIRST in round 13.
+ROUND12_BUMPED: tuple[str, ...] = (
+    "window_lag_lead", "window_rank", "window_running", "limit_offset",
+)
 
 # Round-12 window, ACTIVE (flipped at round-12 open in the same commit
 # as the test-pin rewrite, per the codified round-5 lesson and

@@ -30,10 +30,15 @@ def test_registry_alignment():
     # property/error-bound test). Round 11 graduated hll_user_reach
     # (VERDICT r10 #5): the DataSketches HLL was replaced by a
     # hand-rolled md5-register HLL whose estimator replays bit-exactly
-    # in DuckDB — the sketch itself is now hash-checked.
+    # in DuckDB — the sketch itself is now hash-checked. Round 12
+    # graduated dedup_minhash_mllib (VERDICT r11 #4): its output
+    # contract (candidates post-filtered by EXACT set distance, full
+    # seed-42 recall on the swept fixtures) equals the exact-shingle
+    # Jaccard truth, which DuckDB replays via the inverted-index CTE —
+    # the surviving five are each irreducible (sketch estimates,
+    # iterative convergence state, or live streaming state).
     assert rows_only == {
         "approx_agg",
-        "dedup_minhash_mllib",
         "kmeans_lloyd",
         "streaming_stateful",
         "pca_project",

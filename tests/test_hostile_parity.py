@@ -166,6 +166,12 @@ REGRESSION_SET = [
     # (contamination pair, near-gate vector, PII plant) from day one
     "snapshot_novelty", "split_cluster_safe", "pii_scrub_counts",
     "hll_user_reach", "tokenizer_fertility", "effective_token_budget",
+    # round-12 wave: the mixture/decontamination/repetition batch +
+    # the MLlib MinHash graduation (oracle = exact-shingle truth;
+    # the 99005/99006 exact-dup pair and the typography pair exercise
+    # it here)
+    "mixture_rebalance", "decontaminate_normalized", "repetition_gate",
+    "dedup_minhash_mllib",
 ]
 
 
@@ -193,6 +199,46 @@ def test_contamination_pair_hits(spark, hostile_dir):
     assert len(out) > 0
     hit = out[out["doc_id"] == 99010]
     assert len(hit) == 1 and int(hit["n_hits"].iloc[0]) >= 1
+
+
+def test_normalized_fold_widens_the_net(spark, hostile_dir):
+    """Round-12 plant (9603/99012, VERDICT r11 #3b): the typography
+    pair differs ONLY in case + em-dash/semicolon punctuation, so the
+    punctuation-folded variant must hit it while the whitespace-only
+    variant must NOT — proving the fold catches a class the existing
+    protocol provably misses, not just re-matching the 9797/99010
+    whitespace pair (which both variants hit)."""
+    ws = E.queries()["decontaminate_substring"](spark, hostile_dir).toPandas()
+    folded = E.queries()["decontaminate_normalized"](spark, hostile_dir).toPandas()
+    # the fold catches the typography quote...
+    hit = folded[folded["doc_id"] == 99012]
+    assert len(hit) == 1 and int(hit["n_hits"].iloc[0]) >= 1
+    # ...which the whitespace-only protocol misses
+    assert 99012 not in set(ws["doc_id"])
+    # and the fold still catches the verbatim whitespace pair
+    assert 99010 in set(folded["doc_id"])
+
+
+def test_repetition_plant_flags_spam_doc(spark, hostile_dir):
+    """Doc 99013 (repeated slogan, ~90% duplicated trigram chars) must
+    trip repetition_gate's flag in its source group — the base
+    sf0.001 corpus flags nothing, so without the plant the gate
+    comparison would be vacuously green (the non-vacuous rule)."""
+    out = E.queries()["repetition_gate"](spark, hostile_dir).toPandas()
+    social = out[out["source"] == "social"]
+    assert len(social) == 1 and int(social["n_flagged"].iloc[0]) >= 1
+
+
+def test_mixture_rebalance_is_a_valid_sampling_config(spark, hostile_dir):
+    """Structural invariants of the rebalance output: probabilities in
+    (0, 1], at least one binding source keeps everything, shares sum
+    to ~1, and no source's post-rebalance tokens exceed what it has."""
+    out = E.queries()["mixture_rebalance"](spark, hostile_dir).toPandas()
+    assert len(out) > 0
+    assert ((out["keep_prob"] > 0) & (out["keep_prob"] <= 1.0)).all()
+    assert (out["keep_prob"] == 1.0).any()
+    assert abs(out["target_share"].sum() - 1.0) < 1e-4
+    assert (out["post_tokens"] <= out["effective_tokens"]).all()
 
 
 def test_pii_plant_fires_every_class(spark, hostile_dir):

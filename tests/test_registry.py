@@ -67,10 +67,15 @@ ROUND11_ADDITIONS = {
 }
 
 
-# Queries added during round 12 (no driver row before CORRECTNESS_r12;
-# each took a priority window slot and bumped one re-proof from the
-# pool tuple's END, named in registry.ROUND12_BUMPED).
-ROUND12_ADDITIONS: set[str] = set()
+# Queries added during round 12 (no ORACLE-backed driver row before
+# CORRECTNESS_r12; each took a priority window slot and bumped one
+# re-proof from the pool tuple's END, named in
+# registry.ROUND12_BUMPED). dedup_minhash_mllib is the round-12
+# graduation — rows-only history rows exist from the round-8 window.
+ROUND12_ADDITIONS: set[str] = {
+    "mixture_rebalance", "decontaminate_normalized", "repetition_gate",
+    "dedup_minhash_mllib",
+}
 
 
 def test_window_covers_rotation_targets():
@@ -93,8 +98,9 @@ def test_window_covers_rotation_targets():
         "r01", "r02", "r03", "r04", "r05", "r06", "r07"
     )
     assert not (reproof & _checked("r08", "r09", "r10", "r11"))
-    # brand-new additions have no driver row anywhere yet
-    assert not (ROUND12_ADDITIONS & _checked(
+    # the three NEW additions have no driver row anywhere yet; the
+    # graduation (dedup_minhash_mllib) has only ROWS-ONLY history rows
+    assert not ((ROUND12_ADDITIONS - {"dedup_minhash_mllib"}) & _checked(
         "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
         "r10", "r11",
     ))
@@ -499,12 +505,21 @@ def test_round12_pool_is_active():
     assert not (r5_bumps & _checked("r06", "r07", "r08", "r09", "r10"))
     assert set(registry.ROUND12_DEFERRED) == {"tpch_q5", "tpch_q7"}
     assert set(registry.ROUND12_DEFERRED) <= r6_era
-    assert set(pool) == (
+    # pre-staged composition, amended by the round-12 additions: each
+    # addition took a slot and bumped one named row from the tuple's
+    # end (the standing one-bump-per-addition recipe)
+    prestaged = (
         r5_bumps
         | (r6_era - set(registry.ROUND12_DEFERRED))
         | {"limit_offset"}
     )
-    # limit_offset really is r7-era
+    assert set(registry.ROUND12_BUMPED) <= prestaged
+    assert len(registry.ROUND12_BUMPED) == len(ROUND12_ADDITIONS)
+    assert set(pool) == ROUND12_ADDITIONS | (
+        prestaged - set(registry.ROUND12_BUMPED)
+    )
+    # limit_offset really is r7-era (bumped, so it re-seats FIRST in
+    # round 13 as the stalest named row)
     assert "limit_offset" in _checked("r07")
     assert "limit_offset" not in _checked("r08", "r09", "r10")
     # the live window IS the round-12 plan

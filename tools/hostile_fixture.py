@@ -181,7 +181,10 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         (99009, 'emoji \U0001f600 doc with \U0001f680 four byte chars in the text', 'en', 'social', 52),
         (9797, 'Contamination canary: this exact sentence leaks into training data verbatim.', 'en', 'web', 76),
         (99010, 'A scraped page quoting: contamination canary: this exact sentence leaks into training data verbatim. Plus trailing chatter.', 'en', 'web', 123),
-        (99011, 'Contact jane.doe+spam@example-mail.org or 555-867-5309, SSN 123-45-6789, server 192.168.001.042 backup 10.0.0.1, alt email bob@test.io.', 'en', 'web', 135)
+        (99011, 'Contact jane.doe+spam@example-mail.org or 555-867-5309, SSN 123-45-6789, server 192.168.001.042 backup 10.0.0.1, alt email bob@test.io.', 'en', 'web', 135),
+        (9603, 'The Euler-Mascheroni constant, gamma = 0.5772, appears in Mertens theorems about primes.', 'en', 'web', 89),
+        (99012, 'Blog post says: THE EULER' || chr(8212) || 'MASCHERONI CONSTANT; GAMMA' || chr(8212) || '0.5772' || chr(8212) || 'APPEARS IN MERTENS THEOREMS, quoted with terrible typography.', 'en', 'web', 138),
+        (99013, 'buy now click here buy now click here buy now click here buy now click here limited offer act fast', 'en', 'social', 99)
       ) t(doc_id, text, lang, source, n_chars)
     """)
     # 99011 plants every PII regex class (2 emails, 1 SSN, 1 phone,
@@ -195,6 +198,15 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
     # parity was 0-rows-both-sides at every swept SF (ADVICE r10), so
     # the join/count hit path was proven only by the planted unit
     # test. Now every sweep exercises a nonzero hit.
+    # 9603 (97·99, under the eval cap) + 99012 (quotes 9603 with
+    # case flipped and hyphen/comma typography swapped to em-dashes/
+    # semicolons) plant the round-12 PUNCTUATION-FOLDED contamination
+    # pair: decontaminate_normalized must hit it while
+    # decontaminate_substring must NOT (the fold provably widens the
+    # net) — both directions pinned in tests/test_hostile_parity.py.
+    # 99013 is the repeated-slogan spam doc that fires
+    # repetition_gate's flag path at every sweep (its trigram chars
+    # are ~90% duplicated; the base sf0.001 corpus flags nothing).
 
     con.execute(
         f"""
