@@ -89,7 +89,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     the spark-avro jar is NOT on this environment's classpath
     (re-probed round 11, 2026-08-16: avro/iceberg DATA_SOURCE_NOT_FOUND
     with the built-in deployment hint, JDBC "No suitable driver",
-    protobuf import still absent for transformWithStateInPandas), so
+    protobuf import still absent for transformWithStateInPandas;
+    re-probed again at round-12 open, 2026-08-16: unchanged — the
+    avro-1.12.1 jars on the classpath are the core serde libs Spark
+    itself ships, NOT the spark-avro DataSource module, and
+    hive-jdbc is a server driver, not a usable spark.read.jdbc
+    target here), so
     this is an honest gate like Iceberg/JDBC, not a stub: the moment
     the jar lands, the same call reads Avro with zero code change
     here."""

@@ -193,6 +193,41 @@ def test_text_repetition_has_no_window(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+def test_decontaminate_normalized_broadcasts_snippets(spark, sf_dir):
+    """The folded variant keeps decontaminate_substring's scale shape:
+    the fixed-size eval snippet set broadcasts (nested-loop on the
+    contains predicate) and the corpus side is never shuffled for the
+    join; fold + match run inside codegen, no Python."""
+    plan = plan_of(spark, sf_dir, "decontaminate_normalized")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_gate_is_narrow_aggregation(spark, sf_dir):
+    """Trigram build must stay codegen (Generate + element_at — no
+    Window, no join anywhere); the three aggregate stages (gram
+    counts, per-doc, per-source) all partial-aggregate map-side, and
+    key cardinality shrinks monotonically stage to stage."""
+    plan = plan_of(spark, sf_dir, "repetition_gate", mode="simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 4  # partial/final pairs
+    assert "partial" in plan.lower()
+
+
+def test_mixture_rebalance_rebalances_on_tiny_frame(spark, sf_dir):
+    """The corpus-scale work is exactly the composed
+    effective_token_budget plan (fp window + |sources|-key agg); the
+    rebalance math (Σ√E window, min-budget window) must run on the
+    POST-aggregation |sources|-row frame — the SinglePartition
+    exchange is tiny by construction — and no join exists anywhere."""
+    plan = plan_of(spark, sf_dir, "mixture_rebalance")
+    assert "Join" not in plan
+    assert "SinglePartition" in plan
+    assert plan.count("Window") >= 2  # fp keep-mark + whole-frame math
+
+
 def test_vector_hot_paths_not_interpreted(spark, sf_dir):
     """Round-2 fix for VERDICT item #2: corpus-scale vector scoring must
     run in the Arrow-batched numpy kernels (MapInPandas), never as
