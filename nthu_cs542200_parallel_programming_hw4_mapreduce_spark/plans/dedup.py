@@ -1177,7 +1177,16 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor). The truth side's shingle-keyed self-join is the same
     diagnostic shape as ``lsh_quality_eval``'s — the production-scale
     variant remains ``dedup_minhash_lsh`` + ``dedup_lsh_jaccard_
-    verified`` (banded, bucket-capped)."""
+    verified`` (banded, bucket-capped).
+
+    Scale shape — MEASURED EXHIBIT, not a production path: at the
+    100× probe (5M docs) this OOMs at the default 8 g heap inside
+    MLlib's own keyDistance lambda (approxSimilarityJoin shuffles
+    FULL sparse feature vectors into the candidate join) and needs
+    24 g to finish in 690 s, where the hand-rolled banded form covers
+    the same corpus in ~30 s at 8 g shuffling 16 longs per doc
+    (SCALING.md round-12 table). That 23×-wall / 3×-heap gap is the
+    documented reason the md5 banding exists."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = table(spark, sf_dir, "documents")
