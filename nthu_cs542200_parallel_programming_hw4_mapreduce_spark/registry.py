@@ -654,6 +654,42 @@ ROUND12_BUMPED: tuple[str, ...] = (
     "window_lag_lead", "window_rank", "window_running", "limit_offset",
 )
 
+# Round-13 rotation pool, PRE-STAGED at round-12 build time (the
+# standing receipt pattern): once CORRECTNESS_r12 lands green on the
+# round-12 window, the stalest rows are (a) the 4 re-proofs the
+# round-12 additions bumped (ROUND12_BUMPED — three r6-era
+# window-family picks plus limit_offset, whose newest row stays r07),
+# (b) the two NAMED r6-era tpch deferrals (ROUND12_DEFERRED), and
+# (c) the r7-era oracle-backed rows (newest driver row =
+# CORRECTNESS_r07). That yields 40; the 41st slot takes the oldest
+# r8-era row preferring family diversity: ``asof_cogroup_pandas``
+# (the cogrouped-pandas as-of join — a surface no other slot
+# re-proves). Composition computed from the recorded CORRECTNESS
+# files in tests/test_registry.py::test_round13_pool_is_prestaged so
+# the pin cannot rot. Queries ADDED during round 13 take priority —
+# bump re-proofs from this tuple's end, per the standing recipe.
+ROUND13_ROTATION_POOL: tuple[str, ...] = (
+    # the round-12 bumps (stalest: three r6-era + the r7-era leftover)
+    "window_lag_lead", "window_rank", "window_running", "limit_offset",
+    # the named r6-era deferrals (VERDICT r11 #1)
+    "tpch_q5", "tpch_q7",
+    # the r7-era rows (newest driver row = CORRECTNESS_r07)
+    "ann_ivf_cell_assign", "ann_lsh_bands", "asof_last_signup",
+    "bounce_rate_daily_salted", "cosine_knn_exact",
+    "decontaminate_ngram", "dedup_clusters", "dedup_cross_snapshot",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_fuzzy_production",
+    "dedup_lsh_jaccard_verified", "dedup_minhash_lsh",
+    "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_fingerprint", "event_session", "event_session_salted",
+    "event_window", "label_centroids", "lang_id", "multimodal_meta",
+    "pack_context_windows", "pipeline_filter_quality",
+    "range_join_follow", "resample_ffill", "sample_per_lang_topk",
+    "session_window_native", "streaming_window", "text_quality",
+    "text_repetition", "text_scrub_pii", "time_weighted_avg_salted",
+    # oldest r8-era row, family-diverse pick
+    "asof_cogroup_pandas",
+)
+
 # Round-12 window, ACTIVE (flipped at round-12 open in the same commit
 # as the test-pin rewrite, per the codified round-5 lesson and
 # VERDICT r11 "Next round" #1): 9 core + the pre-staged 41-slot pool

@@ -522,6 +522,37 @@ def test_round12_pool_is_active():
     # round 13 as the stalest named row)
     assert "limit_offset" in _checked("r07")
     assert "limit_offset" not in _checked("r08", "r09", "r10")
+
+
+def test_round13_pool_is_prestaged():
+    """The INACTIVE round-13 pool (pre-staged at round-12 build time):
+    41 unique names, all registered, all oracle-backed, disjoint from
+    the active round-12 window, and composed of the 4 round-12 bumps
+    + the 2 named tpch deferrals + the r7-era oracle-backed rows
+    (newest driver row = CORRECTNESS_r07) + asof_cogroup_pandas, the
+    family-diverse r8-era pick. Computed from the recorded
+    CORRECTNESS files so the pin cannot rot."""
+    pool = registry.ROUND13_ROTATION_POOL
+    assert len(pool) == 41 and len(set(pool)) == 41
+    assert set(pool) <= set(registry.all_queries())
+    assert set(pool) <= set(registry.all_oracles())
+    assert not (set(pool) & set(registry.ROUND12_WINDOW_PLAN))
+    r7_era = (
+        _checked("r07")
+        - _checked("r08", "r09", "r10", "r11")
+        - set(registry.ROUND12_WINDOW_PLAN)
+    ) & set(registry.all_oracles())
+    assert set(pool) == (
+        set(registry.ROUND12_BUMPED)
+        | set(registry.ROUND12_DEFERRED)
+        | r7_era
+        | {"asof_cogroup_pandas"}
+    )
+    # the r8-era pick really is r8-era
+    assert "asof_cogroup_pandas" in _checked("r08")
+    assert "asof_cogroup_pandas" not in _checked("r09", "r10", "r11")
+    # the live window stays round 12 until the next round flips it
+    assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
     # the live window IS the round-12 plan
     assert registry.ROUND12_WINDOW_PLAN == (
         registry.CORE_WINDOW + registry.ROUND12_ROTATION_POOL
