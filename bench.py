@@ -257,10 +257,16 @@ HEADLINE = [
 BENCH_CORE = HEADLINE[:30]
 
 
-# Historical idle best of _calib_mt_ms on this host (observed at the
-# round-10 close; rounds 7-10 idle runs sat 160-175 ms). The
-# calib-normalization factor below is anchored here; re-pin if the
-# host hardware changes.
+# Idle anchor of _calib_mt_ms on this host for the normalization
+# factor below: 160.9 ms is the rounds-7-10 idle TYPICAL (idle runs
+# sat 160-175 ms). Round 12 once observed a genuinely quieter window
+# (137-142 ms — the co-runner fully absent), so this anchor is the
+# DELIBERATELY CONSERVATIVE choice: normalized walls computed against
+# 160.9 can only overstate (never flatter) the idle-equivalent time
+# by the 137-vs-161 margin (~15%), which is the right bias for a
+# benchmark record. Re-pin only if the host hardware changes or the
+# sub-150 ms regime proves to be the durable idle state across
+# rounds.
 _CALIB_MT_IDLE_BEST_MS = 160.9
 
 

@@ -646,10 +646,11 @@ ROUND12_DEFERRED: tuple[str, ...] = ("tpch_q5", "tpch_q7")
 
 # The rows the round-12 additions bumped from the pool's end (one
 # bump per addition, per the standing recipe): the 4 window-family
-# r6/r7-era picks that close the tuple. They lead the round-13
-# re-proof queue together with the two named tpch deferrals.
-# limit_offset was the pool's documented r7-era leftover — bumping it
-# keeps it the stalest named row, so it seats FIRST in round 13.
+# r6/r7-era picks that closed the tuple. They lead the round-13
+# re-proof queue together with the two named tpch deferrals, in
+# stalest-era-first order: the three r6-era window picks first, then
+# limit_offset (r7-era — bumped before earning its r12 row, so its
+# newest driver row stays CORRECTNESS_r07).
 ROUND12_BUMPED: tuple[str, ...] = (
     "window_lag_lead", "window_rank", "window_running", "limit_offset",
 )

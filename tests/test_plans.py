@@ -1255,13 +1255,21 @@ def test_pii_scrub_is_single_scan_partial_agg(spark, sf_dir):
     jplan = df._jdf.queryExecution().executedPlan()
 
     def count_exchanges(node) -> int:
+        # AdaptiveSparkPlanExec is a LEAF node (zero children) wrapping
+        # the real tree — descend through initialPlan() or the counter
+        # is vacuously 0 under AQE (round-12 code-review find)
+        if node.nodeName().startswith("AdaptiveSparkPlan"):
+            return count_exchanges(node.initialPlan())
         n = 1 if node.nodeName().startswith("Exchange") else 0
         children = node.children()
         for i in range(children.size()):
             n += count_exchanges(children.apply(i))
         return n
 
-    assert count_exchanges(jplan) <= 2
+    found = count_exchanges(jplan)
+    # lower bound guards the counter itself against going vacuous: the
+    # agg exchange must always be visible
+    assert 1 <= found <= 2, found
 
 
 def test_hll_register_build_is_bounded_shuffle(spark, sf_dir):

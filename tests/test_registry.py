@@ -518,10 +518,15 @@ def test_round12_pool_is_active():
     assert set(pool) == ROUND12_ADDITIONS | (
         prestaged - set(registry.ROUND12_BUMPED)
     )
-    # limit_offset really is r7-era (bumped, so it re-seats FIRST in
-    # round 13 as the stalest named row)
+    # limit_offset really is r7-era (bumped, so it re-seats in the
+    # round-13 pool behind the three staler r6-era window picks)
     assert "limit_offset" in _checked("r07")
     assert "limit_offset" not in _checked("r08", "r09", "r10")
+    # the live window IS the round-12 plan
+    assert registry.ROUND12_WINDOW_PLAN == (
+        registry.CORE_WINDOW + registry.ROUND12_ROTATION_POOL
+    )
+    assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
 
 
 def test_round13_pool_is_prestaged():
@@ -552,9 +557,4 @@ def test_round13_pool_is_prestaged():
     assert "asof_cogroup_pandas" in _checked("r08")
     assert "asof_cogroup_pandas" not in _checked("r09", "r10", "r11")
     # the live window stays round 12 until the next round flips it
-    assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
-    # the live window IS the round-12 plan
-    assert registry.ROUND12_WINDOW_PLAN == (
-        registry.CORE_WINDOW + registry.ROUND12_ROTATION_POOL
-    )
     assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
