@@ -246,6 +246,10 @@ HEADLINE = [
     "decontaminate_normalized",
     "repetition_gate",
     "dedup_minhash_mllib",
+    # round-12 second wave
+    "quality_filter_funnel",
+    "eval_contamination_report",
+    "mixture_epochs",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

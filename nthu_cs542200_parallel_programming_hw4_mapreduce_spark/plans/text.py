@@ -3200,3 +3200,363 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_MAX_EPOCHS = 4  # data-constrained cap: a source repeats ≤ 4 epochs
+
+
+@query(
+    "mixture_epochs",
+    oracle=f"""
+    WITH etb AS ({_oracle_for("effective_token_budget")}),
+    w AS (
+      SELECT source, effective_tokens,
+             CAST(floor(sqrt(CAST(effective_tokens AS DOUBLE))
+                        * 1000000.0::DOUBLE + 0.5::DOUBLE)
+                  AS DECIMAL(38,0)) AS ws
+      FROM etb WHERE effective_tokens > 0
+    ),
+    t AS (
+      SELECT SUM(ws) AS tw, SUM(effective_tokens) AS b FROM w
+    ),
+    s AS (
+      SELECT source, effective_tokens,
+             CAST(ws AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+             CAST(b AS DOUBLE) AS b_d
+      FROM w, t
+    ),
+    e AS (
+      SELECT source, effective_tokens, share,
+             least({_MIX_MAX_EPOCHS}.0::DOUBLE,
+                   b_d * share / CAST(effective_tokens AS DOUBLE))
+               AS epochs
+      FROM s
+    ),
+    sm AS (
+      SELECT source, effective_tokens, share, epochs,
+             CAST(floor(epochs * CAST(effective_tokens AS DOUBLE)
+                        + 0.5::DOUBLE) AS BIGINT) AS sampled_tokens
+      FROM e
+    ),
+    tot AS (SELECT SUM(sampled_tokens) AS ts FROM sm)
+    SELECT source,
+           effective_tokens,
+           round(share, 6) AS target_share,
+           round(epochs, 6) AS epochs,
+           sampled_tokens,
+           round(CAST(sampled_tokens AS DOUBLE) / CAST(ts AS DOUBLE), 6)
+             AS realized_share
+    FROM sm, tot ORDER BY source
+    """,
+)
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSAMPLE-CAPPED mixture rebalancing — the data-constrained
+    regime (Muennighoff et al. 2023: repeating data up to ~4 epochs is
+    nearly as good as fresh data, beyond that returns collapse):
+    redistribute one corpus-worth of unique tokens (B = ΣE) toward
+    the α = 0.5 temperature law, but cap every source at
+    {_MIX_MAX_EPOCHS} epochs of its unique tokens. Where
+    ``mixture_rebalance`` answers "how do I DOWNSAMPLE to the target
+    law" (keep_prob ≤ 1, budget bound by the binding source), this
+    answers the planner's other question: "with repetition allowed,
+    how many epochs does each source run, and what mixture do I
+    actually realize?" — ``epochs`` > 1 means the law wants MORE of a
+    small high-value source than it has unique tokens, and
+    ``realized_share`` (vs ``target_share``) quantifies exactly how
+    far the epoch cap bends the realized mixture away from the law.
+
+    Exactness: B and Σ sampled_tokens are BIGINT sums (order-free);
+    the √-weight denominator is the quantized DECIMAL(38,0) sum from
+    mixture_rebalance; everything else is single IEEE double ops on
+    bit-identical inputs (least, ×, ÷, floor(x+0.5)) — deterministic
+    in both engines. Zero-token sources are excluded (mirrored).
+
+    Scale shape: identical to mixture_rebalance — the corpus-scale
+    work is the composed effective_token_budget plan; every rebalance
+    step runs on the |sources|-row frame via whole-frame windows."""
+    from pyspark.sql import Window
+
+    etb = effective_token_budget(spark, sf_dir).select(
+        "source", "effective_tokens"
+    )
+    eff_d = F.col("effective_tokens").cast("double")
+    w = etb.filter(F.col("effective_tokens") > 0).select(
+        "source",
+        "effective_tokens",
+        F.floor(F.sqrt(eff_d) * 1000000.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("ws"),
+    )
+    whole = Window.partitionBy()
+    share = F.col("ws").cast("double") / F.sum("ws").over(whole).cast("double")
+    b_d = F.sum("effective_tokens").over(whole).cast("double")
+    s = w.select(
+        "source", "effective_tokens", share.alias("share"), b_d.alias("b_d")
+    )
+    epochs = F.least(
+        F.lit(float(_MIX_MAX_EPOCHS)), F.col("b_d") * F.col("share") / eff_d
+    )
+    sm = s.select(
+        "source",
+        "effective_tokens",
+        "share",
+        epochs.alias("epochs"),
+        F.floor(epochs * eff_d + 0.5).cast("long").alias("sampled_tokens"),
+    )
+    ts = F.sum("sampled_tokens").over(whole).cast("double")
+    return (
+        sm.select(
+            "source",
+            "effective_tokens",
+            F.round("share", 6).alias("target_share"),
+            F.round("epochs", 6).alias("epochs"),
+            "sampled_tokens",
+            F.round(F.col("sampled_tokens").cast("double") / ts, 6).alias(
+                "realized_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "eval_contamination_report",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), ev AS (
+      SELECT doc_id AS eval_id, substr(t, 1, {_SUBSTR_SNIPPET_LEN}) AS snip
+      FROM norm
+      WHERE doc_id % 97 = 0 AND doc_id < {_SUBSTR_EVAL_ID_CAP}
+        AND length(t) >= {_SUBSTR_SNIPPET_LEN}
+    ), h AS (
+      SELECT eval_id, COUNT(*) AS c
+      FROM ev JOIN norm n ON n.doc_id % 97 <> 0
+                        AND position(ev.snip IN n.t) > 0
+      GROUP BY eval_id
+    )
+    SELECT ev.eval_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_training_hits
+    FROM ev LEFT JOIN h USING (eval_id) ORDER BY eval_id
+    """,
+)
+def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE direction of decontamination: per EVAL item, how
+    many training documents quote it (normalized-fold matching, the
+    ``decontaminate_normalized`` contract). ``decontaminate_*``
+    answers "which training docs do I drop"; this answers the eval
+    maintainer's question — "which benchmark items are burned" —
+    which drives the OTHER standard mitigation (drop or re-weight the
+    contaminated eval items when cleaning the training set is not an
+    option, the GPT-4/Llama report protocol). Every eval item gets a
+    row, zero included: the report must affirmatively say "clean",
+    exactly like ``pii_scrub_counts``' per-source zero rows — and the
+    planted pairs (9797→1 via the verbatim quote, 9603→1 via the
+    typography quote) keep both hit paths non-vacuous on the hostile
+    sweep.
+
+    Scale shape: the eval side is fixed-size and BROADCASTS into the
+    corpus scan (inner hit-count join — never a left join with the
+    corpus on the right, which could not broadcast); the per-item
+    zeros come from a second LEFT join of the tiny eval frame against
+    the tiny hit frame — both sides eval-suite-sized, no corpus data
+    motion beyond the one codegen'd contains scan."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ).alias("t"),
+    )
+    ev = norm.filter(
+        (F.col("doc_id") % 97 == 0)
+        & (F.col("doc_id") < _SUBSTR_EVAL_ID_CAP)
+        & (F.length("t") >= _SUBSTR_SNIPPET_LEN)
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("t", 1, _SUBSTR_SNIPPET_LEN).alias("snip"),
+    )
+    hits = (
+        norm.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev))
+        .filter(F.expr("position(snip IN t) > 0"))
+        .groupBy("eval_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        ev.join(F.broadcast(hits), "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias(
+                "n_training_hits"
+            ),
+        )
+        .orderBy("eval_id")
+    )
+
+
+_FUNNEL_MIN_TOKENS = 5
+_FUNNEL_MIN_QUALITY = 0.7
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             {_DD_NTOKS} AS ntoks,
+             round((least(length(text) / 200.0, 1.0)
+               + greatest(0.0, 1.0 - ({_DD_PUNCT} / greatest(length(text), 1)) * 5)
+               + least(({_dd_stopword_hits('en')} / greatest({_DD_NTOKS}, 1)) * 4, 1.0)
+               ) / 3, 6) AS q,
+             len(regexp_extract_all(text, '{_PII_EMAIL}'))
+               + len(regexp_extract_all(text, '{_PII_SSN}'))
+               + len(regexp_extract_all(text, '{_PII_PHONE}'))
+               + len(regexp_extract_all(text, '{_PII_IPV4}')) AS pii,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS btoks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT doc_id, {_DD_TOKS} AS l
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(l[i:i+2], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(l) - 2, 0) + 1)) r(i)
+    ),
+    pc AS (
+      SELECT doc_id, g, length(g) AS gl, COUNT(*) AS c
+      FROM g GROUP BY doc_id, g
+    ),
+    rep AS (
+      SELECT doc_id, SUM(gl * c) AS tot,
+             SUM(CASE WHEN c > 1 THEN gl * c ELSE 0 END) AS dup
+      FROM pc GROUP BY doc_id
+    ),
+    f AS (
+      SELECT d.source, d.btoks,
+             CASE WHEN d.ntoks >= {_FUNNEL_MIN_TOKENS}
+                  THEN 1 ELSE 0 END AS s1,
+             CASE WHEN d.ntoks >= {_FUNNEL_MIN_TOKENS}
+                   AND d.q >= {_FUNNEL_MIN_QUALITY}::DOUBLE
+                  THEN 1 ELSE 0 END AS s2,
+             CASE WHEN d.ntoks >= {_FUNNEL_MIN_TOKENS}
+                   AND d.q >= {_FUNNEL_MIN_QUALITY}::DOUBLE
+                   AND (rep.tot IS NULL OR rep.dup * 100 <= rep.tot * {_REP_GATE_PCT})
+                  THEN 1 ELSE 0 END AS s3,
+             CASE WHEN d.ntoks >= {_FUNNEL_MIN_TOKENS}
+                   AND d.q >= {_FUNNEL_MIN_QUALITY}::DOUBLE
+                   AND (rep.tot IS NULL OR rep.dup * 100 <= rep.tot * {_REP_GATE_PCT})
+                   AND d.pii = 0
+                  THEN 1 ELSE 0 END AS s4
+      FROM d LEFT JOIN rep USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s1) AS BIGINT) AS pass_content,
+           CAST(SUM(s2) AS BIGINT) AS pass_quality,
+           CAST(SUM(s3) AS BIGINT) AS pass_repetition,
+           CAST(SUM(s4) AS BIGINT) AS pass_pii,
+           CAST(SUM(CASE WHEN s4 = 1 THEN btoks ELSE 0 END) AS BIGINT)
+             AS tokens_surviving
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning-pipeline ATTRITION DASHBOARD: per source, how many
+    documents survive each successive filter stage — content
+    (≥ {_FUNNEL_MIN_TOKENS} tokens) → quality (composite ≥
+    {_FUNNEL_MIN_QUALITY}) → intra-doc repetition (the
+    ``repetition_gate`` rule) → PII-free — plus the BPE-ish tokens the
+    fully-surviving docs contribute. ``pipeline_filter_quality`` IS
+    the cleaning job (one kept-corpus summary row); this is its
+    observability complement: the per-source, per-stage counts a
+    pipeline owner watches to see WHERE a source's volume dies (a
+    source losing 40% at the repetition stage has a template-spam
+    problem; one dying at PII needs a scrub pass, not exclusion) —
+    the number-one dashboard of every production curation stack.
+    Stages are CUMULATIVE (each gate sees the previous gates'
+    survivors), so columns are monotonically non-increasing — pinned
+    by the hostile sweep via planted failures for every stage
+    (token-less docs, the spam doc 99013, the PII doc 99011).
+
+    Exactness: every gate is either integer (token counts, the
+    repetition cross-multiply, PII counts) or a threshold on the
+    proven 6-dp-rounded quality composite (the ``quality_score_auc``
+    pair); the rollup is integer sums only.
+
+    Scale shape: one codegen scan computes all per-doc flag inputs
+    except repetition, which needs the gram aggregation
+    (repetition_gate's machinery, doc-keyed); the two per-doc frames
+    meet in a doc_id-keyed LEFT join — both sides corpus-sized, so
+    the join is the merge-class shape (size estimates must never
+    broadcast a corpus side; the funnel's stats side is the SMALL
+    per-doc (tot, dup) pair, never text) — then one |sources|-key
+    partial agg."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cnt = lambda pat: F.regexp_count(F.col("text"), F.lit(pat))  # noqa: E731
+    flags = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").alias("ntoks"),
+        X.quality_score("text").alias("q"),
+        (
+            cnt(_PII_EMAIL) + cnt(_PII_SSN) + cnt(_PII_PHONE) + cnt(_PII_IPV4)
+        ).alias("pii"),
+        X.bpe_ish_token_count("text").cast("long").alias("btoks"),
+    )
+    t = X.tokens("text", X.WS)
+    grams = (
+        docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select(
+            "doc_id",
+            "_ws",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - 2)).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("_ws", F.col("_i")),
+                F.element_at("_ws", F.col("_i") + 1),
+                F.element_at("_ws", F.col("_i") + 2),
+            ).alias("g"),
+        )
+    )
+    pc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    occ = F.length("g") * F.col("c")
+    rep = (
+        pc.select(
+            "doc_id",
+            occ.alias("occ_chars"),
+            F.when(F.col("c") > 1, occ).otherwise(0).alias("dup_chars"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("occ_chars").alias("tot"), F.sum("dup_chars").alias("dup"))
+    )
+    s1 = F.col("ntoks") >= _FUNNEL_MIN_TOKENS
+    s2 = s1 & (F.col("q") >= F.lit(_FUNNEL_MIN_QUALITY))
+    s3 = s2 & (
+        F.col("tot").isNull()
+        | (F.col("dup") * 100 <= F.col("tot") * _REP_GATE_PCT)
+    )
+    s4 = s3 & (F.col("pii") == 0)
+    f = flags.join(rep.hint("merge"), "doc_id", "left")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(s1.cast("int")).cast("long").alias("pass_content"),
+            F.sum(s2.cast("int")).cast("long").alias("pass_quality"),
+            F.sum(s3.cast("int")).cast("long").alias("pass_repetition"),
+            F.sum(s4.cast("int")).cast("long").alias("pass_pii"),
+            F.sum(F.when(s4, F.col("btoks")).otherwise(0))
+            .cast("long")
+            .alias("tokens_surviving"),
+        )
+        .orderBy("source")
+    )

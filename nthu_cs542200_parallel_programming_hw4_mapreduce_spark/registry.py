@@ -623,6 +623,10 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
     # history rows exist from the round-8 window)
     "mixture_rebalance", "decontaminate_normalized", "repetition_gate",
     "dedup_minhash_mllib",
+    # round-12 second wave (the attrition dashboard, the reverse-
+    # direction contamination report, the upsample-capped mixture)
+    "quality_filter_funnel", "eval_contamination_report",
+    "mixture_epochs",
     # r5-era rows bumped by the round-11 second-wave additions —
     # the stalest oracle-backed rows anywhere, so they go first
     "time_weighted_avg", "udtf_analyze_split",
@@ -636,8 +640,7 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
     "session_paths_topk_salted", "set_intersect_except", "set_ops_all",
     "set_union", "sql_api_subquery", "topk", "tpch_q10", "tpch_q13",
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3",
-    "tpch_q4", "tpch_q6", "tpch_q8",
-    "unpivot_stack",
+    "tpch_q4",
 )
 
 # The two r6-era rows the amendment deferred to round 13 (named, not
@@ -653,6 +656,10 @@ ROUND12_DEFERRED: tuple[str, ...] = ("tpch_q5", "tpch_q7")
 # newest driver row stays CORRECTNESS_r07).
 ROUND12_BUMPED: tuple[str, ...] = (
     "window_lag_lead", "window_rank", "window_running", "limit_offset",
+    # bumped by the round-12 second wave (r6-era; tpch_q6/q8 are
+    # join/agg-family redundant this window — q3/q4/q10/q12-q14/
+    # q17-q19 all re-prove here)
+    "unpivot_stack", "tpch_q8", "tpch_q6",
 )
 
 # Round-13 rotation pool, PRE-STAGED at round-12 build time (the
@@ -669,14 +676,24 @@ ROUND12_BUMPED: tuple[str, ...] = (
 # files in tests/test_registry.py::test_round13_pool_is_prestaged so
 # the pin cannot rot. Queries ADDED during round 13 take priority —
 # bump re-proofs from this tuple's end, per the standing recipe.
+# AMENDED by the round-12 second wave: its 3 bumps (r6-era) take
+# slots; to hold the pool at 41 the r8-era filler pick
+# (asof_cogroup_pandas) is dropped and two r7-era SALTED twins defer
+# to round 14 by name (family-redundant next window: their unsalted
+# siblings time_weighted_avg / bounce_rate_daily re-prove in the
+# round-11/12 windows, and the salted-window mechanics re-prove via
+# event_session_salted / session_paths_topk_salted history).
 ROUND13_ROTATION_POOL: tuple[str, ...] = (
-    # the round-12 bumps (stalest: three r6-era + the r7-era leftover)
-    "window_lag_lead", "window_rank", "window_running", "limit_offset",
+    # the round-12 bumps (stalest-first: six r6-era + the r7-era
+    # leftover limit_offset)
+    "window_lag_lead", "window_rank", "window_running",
+    "unpivot_stack", "tpch_q8", "tpch_q6", "limit_offset",
     # the named r6-era deferrals (VERDICT r11 #1)
     "tpch_q5", "tpch_q7",
-    # the r7-era rows (newest driver row = CORRECTNESS_r07)
+    # the r7-era rows (newest driver row = CORRECTNESS_r07) minus the
+    # two named round-14 deferrals
     "ann_ivf_cell_assign", "ann_lsh_bands", "asof_last_signup",
-    "bounce_rate_daily_salted", "cosine_knn_exact",
+    "cosine_knn_exact",
     "decontaminate_ngram", "dedup_clusters", "dedup_cross_snapshot",
     "dedup_embedding_cosine", "dedup_exact", "dedup_fuzzy_production",
     "dedup_lsh_jaccard_verified", "dedup_minhash_lsh",
@@ -686,9 +703,13 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     "pack_context_windows", "pipeline_filter_quality",
     "range_join_follow", "resample_ffill", "sample_per_lang_topk",
     "session_window_native", "streaming_window", "text_quality",
-    "text_repetition", "text_scrub_pii", "time_weighted_avg_salted",
-    # oldest r8-era row, family-diverse pick
-    "asof_cogroup_pandas",
+    "text_repetition", "text_scrub_pii",
+)
+
+# The two r7-era rows the second-wave amendment deferred to round 14
+# (named, not silently dropped — the standing deferral discipline).
+ROUND13_DEFERRED: tuple[str, ...] = (
+    "time_weighted_avg_salted", "bounce_rate_daily_salted",
 )
 
 # Round-12 window, ACTIVE (flipped at round-12 open in the same commit

@@ -172,6 +172,12 @@ REGRESSION_SET = [
     # it here)
     "mixture_rebalance", "decontaminate_normalized", "repetition_gate",
     "dedup_minhash_mllib",
+    # round-12 second wave: the attrition funnel (planted failures for
+    # every stage), the reverse-direction contamination report (both
+    # planted pairs), the epoch-capped mixture (the '' source's tiny
+    # token count exercises the cap branch)
+    "quality_filter_funnel", "eval_contamination_report",
+    "mixture_epochs",
 ]
 
 
@@ -227,6 +233,53 @@ def test_repetition_plant_flags_spam_doc(spark, hostile_dir):
     out = E.queries()["repetition_gate"](spark, hostile_dir).toPandas()
     social = out[out["source"] == "social"]
     assert len(social) == 1 and int(social["n_flagged"].iloc[0]) >= 1
+
+
+def test_funnel_is_monotone_and_every_stage_bites(spark, hostile_dir):
+    """quality_filter_funnel's cumulative gates must be monotonically
+    non-increasing per source, and on the hostile fixture every stage
+    must reject at least one doc somewhere (token-less docs fail
+    content, the spam doc 99013 fails repetition, the PII doc 99011
+    fails the scrub gate) — without the plants a stage could go
+    silently vacuous."""
+    out = E.queries()["quality_filter_funnel"](spark, hostile_dir).toPandas()
+    assert len(out) > 0
+    for a, b in [
+        ("n_docs", "pass_content"),
+        ("pass_content", "pass_quality"),
+        ("pass_quality", "pass_repetition"),
+        ("pass_repetition", "pass_pii"),
+    ]:
+        assert (out[a] >= out[b]).all(), (a, b)
+    tot = out.sum(numeric_only=True)
+    assert tot["n_docs"] > tot["pass_content"]
+    assert tot["pass_quality"] > tot["pass_repetition"]
+    assert tot["pass_repetition"] > tot["pass_pii"]
+
+
+def test_eval_report_counts_both_planted_pairs(spark, hostile_dir):
+    """eval_contamination_report must show the verbatim pair (9797 →
+    99010) AND the typography pair (9603 → 99012) as burned eval
+    items, each with ≥ 1 training hit, while clean eval items keep
+    their affirmative zero rows."""
+    out = E.queries()["eval_contamination_report"](spark, hostile_dir).toPandas()
+    burned = out.set_index("eval_id")["n_training_hits"]
+    assert burned.loc[9797] >= 1
+    assert burned.loc[9603] >= 1
+    assert (out["n_training_hits"] == 0).any()  # clean rows present
+
+
+def test_epoch_cap_binds_on_tiny_sources(spark, hostile_dir):
+    """mixture_epochs: the hostile fixture's tiny sources ('', books,
+    social) must hit the 4-epoch cap while the big uniform sources sit
+    near 1 epoch — both branches of the least() exercised — and the
+    realized mixture must be a valid distribution."""
+    out = E.queries()["mixture_epochs"](spark, hostile_dir).toPandas()
+    assert (out["epochs"] == 4.0).any()
+    assert (out["epochs"] < 4.0).any()
+    assert ((out["epochs"] > 0) & (out["epochs"] <= 4.0)).all()
+    assert abs(out["realized_share"].sum() - 1.0) < 1e-4
+    assert (out["sampled_tokens"] >= 0).all()
 
 
 def test_mixture_rebalance_is_a_valid_sampling_config(spark, hostile_dir):

@@ -216,6 +216,39 @@ def test_repetition_gate_is_narrow_aggregation(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def test_mixture_epochs_rebalances_on_tiny_frame(spark, sf_dir):
+    """Same contract as mixture_rebalance: corpus work = the composed
+    effective_token_budget plan; the epoch math runs on the
+    |sources|-row frame; no join anywhere."""
+    plan = plan_of(spark, sf_dir, "mixture_epochs")
+    assert "Join" not in plan
+    assert "SinglePartition" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_funnel_join_is_merge_not_broadcast(spark, sf_dir):
+    """quality_filter_funnel's flags⋈repetition join has two
+    corpus-sized per-doc sides: the merge hint must hold so size
+    estimates can never pick a broadcast that 100 TB invalidates
+    (the snapshot_novelty rule), and the flag inputs stay codegen —
+    no Python anywhere."""
+    plan = plan_of(spark, sf_dir, "quality_filter_funnel")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_eval_report_broadcasts_only_eval_frames(spark, sf_dir):
+    """eval_contamination_report: the corpus-side hit count joins the
+    BROADCAST eval snippets (nested-loop on contains); the zero-row
+    restoration joins two eval-suite-sized frames — no sort-merge may
+    ever touch the corpus."""
+    plan = plan_of(spark, sf_dir, "eval_contamination_report")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_mixture_rebalance_rebalances_on_tiny_frame(spark, sf_dir):
     """The corpus-scale work is exactly the composed
     effective_token_budget plan (fp window + |sources|-key agg); the

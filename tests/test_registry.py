@@ -75,6 +75,9 @@ ROUND11_ADDITIONS = {
 ROUND12_ADDITIONS: set[str] = {
     "mixture_rebalance", "decontaminate_normalized", "repetition_gate",
     "dedup_minhash_mllib",
+    # second wave
+    "quality_filter_funnel", "eval_contamination_report",
+    "mixture_epochs",
 }
 
 
@@ -530,13 +533,14 @@ def test_round12_pool_is_active():
 
 
 def test_round13_pool_is_prestaged():
-    """The INACTIVE round-13 pool (pre-staged at round-12 build time):
-    41 unique names, all registered, all oracle-backed, disjoint from
-    the active round-12 window, and composed of the 4 round-12 bumps
-    + the 2 named tpch deferrals + the r7-era oracle-backed rows
-    (newest driver row = CORRECTNESS_r07) + asof_cogroup_pandas, the
-    family-diverse r8-era pick. Computed from the recorded
-    CORRECTNESS files so the pin cannot rot."""
+    """The INACTIVE round-13 pool (pre-staged at round-12 build time,
+    amended by the second wave): 41 unique names, all registered, all
+    oracle-backed, disjoint from the active round-12 window, and
+    composed of the 7 round-12 bumps + the 2 named tpch deferrals +
+    the r7-era oracle-backed rows (newest driver row =
+    CORRECTNESS_r07) minus the 2 named round-14 salted-twin
+    deferrals. Computed from the recorded CORRECTNESS files so the
+    pin cannot rot."""
     pool = registry.ROUND13_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
@@ -547,14 +551,17 @@ def test_round13_pool_is_prestaged():
         - _checked("r08", "r09", "r10", "r11")
         - set(registry.ROUND12_WINDOW_PLAN)
     ) & set(registry.all_oracles())
+    # the second-wave amendment: the 3 extra bumps displaced the
+    # r8-era filler pick and two NAMED r7-era salted twins (their
+    # unsalted siblings re-prove in the round-11/12 windows)
+    assert set(registry.ROUND13_DEFERRED) == {
+        "time_weighted_avg_salted", "bounce_rate_daily_salted",
+    }
+    assert set(registry.ROUND13_DEFERRED) <= r7_era
     assert set(pool) == (
         set(registry.ROUND12_BUMPED)
         | set(registry.ROUND12_DEFERRED)
-        | r7_era
-        | {"asof_cogroup_pandas"}
+        | (r7_era - set(registry.ROUND13_DEFERRED))
     )
-    # the r8-era pick really is r8-era
-    assert "asof_cogroup_pandas" in _checked("r08")
-    assert "asof_cogroup_pandas" not in _checked("r09", "r10", "r11")
     # the live window stays round 12 until the next round flips it
     assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN

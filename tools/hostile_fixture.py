@@ -184,7 +184,9 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         (99011, 'Contact jane.doe+spam@example-mail.org or 555-867-5309, SSN 123-45-6789, server 192.168.001.042 backup 10.0.0.1, alt email bob@test.io.', 'en', 'web', 135),
         (9603, 'The Euler-Mascheroni constant, gamma = 0.5772, appears in Mertens theorems about primes.', 'en', 'web', 89),
         (99012, 'Blog post says: THE EULER' || chr(8212) || 'MASCHERONI CONSTANT; GAMMA' || chr(8212) || '0.5772' || chr(8212) || 'APPEARS IN MERTENS THEOREMS, quoted with terrible typography.', 'en', 'web', 138),
-        (99013, 'buy now click here buy now click here buy now click here buy now click here limited offer act fast', 'en', 'social', 99)
+        (99013, 'buy now click here buy now click here buy now click here buy now click here limited offer act fast', 'en', 'social', 99),
+        (99014, 'the offer is on the table for a limited time. the offer is on the table for a limited time. the offer is on the table for a limited time. the offer is on the table for a limited time. the offer is on the table for a limited time.', 'en', 'web', 229),
+        (99015, 'The report is ready and it is on the server for review. Please send a note to the team in the morning. Contact me at alice@example.org for the final copy of the plan and the data file today.', 'en', 'web', 189)
       ) t(doc_id, text, lang, source, n_chars)
     """)
     # 99011 plants every PII regex class (2 emails, 1 SSN, 1 phone,
@@ -207,6 +209,14 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
     # 99013 is the repeated-slogan spam doc that fires
     # repetition_gate's flag path at every sweep (its trigram chars
     # are ~90% duplicated; the base sf0.001 corpus flags nothing).
+    # 99014/99015 are the quality_filter_funnel STAGE plants (round-12
+    # second wave): each passes every gate BEFORE its target stage —
+    # 99013 alone cannot exercise the funnel's repetition stage
+    # because it already dies at the quality gate (no stopwords,
+    # short). 99014 is high-quality prose-shaped but one sentence
+    # repeated 5x (dies exactly at repetition); 99015 is high-quality
+    # unique prose with one planted email (dies exactly at PII). The
+    # funnel monotonicity test pins that every stage bites.
 
     con.execute(
         f"""
