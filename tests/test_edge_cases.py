@@ -107,6 +107,40 @@ def test_mllib_lsh_matches_exact_jaccard_truth(spark, sf_dir):
     assert mset == tset, f"missed true pairs: {sorted(tset - mset)[:5]}"
 
 
+def test_turkish_i_is_the_known_casefold_gap(spark):
+    """Divergence class 12 (round-12 Unicode audit, documented in
+    tests/test_hostile_parity.py's class list): U+0130 is the ONE code
+    point where Spark's Unicode-correct lower() ('i' + combining dot,
+    per SpecialCasing) differs from DuckDB/utf8proc's simple fold
+    ('i'). This test pins BOTH sides' current behavior and the
+    agreement of the neighboring hard cases — if an engine upgrade
+    changes any of it, the case-folding audit must be re-run before
+    trusting lower()-based CORRECTNESS history. The repo contract:
+    corpora containing U+0130 fold it at ingestion (NFKC/ICU), so it
+    is deliberately absent from the hostile fixture."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    samples = ["İ", "ÉCLAIR", "STRASSE ẞ", "СЛОВО", "ǅungeon"]
+    got = {
+        s: r.l
+        for s, r in zip(
+            samples,
+            spark.createDataFrame([(s,) for s in samples], "x string")
+            .select(F.lower("x").alias("l"))
+            .collect(),
+        )
+    }
+    con = duckdb.connect()
+    duck = {s: con.execute("SELECT lower(?)", [s]).fetchone()[0] for s in samples}
+    # the one known gap, pinned on both sides
+    assert got["İ"] == "i̇" and duck["İ"] == "i"
+    # every neighboring hard case agrees
+    for s in samples[1:]:
+        assert got[s] == duck[s], s
+
+
 def test_salted_join_rejects_outer(spark, sf_dir):
     from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.operators.joins import (
         salted_join,

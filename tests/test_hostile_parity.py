@@ -106,6 +106,26 @@ ADVICE r10's decimal-band concern) and a real contamination pair
     bits both engines) and decimal-cast once, behind an |x| < 1e4
     element gate (the mahalanobis/pq discipline, also tightened from
     1e6/1e5 to 1e4 this round so x²·1e6 stays under 2⁵³).
+
+A round-12 audit swept Unicode case folding (uppercase diacritics,
+Cyrillic, the ẞ/ß pair, the ǅ titlecase digraph — all MATCH) and
+found one DOCUMENTED-KNOWN divergence that is deliberately NOT
+planted in the fixture:
+
+12. Turkish İ (U+0130): Java/Spark lower() follows Unicode
+    SpecialCasing ('i' + U+0307 combining dot, TWO code points) while
+    DuckDB/utf8proc does the simple 1:1 fold ('i'). U+0130 is the
+    ONLY code point with an unconditional multi-char lowercase
+    mapping, so the divergent surface is exactly one character.
+    Planting it would flip every lower()-based oracle (fingerprints,
+    decontamination folds, stopword hits) with no shared-arithmetic
+    fix available — the honest contract is instead: corpora
+    containing U+0130 must fold it at ingestion (NFKC/ICU casefold),
+    as any real multilingual pipeline does before dedup.
+    test_edge_cases.py::test_turkish_i_is_the_known_casefold_gap pins
+    that the divergence (and its single-char scope) still holds, so
+    an engine upgrade that changes either side re-opens the audit
+    loudly.
 """
 
 from __future__ import annotations
