@@ -250,6 +250,9 @@ HEADLINE = [
     "quality_filter_funnel",
     "eval_contamination_report",
     "mixture_epochs",
+    # round-12 third wave
+    "lang_metadata_mismatch",
+    "dedup_threshold_sweep",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -2208,6 +2208,67 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_threshold_sweep",
+    # composes the dedup_ngram_jaccard oracle verbatim (inheriting the
+    # _MAX_SHINGLE_DF boilerplate cap and the jaccard >= 0.05 floor —
+    # the gate-mirroring rule satisfied by construction)
+    oracle=f"""
+    WITH pairs AS ({_oracle_for("dedup_ngram_jaccard")})
+    SELECT CAST(floor(jaccard * 20.0::DOUBLE) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MIN(jaccard), 6) AS band_min,
+           round(MAX(jaccard), 6) AS band_max
+    FROM pairs GROUP BY 1 ORDER BY band
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THRESHOLD-SELECTION CURVE for fuzzy dedup: exact-Jaccard
+    pair counts bucketed into 0.05-wide similarity bands (band =
+    ⌊jaccard·20⌋, from the 0.05 floor up to exact duplicates at band
+    20) — the histogram a curator reads before picking the dedup
+    cutoff, because the right threshold sits in the VALLEY between
+    the near-dup mass (template families, boilerplate variants, high
+    bands) and the topical-similarity noise floor (low bands); a
+    cutoff on a rising slope means the pair volume — and the cluster
+    sizes downstream — are unstable to ±0.05 of threshold drift.
+    ``lsh_quality_eval`` scores ONE configured threshold; this is the
+    instrument for choosing it.
+
+    Composed verbatim on ``dedup_ngram_jaccard`` (the
+    dup_cluster_histogram pattern): the banding is one tiny aggregate
+    over its output, so the curve measures exactly the pair set the
+    production threshold would bind against, inheriting the
+    inverted-index posting shape (no corpus join), the
+    _MAX_SHINGLE_DF boilerplate cap, and the 0.05 floor. Banding on
+    the 6-dp-rounded jaccard (integer-ratio inputs) is a single
+    floor of identical doubles in both engines — no boundary drift
+    possible.
+
+    Scale disposition — DIAGNOSTIC, like everything composing the
+    all-pairs inverted index (the SCALING.md "exact-Jaccard all-pairs
+    wall" row): 22.3 s at the 10× probe, and the composed core's pair
+    expansion exhausts local disk at the 100× dup-heavy regime
+    (measured round 12 — the same recorded behavior as
+    lsh_quality_eval's truth side). Production mode: run the sweep
+    after exact-collapse on cluster representatives, or on a
+    deterministic doc sample — threshold selection needs the curve's
+    SHAPE, which a sample preserves, not the full corpus's pair
+    census."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 20.0).cast("long").alias("band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("band_min"),
+            F.round(F.max("jaccard"), 6).alias("band_max"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "dup_cluster_histogram",
     oracle=f"""
     SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters

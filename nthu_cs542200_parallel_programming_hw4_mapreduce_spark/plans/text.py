@@ -185,6 +185,43 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_metadata_mismatch",
+    oracle=f"""
+    SELECT lang, {_dd_lang_case()} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2 ORDER BY lang, lang_pred
+    """,
+)
+def lang_metadata_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-detector language CONFUSION MATRIX: per (stored
+    ``lang`` label, predicted ``lang_pred``) document counts — the
+    label-noise audit a curator runs before trusting upstream metadata
+    for mixture weights or per-language quotas. Where
+    ``label_agreement_kappa`` compresses rater agreement to one
+    chance-corrected number, this is the ACTIONABLE view: which stored
+    labels disagree, with which prediction, and how often (an 'en'
+    row predicted 'fr' at volume means a mislabeled source feed; a
+    fat 'und' column means short/token-less docs the detector cannot
+    call). Diagonal + off-diagonal together partition the corpus, so
+    the matrix doubles as the per-label volume report.
+
+    Shares the single-tokenization ``lang_pred_frame`` body with
+    lang_id/kappa (one explode, map-side partial hit counts, the
+    identical argmax fold both engines replay), with the stored label
+    riding the groupBy key — no join back to the table. The final
+    (|langs|·|langs+1|)-key agg is vocabulary-sized. NULL-text docs
+    keep lang_id's contract: all scores coalesce to 0 → 'und'."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        lang_pred_frame(docs, extra_cols=("lang",))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
     "token_count_est",
     oracle=rf"""
     SELECT doc_id,

@@ -627,6 +627,9 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
     # direction contamination report, the upsample-capped mixture)
     "quality_filter_funnel", "eval_contamination_report",
     "mixture_epochs",
+    # round-12 third wave (the label-noise confusion matrix, the
+    # dedup threshold-selection curve)
+    "lang_metadata_mismatch", "dedup_threshold_sweep",
     # r5-era rows bumped by the round-11 second-wave additions —
     # the stalest oracle-backed rows anywhere, so they go first
     "time_weighted_avg", "udtf_analyze_split",
@@ -639,8 +642,7 @@ ROUND12_ROTATION_POOL: tuple[str, ...] = (
     "rollup_grouping_id", "scalar_array", "scalar_date", "scalar_text",
     "session_paths_topk_salted", "set_intersect_except", "set_ops_all",
     "set_union", "sql_api_subquery", "topk", "tpch_q10", "tpch_q13",
-    "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q3",
-    "tpch_q4",
+    "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
 )
 
 # The two r6-era rows the amendment deferred to round 13 (named, not
@@ -660,6 +662,9 @@ ROUND12_BUMPED: tuple[str, ...] = (
     # join/agg-family redundant this window — q3/q4/q10/q12-q14/
     # q17-q19 all re-prove here)
     "unpivot_stack", "tpch_q8", "tpch_q6",
+    # bumped by the round-12 third wave (r6-era; join-family still
+    # re-proves via q10/q12-q14/q17-q19 in this window)
+    "tpch_q4", "tpch_q3",
 )
 
 # Round-13 rotation pool, PRE-STAGED at round-12 build time (the
@@ -684,21 +689,21 @@ ROUND12_BUMPED: tuple[str, ...] = (
 # round-11/12 windows, and the salted-window mechanics re-prove via
 # event_session_salted / session_paths_topk_salted history).
 ROUND13_ROTATION_POOL: tuple[str, ...] = (
-    # the round-12 bumps (stalest-first: six r6-era + the r7-era
+    # the round-12 bumps (stalest-first: eight r6-era + the r7-era
     # leftover limit_offset)
     "window_lag_lead", "window_rank", "window_running",
-    "unpivot_stack", "tpch_q8", "tpch_q6", "limit_offset",
+    "unpivot_stack", "tpch_q8", "tpch_q6", "tpch_q4", "tpch_q3",
+    "limit_offset",
     # the named r6-era deferrals (VERDICT r11 #1)
     "tpch_q5", "tpch_q7",
     # the r7-era rows (newest driver row = CORRECTNESS_r07) minus the
     # two named round-14 deferrals
     "ann_ivf_cell_assign", "ann_lsh_bands", "asof_last_signup",
-    "cosine_knn_exact",
     "decontaminate_ngram", "dedup_clusters", "dedup_cross_snapshot",
     "dedup_embedding_cosine", "dedup_exact", "dedup_fuzzy_production",
     "dedup_lsh_jaccard_verified", "dedup_minhash_lsh",
     "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
-    "doc_fingerprint", "event_session", "event_session_salted",
+    "doc_fingerprint", "event_session",
     "event_window", "label_centroids", "lang_id", "multimodal_meta",
     "pack_context_windows", "pipeline_filter_quality",
     "range_join_follow", "resample_ffill", "sample_per_lang_topk",
@@ -706,10 +711,15 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     "text_repetition", "text_scrub_pii",
 )
 
-# The two r7-era rows the second-wave amendment deferred to round 14
-# (named, not silently dropped — the standing deferral discipline).
+# The four r7-era rows the second- and third-wave amendments deferred
+# to round 14 (named, not silently dropped — the standing deferral
+# discipline). The salted twins' unsalted siblings re-prove in the
+# round-11/12 windows (and event_session itself stays in this pool);
+# cosine_knn_exact is the documented all-pairs ANN diagnostic whose
+# family re-proves via ann_lsh_bands / ann_ivf_cell_assign here.
 ROUND13_DEFERRED: tuple[str, ...] = (
     "time_weighted_avg_salted", "bounce_rate_daily_salted",
+    "event_session_salted", "cosine_knn_exact",
 )
 
 # Round-12 window, ACTIVE (flipped at round-12 open in the same commit

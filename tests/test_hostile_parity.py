@@ -198,6 +198,10 @@ REGRESSION_SET = [
     # token count exercises the cap branch)
     "quality_filter_funnel", "eval_contamination_report",
     "mixture_epochs",
+    # round-12 third wave: the label-noise confusion matrix (NULL/''
+    # lang rows keep off-diagonal cells live) and the threshold curve
+    # (the planted dup families populate the high bands)
+    "lang_metadata_mismatch", "dedup_threshold_sweep",
 ]
 
 

@@ -216,6 +216,26 @@ def test_repetition_gate_is_narrow_aggregation(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def test_lang_mismatch_is_join_free(spark, sf_dir):
+    """lang_metadata_mismatch inherits lang_pred_frame's no-join-back
+    shape (stored label rides the groupBy key); the matrix agg is
+    vocabulary-sized and partial-aggregated."""
+    plan = plan_of(spark, sf_dir, "lang_metadata_mismatch", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the single shared tokenization explode
+    assert "partial" in plan.lower()
+
+
+def test_threshold_sweep_inherits_posting_shape(spark, sf_dir):
+    """dedup_threshold_sweep composes dedup_ngram_jaccard verbatim, so
+    its plan must keep the inverted-index invariant: no corpus-sized
+    join anywhere (posting lists + expression-side pair expansion),
+    with the banding a tiny aggregate on top."""
+    plan = plan_of(spark, sf_dir, "dedup_threshold_sweep", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan  # expand_pairs' streaming explodes
+
+
 def test_mixture_epochs_rebalances_on_tiny_frame(spark, sf_dir):
     """Same contract as mixture_rebalance: corpus work = the composed
     effective_token_budget plan; the epoch math runs on the

@@ -78,6 +78,8 @@ ROUND12_ADDITIONS: set[str] = {
     # second wave
     "quality_filter_funnel", "eval_contamination_report",
     "mixture_epochs",
+    # third wave
+    "lang_metadata_mismatch", "dedup_threshold_sweep",
 }
 
 
@@ -556,6 +558,7 @@ def test_round13_pool_is_prestaged():
     # unsalted siblings re-prove in the round-11/12 windows)
     assert set(registry.ROUND13_DEFERRED) == {
         "time_weighted_avg_salted", "bounce_rate_daily_salted",
+        "event_session_salted", "cosine_knn_exact",
     }
     assert set(registry.ROUND13_DEFERRED) <= r7_era
     assert set(pool) == (
