@@ -317,7 +317,26 @@ def _calib_mt_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _full_map_path(argv: list[str]) -> str:
+    """Where the full per-query map lands (VERDICT r12 "Next round"
+    #7): every invocation used to overwrite the repo-root
+    bench_full.json, so a casual smoke run could clobber the pinned
+    quiet anchor map — exactly what happened at the round-12 close.
+    Now the default is a temp path; only an explicit ``--commit``
+    writes the repo-root pinned map, and ``--out PATH`` lets sweeps
+    direct the map anywhere. The printed driver line always reports
+    the actual path in ``full_map``."""
+    if "--commit" in argv:
+        return os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+    if "--out" in argv:
+        return argv[argv.index("--out") + 1]
+    return "/tmp/spark_graft_bench_full.latest.json"
+
+
 def main() -> None:
+    out_path = _full_map_path(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load1_start = round(os.getloadavg()[0], 2)
     calib_start = _calib_ms()
@@ -396,8 +415,7 @@ def main() -> None:
         **load,
         **captured,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
     # ONE compact line for the driver's ~2 KB tail capture: total over
     # all headline queries + the pinned 30-query cross-round core map
@@ -412,7 +430,7 @@ def main() -> None:
                 "core_total_warm": core_total_warm,
                 "core_total_calib_norm": full["core_total_calib_norm"],
                 "n_queries": len(timings),
-                "full_map": "bench_full.json",
+                "full_map": out_path,
                 "sf": sf,
                 **load,
             },

@@ -722,20 +722,29 @@ ROUND13_DEFERRED: tuple[str, ...] = (
     "event_session_salted", "cosine_knn_exact",
 )
 
-# Round-12 window, ACTIVE (flipped at round-12 open in the same commit
-# as the test-pin rewrite, per the codified round-5 lesson and
-# VERDICT r11 "Next round" #1): 9 core + the pre-staged 41-slot pool
-# above = exactly 50, all oracle-backed — the FOURTH consecutive
-# all-oracle window. Every pool member was pre-verified parity-green
-# in the round-11 whole-registry sweeps (tri-SF + hostile), and the
-# full 50-query window was re-swept at sf0.01 immediately before this
-# flip (round-12 open, 2026-08-16). Once CORRECTNESS_r12 lands green,
-# the r6-era re-proof debt is cleared except the two NAMED round-13
-# deferrals (tpch_q5/tpch_q7), and no other oracle-backed query's
-# newest driver row predates r07.
+# Round-12 window, RETIRED (was active during round 12; flipped at
+# round-12 open in the same commit as the test-pin rewrite, per the
+# codified round-5 lesson and VERDICT r11 "Next round" #1): 9 core +
+# the 41-slot pool above = exactly 50, all oracle-backed — the FOURTH
+# consecutive all-oracle window. CORRECTNESS_r12 landed 50/50 green
+# (zero errs), clearing the r6-era re-proof debt except the two NAMED
+# round-13 deferrals (tpch_q5/tpch_q7).
 ROUND12_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND12_ROTATION_POOL
 
-DRIVER_WINDOW: tuple[str, ...] = ROUND12_WINDOW_PLAN
+# Round-13 window, ACTIVE (flipped at round-13 open in the same commit
+# as the test-pin rewrite, per the codified recipe and VERDICT r12
+# "Next round" #1): 9 core + the pre-staged 41-slot pool above =
+# exactly 50, all oracle-backed — the FIFTH consecutive all-oracle
+# window. Every pool member was pre-verified parity-green in the
+# round-12 whole-registry sweeps (tri-SF + hostile), and the full
+# 50-query window was re-swept at sf0.01 immediately before this flip
+# (round-13 open, 2026-08-16). Once CORRECTNESS_r13 lands green, the
+# entire r6-era tail (the 9 round-12 bumps + tpch_q5/q7) is cleared
+# and the r7-era cohort shrinks to the four NAMED round-14 deferrals
+# (ROUND13_DEFERRED above).
+ROUND13_WINDOW_PLAN: tuple[str, ...] = CORE_WINDOW + ROUND13_ROTATION_POOL
+
+DRIVER_WINDOW: tuple[str, ...] = ROUND13_WINDOW_PLAN
 
 
 def _ordered(names: dict[str, object]) -> list[str]:

@@ -84,34 +84,28 @@ ROUND12_ADDITIONS: set[str] = {
 
 
 def test_window_covers_rotation_targets():
-    """Round-12 rotation (VERDICT r11 "Next round" #1): the 41
-    rotating slots are the round-12 additions (priority slots, per
-    the standing recipe) plus stale re-proofs — the 2 r5-era
-    second-wave bumps (stalest rows anywhere), the r6-era rows minus
-    the two named round-13 deferrals, and limit_offset (oldest
-    r7-era row). Every re-proof slot's latest driver row must predate
-    r08."""
+    """Round-13 rotation (VERDICT r12 "Next round" #1): the 41
+    rotating slots are ALL stale re-proofs — the 9 round-12 bumps
+    (eight r6-era + limit_offset), the 2 named r6-era tpch deferrals,
+    and the r7-era cohort minus the 4 named round-14 deferrals. Every
+    slot's latest oracle-backed driver row predates r08. Additions
+    made during round 13 take priority slots and bump named rows from
+    the pool tuple's end, per the standing recipe (this test is
+    amended alongside each wave)."""
     window = set(registry.DRIVER_WINDOW)
     core = set(registry.CORE_WINDOW)
     assert core <= window
     rotation = window - core
     assert len(rotation) == 41
-    assert rotation == set(registry.ROUND12_ROTATION_POOL)
-    reproof = rotation - ROUND12_ADDITIONS
-    # every re-proof slot is a stale row: nothing re-checked since r07
-    assert reproof <= _checked(
+    assert rotation == set(registry.ROUND13_ROTATION_POOL)
+    # every slot is a stale row: nothing re-checked since r07
+    assert rotation <= _checked(
         "r01", "r02", "r03", "r04", "r05", "r06", "r07"
     )
-    assert not (reproof & _checked("r08", "r09", "r10", "r11"))
-    # the three NEW additions have no driver row anywhere yet; the
-    # graduation (dedup_minhash_mllib) has only ROWS-ONLY history rows
-    assert not ((ROUND12_ADDITIONS - {"dedup_minhash_mllib"}) & _checked(
-        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
-        "r10", "r11",
-    ))
-    # the bumps are named, not silent drops
-    assert len(registry.ROUND12_BUMPED) == len(ROUND12_ADDITIONS)
-    assert not (set(registry.ROUND12_BUMPED) & rotation)
+    assert not (rotation & _checked("r08", "r09", "r10", "r11", "r12"))
+    # the round-12 bumps all re-seat here (the whole point of the
+    # bump bookkeeping: bumped, then seated stalest-first next round)
+    assert set(registry.ROUND12_BUMPED) <= rotation
 
 
 def _new_in_round7() -> set[str]:
@@ -436,7 +430,7 @@ def test_bench_core_is_pinned():
             "core_total": 999.999,
             "core_total_warm": 999.999,
             "n_queries": len(bench.HEADLINE),
-            "full_map": "bench_full.json",
+            "full_map": "/tmp/spark_graft_bench_full.latest.json",
             "sf": 0.1,
             # round-9 load indicators (VERDICT r8 #3) ride the line too
             "load1": 99.99,
@@ -449,6 +443,21 @@ def test_bench_core_is_pinned():
         separators=(",", ":"),
     )
     assert len(line) < 1500
+
+
+def test_bench_full_map_defaults_to_temp_path():
+    """VERDICT r12 "Next round" #7: a casual bench smoke run must not
+    clobber the pinned repo-root bench_full.json — only an explicit
+    ``--commit`` targets it (and ``--out PATH`` directs sweeps)."""
+    import bench
+
+    assert bench._full_map_path([]) == (
+        "/tmp/spark_graft_bench_full.latest.json"
+    )
+    assert bench._full_map_path(["--commit"]) == str(
+        REPO / "bench_full.json"
+    )
+    assert bench._full_map_path(["--out", "/tmp/x.json"]) == "/tmp/x.json"
 
 
 def test_round11_pool_is_active():
@@ -483,17 +492,15 @@ def test_round11_pool_is_active():
 
 
 def test_round12_pool_is_active():
-    """The ACTIVE round-12 pool (pre-staged at round-11 close, amended
-    by the second-wave bumps, flipped ACTIVE at round-12 open in the
-    same commit as this pin rewrite — VERDICT r11 "Next round" #1):
-    41 unique names, all registered, all oracle-backed (the fourth
-    consecutive all-oracle window), disjoint from the round-11
-    window, and composed of the two r5-era second-wave bumps (the
-    stalest rows anywhere) + the r6-era oracle-backed rows (newest
-    driver row = CORRECTNESS_r06) minus the two named tpch deferrals
-    + limit_offset, the oldest r7-era row (the documented round-6
-    window leftover). Computed from the recorded CORRECTNESS files so
-    the pin cannot rot."""
+    """The RETIRED round-12 pool (active during round 12, 50/50 green
+    in CORRECTNESS_r12): 41 unique names, all registered, all
+    oracle-backed (the fourth consecutive all-oracle window),
+    disjoint from the round-11 window, and composed of the two r5-era
+    second-wave bumps (the stalest rows anywhere) + the r6-era
+    oracle-backed rows (newest driver row = CORRECTNESS_r06) minus
+    the two named tpch deferrals + limit_offset, the oldest r7-era
+    row (the documented round-6 window leftover). Computed from the
+    recorded CORRECTNESS files so the pin cannot rot."""
     pool = registry.ROUND12_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
@@ -527,20 +534,22 @@ def test_round12_pool_is_active():
     # round-13 pool behind the three staler r6-era window picks)
     assert "limit_offset" in _checked("r07")
     assert "limit_offset" not in _checked("r08", "r09", "r10")
-    # the live window IS the round-12 plan
+    # retired: the round-12 plan is no longer the live window
     assert registry.ROUND12_WINDOW_PLAN == (
         registry.CORE_WINDOW + registry.ROUND12_ROTATION_POOL
     )
-    assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
+    assert registry.ROUND12_WINDOW_PLAN != registry.DRIVER_WINDOW
 
 
-def test_round13_pool_is_prestaged():
-    """The INACTIVE round-13 pool (pre-staged at round-12 build time,
-    amended by the second wave): 41 unique names, all registered, all
-    oracle-backed, disjoint from the active round-12 window, and
-    composed of the 7 round-12 bumps + the 2 named tpch deferrals +
-    the r7-era oracle-backed rows (newest driver row =
-    CORRECTNESS_r07) minus the 2 named round-14 salted-twin
+def test_round13_pool_is_active():
+    """The ACTIVE round-13 pool (pre-staged at round-12 build time,
+    amended by the round-12 waves, flipped ACTIVE at round-13 open in
+    the same commit as this pin rewrite — VERDICT r12 "Next round"
+    #1): 41 unique names, all registered, all oracle-backed (the
+    fifth consecutive all-oracle window), disjoint from the retired
+    round-12 window, and composed of the 9 round-12 bumps + the 2
+    named tpch deferrals + the r7-era oracle-backed rows (newest
+    driver row = CORRECTNESS_r07) minus the 4 named round-14
     deferrals. Computed from the recorded CORRECTNESS files so the
     pin cannot rot."""
     pool = registry.ROUND13_ROTATION_POOL
@@ -566,5 +575,8 @@ def test_round13_pool_is_prestaged():
         | set(registry.ROUND12_DEFERRED)
         | (r7_era - set(registry.ROUND13_DEFERRED))
     )
-    # the live window stays round 12 until the next round flips it
-    assert registry.DRIVER_WINDOW == registry.ROUND12_WINDOW_PLAN
+    # the live window IS the round-13 plan
+    assert registry.ROUND13_WINDOW_PLAN == (
+        registry.CORE_WINDOW + registry.ROUND13_ROTATION_POOL
+    )
+    assert registry.DRIVER_WINDOW == registry.ROUND13_WINDOW_PLAN
