@@ -253,6 +253,8 @@ HEADLINE = [
     # round-12 third wave
     "lang_metadata_mismatch",
     "dedup_threshold_sweep",
+    # round-13 additions
+    "dedup_threshold_sweep_sampled",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

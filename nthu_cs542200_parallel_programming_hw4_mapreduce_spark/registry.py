@@ -689,6 +689,8 @@ ROUND12_BUMPED: tuple[str, ...] = (
 # round-11/12 windows, and the salted-window mechanics re-prove via
 # event_session_salted / session_paths_topk_salted history).
 ROUND13_ROTATION_POOL: tuple[str, ...] = (
+    # round-13 additions (priority slots, per the standing recipe)
+    "dedup_threshold_sweep_sampled",
     # the round-12 bumps (stalest-first: eight r6-era + the r7-era
     # leftover limit_offset)
     "window_lag_lead", "window_rank", "window_running",
@@ -708,7 +710,18 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     "pack_context_windows", "pipeline_filter_quality",
     "range_join_follow", "resample_ffill", "sample_per_lang_topk",
     "session_window_native", "streaming_window", "text_quality",
-    "text_repetition", "text_scrub_pii",
+    "text_repetition",
+)
+
+# The rows the round-13 additions bumped from the pool tuple's END
+# (one bump per addition, per the standing recipe — named, never
+# silently dropped). They lead the round-14 re-proof queue together
+# with the four ROUND13_DEFERRED names.
+ROUND13_BUMPED: tuple[str, ...] = (
+    # bumped by dedup_threshold_sweep_sampled (r7-era; the PII-scrub
+    # family still re-proves via pii_scrub_counts' r11 row and
+    # text_scrub_pii's local tri-SF sweeps)
+    "text_scrub_pii",
 )
 
 # The four r7-era rows the second- and third-wave amendments deferred

@@ -94,7 +94,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     avro-1.12.1 jars on the classpath are the core serde libs Spark
     itself ships, NOT the spark-avro DataSource module, and
     hive-jdbc is a server driver, not a usable spark.read.jdbc
-    target here), so
+    target here; re-probed round 13, 2026-08-16: all four unchanged —
+    avro "Failed to find data source", iceberg load error, JDBC no
+    driver, `import google.protobuf` absent so
+    transformWithStateInPandas stays gated), so
     this is an honest gate like Iceberg/JDBC, not a stub: the moment
     the jar lands, the same call reads Avro with zero code change
     here."""

@@ -202,6 +202,12 @@ REGRESSION_SET = [
     # lang rows keep off-diagonal cells live) and the threshold curve
     # (the planted dup families populate the high bands)
     "lang_metadata_mismatch", "dedup_threshold_sweep",
+    # round-13 wave: the fixed-budget production twin of the
+    # threshold curve (clamped to full census on this under-budget
+    # fixture — non-vacuousness pinned below) and the paraphrase
+    # contamination protocol (the 9894/99016 plant)
+    "dedup_threshold_sweep_sampled",
+    "decontaminate_fuzzy",
 ]
 
 
@@ -247,6 +253,42 @@ def test_normalized_fold_widens_the_net(spark, hostile_dir):
     assert 99012 not in set(ws["doc_id"])
     # and the fold still catches the verbatim whitespace pair
     assert 99010 in set(folded["doc_id"])
+
+
+def test_sampled_sweep_is_not_vacuous(spark, hostile_dir):
+    """The fixed-budget sample must leave the threshold curve
+    non-vacuous on the hostile fixture (the vacuous-parity rule). The
+    fixture is under the 2000-doc budget, so the keep-threshold
+    clamps to keep-everything: the sampled curve must EQUAL the
+    full-census curve band-for-band and est_full_pairs must equal
+    n_pairs exactly (the clamp identity)."""
+    out = E.queries()["dedup_threshold_sweep_sampled"](spark, hostile_dir).toPandas()
+    full = E.queries()["dedup_threshold_sweep"](spark, hostile_dir).toPandas()
+    assert len(out) >= 1
+    assert (out["n_pairs"] >= 1).all()
+    assert (out["est_full_pairs"] == out["n_pairs"]).all()
+    assert out[["band", "n_pairs"]].values.tolist() == (
+        full[["band", "n_pairs"]].values.tolist()
+    )
+
+
+def test_fuzzy_contamination_catches_what_substring_misses(spark, hostile_dir):
+    """Round-13 plant (9894/99016): the train doc carries the eval
+    item with every ~10th word substituted — no verbatim (or
+    typography-folded) 40-char head run survives, so BOTH substring
+    protocols must miss it, while doc-level MinHash banding + exact
+    Jaccard verification must report it with its similarity evidence
+    (the paraphrased-leakage class the fuzzy protocol exists for)."""
+    fuzzy = E.queries()["decontaminate_fuzzy"](spark, hostile_dir).toPandas()
+    hit = fuzzy[(fuzzy["train_id"] == 99016) & (fuzzy["eval_id"] == 9894)]
+    assert len(hit) == 1
+    assert 0.5 < float(hit["jaccard"].iloc[0]) < 0.6
+    ws = E.queries()["decontaminate_substring"](spark, hostile_dir).toPandas()
+    folded = E.queries()["decontaminate_normalized"](spark, hostile_dir).toPandas()
+    assert 99016 not in set(ws["doc_id"])
+    assert 99016 not in set(folded["doc_id"])
+    # and the fuzzy protocol still sees the verbatim-quote pair
+    assert 99010 in set(fuzzy["train_id"])
 
 
 def test_repetition_plant_flags_spam_doc(spark, hostile_dir):

@@ -236,6 +236,39 @@ def test_threshold_sweep_inherits_posting_shape(spark, sf_dir):
     assert "Generate" in plan  # expand_pairs' streaming explodes
 
 
+def test_sampled_sweep_filters_before_shingling(spark, sf_dir):
+    """dedup_threshold_sweep_sampled: the hash-budget filter must sit
+    ON the document scan (before the shingle Generate), so postings,
+    pair expansion, and everything downstream shrink at the source —
+    the property that makes the budget form O(budget²) instead of
+    O(corpus²). Same join-free posting shape as the census sweep."""
+    plan = plan_of(spark, sf_dir, "dedup_threshold_sweep_sampled", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    # the md5-hash sample predicate appears as a scan-side Filter
+    assert "conv(substring(md5" in plan.replace(" ", "").lower() or "conv" in plan
+
+
+def test_sweep_keep_threshold_math():
+    """Clamp and ceil-div edges of the budget threshold (mirrored in
+    the oracle's integer arithmetic)."""
+    from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.plans.dedup import (
+        _SWEEP_HASH_MOD,
+        _SWEEP_SAMPLE_BUDGET,
+        _sweep_keep_threshold,
+    )
+
+    assert _sweep_keep_threshold(0) == _SWEEP_HASH_MOD  # empty corpus
+    assert _sweep_keep_threshold(1) == _SWEEP_HASH_MOD  # under budget
+    assert _sweep_keep_threshold(_SWEEP_SAMPLE_BUDGET) == _SWEEP_HASH_MOD
+    # 5000 docs at budget 2000 → exactly the 40% keep band
+    assert _sweep_keep_threshold(5_000) == 400_000
+    # ceil, not floor: 500k docs → 4000 (exact); 500k+1 → still 4000
+    assert _sweep_keep_threshold(500_000) == 4_000
+    assert _sweep_keep_threshold(500_001) == 4_000
+    assert _sweep_keep_threshold(3) == _SWEEP_HASH_MOD
+
+
 def test_mixture_epochs_rebalances_on_tiny_frame(spark, sf_dir):
     """Same contract as mixture_rebalance: corpus work = the composed
     effective_token_budget plan; the epoch math runs on the

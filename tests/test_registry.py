@@ -83,6 +83,17 @@ ROUND12_ADDITIONS: set[str] = {
 }
 
 
+# Queries added during round 13 (no driver row before
+# CORRECTNESS_r13; each takes a priority window slot and bumps one
+# re-proof from the pool tuple's END, named in
+# registry.ROUND13_BUMPED).
+ROUND13_ADDITIONS: set[str] = {
+    # the scale-safe production twin of dedup_threshold_sweep
+    # (VERDICT r12 "What's wrong" #2)
+    "dedup_threshold_sweep_sampled",
+}
+
+
 def test_window_covers_rotation_targets():
     """Round-13 rotation (VERDICT r12 "Next round" #1): the 41
     rotating slots are ALL stale re-proofs — the 9 round-12 bumps
@@ -98,11 +109,20 @@ def test_window_covers_rotation_targets():
     rotation = window - core
     assert len(rotation) == 41
     assert rotation == set(registry.ROUND13_ROTATION_POOL)
-    # every slot is a stale row: nothing re-checked since r07
-    assert rotation <= _checked(
+    reproof = rotation - ROUND13_ADDITIONS
+    # every re-proof slot is a stale row: nothing re-checked since r07
+    assert reproof <= _checked(
         "r01", "r02", "r03", "r04", "r05", "r06", "r07"
     )
-    assert not (rotation & _checked("r08", "r09", "r10", "r11", "r12"))
+    assert not (reproof & _checked("r08", "r09", "r10", "r11", "r12"))
+    # the additions have no driver row anywhere yet
+    assert not (ROUND13_ADDITIONS & _checked(
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09",
+        "r10", "r11", "r12",
+    ))
+    # the bumps are named, not silent drops
+    assert len(registry.ROUND13_BUMPED) == len(ROUND13_ADDITIONS)
+    assert not (set(registry.ROUND13_BUMPED) & rotation)
     # the round-12 bumps all re-seat here (the whole point of the
     # bump bookkeeping: bumped, then seated stalest-first next round)
     assert set(registry.ROUND12_BUMPED) <= rotation
@@ -547,11 +567,12 @@ def test_round13_pool_is_active():
     the same commit as this pin rewrite — VERDICT r12 "Next round"
     #1): 41 unique names, all registered, all oracle-backed (the
     fifth consecutive all-oracle window), disjoint from the retired
-    round-12 window, and composed of the 9 round-12 bumps + the 2
-    named tpch deferrals + the r7-era oracle-backed rows (newest
-    driver row = CORRECTNESS_r07) minus the 4 named round-14
-    deferrals. Computed from the recorded CORRECTNESS files so the
-    pin cannot rot."""
+    round-12 window, and composed of the round-13 additions (priority
+    slots) + the 9 round-12 bumps + the 2 named tpch deferrals + the
+    r7-era oracle-backed rows (newest driver row = CORRECTNESS_r07)
+    minus the 4 named round-14 deferrals minus the named round-13
+    bumps. Computed from the recorded CORRECTNESS files so the pin
+    cannot rot."""
     pool = registry.ROUND13_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
     assert set(pool) <= set(registry.all_queries())
@@ -570,10 +591,17 @@ def test_round13_pool_is_active():
         "event_session_salted", "cosine_knn_exact",
     }
     assert set(registry.ROUND13_DEFERRED) <= r7_era
-    assert set(pool) == (
+    # pre-staged composition, amended by the round-13 additions: each
+    # addition took a priority slot and bumped one named row from the
+    # tuple's end (the standing one-bump-per-addition recipe)
+    prestaged = (
         set(registry.ROUND12_BUMPED)
         | set(registry.ROUND12_DEFERRED)
         | (r7_era - set(registry.ROUND13_DEFERRED))
+    )
+    assert set(registry.ROUND13_BUMPED) <= prestaged
+    assert set(pool) == ROUND13_ADDITIONS | (
+        prestaged - set(registry.ROUND13_BUMPED)
     )
     # the live window IS the round-13 plan
     assert registry.ROUND13_WINDOW_PLAN == (

@@ -186,7 +186,9 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
         (99012, 'Blog post says: THE EULER' || chr(8212) || 'MASCHERONI CONSTANT; GAMMA' || chr(8212) || '0.5772' || chr(8212) || 'APPEARS IN MERTENS THEOREMS, quoted with terrible typography.', 'en', 'web', 138),
         (99013, 'buy now click here buy now click here buy now click here buy now click here limited offer act fast', 'en', 'social', 99),
         (99014, 'the offer is on the table for a limited time. the offer is on the table for a limited time. the offer is on the table for a limited time. the offer is on the table for a limited time. the offer is on the table for a limited time.', 'en', 'web', 229),
-        (99015, 'The report is ready and it is on the server for review. Please send a note to the team in the morning. Contact me at alice@example.org for the final copy of the plan and the data file today.', 'en', 'web', 189)
+        (99015, 'The report is ready and it is on the server for review. Please send a note to the team in the morning. Contact me at alice@example.org for the final copy of the plan and the data file today.', 'en', 'web', 189),
+        (9894, 'Retrieval quality depends on the encoder the index and the metric. We measure recall at ten for every shard and report the mean over query sets. The gap between exact search and the approximate index narrows as the probe count grows. Latency budgets decide how many cells a query may visit in practice.', 'en', 'web', 298),
+        (99016, 'Retrieval quality depends upon the encoder the index and the metric. We measure hitrate at ten for every shard and report the mean across query sets. The gap between exact search and the quantized index narrows as the probe count grows. Latency budgets bound how many cells a query may visit in practice.', 'en', 'web', 301)
       ) t(doc_id, text, lang, source, n_chars)
     """)
     # 99011 plants every PII regex class (2 emails, 1 SSN, 1 phone,
@@ -209,6 +211,15 @@ def build(dst: str, src: str = "/root/testdata/sf0.001") -> str:
     # 99013 is the repeated-slogan spam doc that fires
     # repetition_gate's flag path at every sweep (its trigram chars
     # are ~90% duplicated; the base sf0.001 corpus flags nothing).
+    # 9894 (97·102, under the eval cap) + 99016 plant the round-13
+    # PARAPHRASE contamination pair for decontaminate_fuzzy: 99016
+    # carries 9894's text with every ~10th word substituted
+    # (on→upon, recall→hitrate, over→across, approximate→quantized,
+    # decide→bound) — the word-4 swap breaks the normalized 40-char
+    # head, so BOTH substring protocols provably miss it, while the
+    # shingle Jaccard stays at 0.545 ≥ the 0.35 paraphrase threshold
+    # and the MinHash bands collide (verified at build time; both
+    # directions pinned in tests/test_hostile_parity.py).
     # 99014/99015 are the quality_filter_funnel STAGE plants (round-12
     # second wave): each passes every gate BEFORE its target stage —
     # 99013 alone cannot exercise the funnel's repetition stage
