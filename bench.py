@@ -255,6 +255,9 @@ HEADLINE = [
     "dedup_threshold_sweep",
     # round-13 additions
     "dedup_threshold_sweep_sampled",
+    "decontaminate_fuzzy",
+    "snapshot_divergence_js",
+    "multimodal_dhash_neardup",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

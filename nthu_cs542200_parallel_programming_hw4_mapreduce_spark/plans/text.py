@@ -2543,6 +2543,151 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("frac")
 
 
+#: snapshot convention for PER-SOURCE divergence: id-BLOCKS of 64
+#: alternate old/new. The module-wide parity convention (even = old)
+#: is degenerate here: fixture sources are doc_id residue classes
+#: mod 20, so every source is entirely one parity and a per-source
+#: old-vs-new comparison would be vacuous by construction. Id-block
+#: snapshots model what a crawl actually appends (contiguous id
+#: ranges) and intersect every residue-class source (gcd(2·64, 20)
+#: stripes both halves through each source).
+_SNAP_BLOCK = 64
+
+
+@query(
+    "snapshot_divergence_js",
+    # id-block snapshot convention (see _SNAP_BLOCK note); JS terms
+    # quantized to 1e-12 and summed as scaled integers (the
+    # order-free decimal sum rule — a double Σ over a vocab-sized
+    # term set is summation-order-dependent)
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN (doc_id // {_SNAP_BLOCK}) % 2 = 0
+                  THEN 'old' ELSE 'new' END AS half,
+             UNNEST({_DD_TOKS}) AS t
+      FROM documents
+    ), c AS (
+      SELECT source, t,
+             CAST(COUNT(*) FILTER (WHERE half = 'old') AS BIGINT) AS co,
+             CAST(COUNT(*) FILTER (WHERE half = 'new') AS BIGINT) AS cn
+      FROM toks GROUP BY source, t
+    ), tot AS (
+      SELECT source, t, co, cn,
+             CAST(SUM(co) OVER (PARTITION BY source) AS DOUBLE) AS to_,
+             CAST(SUM(cn) OVER (PARTITION BY source) AS DOUBLE) AS tn_
+      FROM c
+    ), terms AS (
+      SELECT source, co, cn, to_, tn_,
+             0.5::DOUBLE * (
+               (CASE WHEN co > 0 THEN (co / to_) * log2((co / to_)
+                  / (((co / to_) + (cn / tn_)) / 2.0::DOUBLE))
+                ELSE 0.0::DOUBLE END)
+             + (CASE WHEN cn > 0 THEN (cn / tn_) * log2((cn / tn_)
+                  / (((co / to_) + (cn / tn_)) / 2.0::DOUBLE))
+                ELSE 0.0::DOUBLE END)
+             ) AS term
+      FROM tot WHERE to_ > 0 AND tn_ > 0
+    )
+    SELECT source,
+           CAST(MAX(to_) AS BIGINT) AS n_tokens_old,
+           CAST(MAX(tn_) AS BIGINT) AS n_tokens_new,
+           CAST(COUNT(*) FILTER (WHERE co > 0) AS BIGINT) AS vocab_old,
+           CAST(COUNT(*) FILTER (WHERE cn > 0) AS BIGINT) AS vocab_new,
+           CAST(COUNT(*) FILTER (WHERE co > 0 AND cn > 0) AS BIGINT)
+             AS vocab_shared,
+           round(CAST(SUM(CAST(floor(term * 1000000000000.0::DOUBLE
+                                     + 0.5::DOUBLE) AS BIGINT))
+                      AS BIGINT) / 1000000000000.0::DOUBLE, 6) AS js_bits
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def snapshot_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (bits) of the token
+    distribution between corpus snapshots (VERDICT r12 "Next round"
+    #4b): snapshots are alternating ``_SNAP_BLOCK``-id blocks (crawls
+    append contiguous id ranges; the module-wide PARITY convention is
+    degenerate against the fixtures' residue-class sources — see the
+    ``_SNAP_BLOCK`` note). THE drift number a mixture planner consumes:
+    ``snapshot_novelty`` grades per-document freshness; this grades
+    each SOURCE's distributional shift between crawls (JS ≈ 0 → the
+    new crawl re-says the old corpus, re-weighting unnecessary; JS
+    rising toward 1 bit → the source changed register/topic and its
+    mixture weight, quality gates, and dedup thresholds deserve
+    re-tuning). JS over KL because it is symmetric, bounded to [0,1]
+    bit, and defined when a token appears in only one snapshot (KL
+    diverges to ∞ there — and one-snapshot tokens are exactly what a
+    crawl delta contains).
+
+    Exactness: probabilities are exact count ratios; each vocab
+    term's JS contribution is computed with an IDENTICAL expression
+    tree in both engines (single libm log2 per side — the tfidf ln
+    precedent), then quantized to 1e-12 and summed as SCALED
+    INTEGERS: a plain double Σ over a vocab-sized term set is
+    summation-order-dependent (exchange-partitioning decides the
+    order), so the order-free integer sum is what makes a 6-dp
+    hash-checked divergence possible at all — the hll_user_reach /
+    Σ√E rule. Zero-count sides contribute 0·log0 = 0 via mirrored
+    CASE gates; sources missing a whole snapshot drop (gated to_ >
+    0 AND tn_ > 0 on both sides).
+
+    Scale shape: one tokenize explode → (source, token) partial-agg'd
+    conditional counts (the vocab-sized shuffle — millions of rows
+    when the corpus is trillions of tokens); per-source totals ride a
+    window over the count table (no corpus join-back); the JS
+    aggregate shrinks vocab → |sources|. Nothing corpus-sized crosses
+    the wire after the first partial aggregation, and snapshots
+    compare WITHOUT materializing either corpus twice."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.when(
+            F.expr(f"doc_id div {_SNAP_BLOCK}") % 2 == 0, F.lit("old")
+        )
+        .otherwise(F.lit("new"))
+        .alias("half"),
+        F.explode(X.tokens("text", X.WS)).alias("t"),
+    )
+    c = tok.groupBy("source", "t").agg(
+        F.sum((F.col("half") == "old").cast("long")).alias("co"),
+        F.sum((F.col("half") == "new").cast("long")).alias("cn"),
+    )
+    w = Window.partitionBy("source")
+    tot = c.select(
+        "source",
+        "co",
+        "cn",
+        F.sum("co").over(w).cast("double").alias("to_"),
+        F.sum("cn").over(w).cast("double").alias("tn_"),
+    ).filter((F.col("to_") > 0) & (F.col("tn_") > 0))
+    p = F.col("co") / F.col("to_")
+    q = F.col("cn") / F.col("tn_")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        F.when(F.col("co") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cn") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    shaped = tot.withColumn(
+        "tq", F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("long")
+    )
+    return (
+        shaped.groupBy("source")
+        .agg(
+            F.max("to_").cast("long").alias("n_tokens_old"),
+            F.max("tn_").cast("long").alias("n_tokens_new"),
+            F.sum((F.col("co") > 0).cast("long")).alias("vocab_old"),
+            F.sum((F.col("cn") > 0).cast("long")).alias("vocab_new"),
+            F.sum(
+                ((F.col("co") > 0) & (F.col("cn") > 0)).cast("long")
+            ).alias("vocab_shared"),
+            F.round(F.sum("tq") / F.lit(1e12), 6).alias("js_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 _WS_TOPK = 50
 
 

@@ -690,7 +690,8 @@ ROUND12_BUMPED: tuple[str, ...] = (
 # event_session_salted / session_paths_topk_salted history).
 ROUND13_ROTATION_POOL: tuple[str, ...] = (
     # round-13 additions (priority slots, per the standing recipe)
-    "dedup_threshold_sweep_sampled",
+    "dedup_threshold_sweep_sampled", "decontaminate_fuzzy",
+    "snapshot_divergence_js", "multimodal_dhash_neardup",
     # the round-12 bumps (stalest-first: eight r6-era + the r7-era
     # leftover limit_offset)
     "window_lag_lead", "window_rank", "window_running",
@@ -709,8 +710,7 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     "event_window", "label_centroids", "lang_id", "multimodal_meta",
     "pack_context_windows", "pipeline_filter_quality",
     "range_join_follow", "resample_ffill", "sample_per_lang_topk",
-    "session_window_native", "streaming_window", "text_quality",
-    "text_repetition",
+    "session_window_native",
 )
 
 # The rows the round-13 additions bumped from the pool tuple's END
@@ -722,6 +722,18 @@ ROUND13_BUMPED: tuple[str, ...] = (
     # family still re-proves via pii_scrub_counts' r11 row and
     # text_scrub_pii's local tri-SF sweeps)
     "text_scrub_pii",
+    # bumped by decontaminate_fuzzy (r7-era; the intra-doc repetition
+    # family still re-proves via repetition_gate's r12 row and
+    # text_quality's quality-family siblings)
+    "text_repetition",
+    # bumped by snapshot_divergence_js (r7-era; the quality family
+    # re-proves via pipeline_filter_quality's seat in this window and
+    # quality_filter_funnel's r12 row)
+    "text_quality",
+    # bumped by multimodal_dhash_neardup (r7-era; the streaming-window
+    # family re-proves via session_window_native's seat in this
+    # window and the r10/r11 streaming rows)
+    "streaming_window",
 )
 
 # The four r7-era rows the second- and third-wave amendments deferred
@@ -733,6 +745,54 @@ ROUND13_BUMPED: tuple[str, ...] = (
 ROUND13_DEFERRED: tuple[str, ...] = (
     "time_weighted_avg_salted", "bounce_rate_daily_salted",
     "event_session_salted", "cosine_knn_exact",
+)
+
+# Round-14 rotation pool, PRE-STAGED at round-13 build time (the
+# standing receipt pattern): once CORRECTNESS_r13 lands green on the
+# round-13 window, the stalest rows are (a) the 4 re-proofs the
+# round-13 additions bumped (ROUND13_BUMPED, r7-era), (b) the 4 named
+# r7-era ROUND13_DEFERRED rows, and (c) the r8-era oracle-backed rows
+# (newest driver row = CORRECTNESS_r08) — 37 of them, so 4 defer to
+# round 15 by name (ROUND14_DEFERRED below) preferring family
+# redundancy: dedup_simhash_pairs (simhash family re-proves via
+# dedup_simhash r13 + the dhash sibling), dedup_embedding_band_keys
+# (embedding-band family re-proves via ann_lsh_bands /
+# dedup_embedding_cosine r13), tpch_q1 (the TPC-H agg family re-proved
+# across r12/r13 windows; q1 also runs every round as a bench-core
+# query), contamination_overlap (contamination family re-proves via
+# decontaminate_ngram + decontaminate_fuzzy r13). Composition computed
+# from the recorded CORRECTNESS files in
+# tests/test_registry.py::test_round14_pool_is_prestaged so the pin
+# cannot rot. Queries ADDED during round 14 take priority — bump
+# re-proofs from this tuple's end, per the standing recipe.
+ROUND14_ROTATION_POOL: tuple[str, ...] = (
+    # the round-13 bumps (r7-era, stalest-first)
+    "text_scrub_pii", "text_repetition", "text_quality",
+    "streaming_window",
+    # the named r7-era round-13 deferrals
+    "time_weighted_avg_salted", "bounce_rate_daily_salted",
+    "event_session_salted", "cosine_knn_exact",
+    # the r8-era rows (newest driver row = CORRECTNESS_r08) minus the
+    # four named round-15 deferrals
+    "asof_cogroup_pandas", "bm25_topk", "chunk_overlap",
+    "corpus_report", "decontaminate_bloom", "dedup_containment",
+    "dedup_keep_best", "dedup_semdedup", "drift_ks_binned",
+    "dsir_importance", "embedding_stats", "event_hopping_window",
+    "exact_distinct_agg", "join_skew_salted", "kmeans_assign",
+    "mixture_sample_temperature", "multimodal_framesample", "ngram_freq",
+    "pandas_udaf_mean", "perplexity_unigram", "pq_encode",
+    "quality_deciles", "quality_gopher", "scalar_json",
+    "shingle_fingerprints", "stats_agg", "streaming_hopping",
+    "substring_dup_rate", "text_normalize", "tfidf_top_terms",
+    "token_count_est", "train_split_hash", "udtf_tokenize",
+)
+
+# The four r8-era rows the 41-slot cap defers to round 15 (named, not
+# silently dropped — the standing deferral discipline; family
+# rationale in the pool comment above).
+ROUND14_DEFERRED: tuple[str, ...] = (
+    "dedup_simhash_pairs", "dedup_embedding_band_keys", "tpch_q1",
+    "contamination_overlap",
 )
 
 # Round-12 window, RETIRED (was active during round 12; flipped at

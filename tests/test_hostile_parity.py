@@ -208,6 +208,12 @@ REGRESSION_SET = [
     # contamination protocol (the 9894/99016 plant)
     "dedup_threshold_sweep_sampled",
     "decontaminate_fuzzy",
+    # round-13 second wave: per-source snapshot drift (the NULL/''
+    # source rows and the planted docs ride the id-block halves) and
+    # the fixed-canvas dHash (planted dup families land at small
+    # Hamming; ASCII gate drops the BOM/emoji docs)
+    "snapshot_divergence_js",
+    "multimodal_dhash_neardup",
 ]
 
 
@@ -289,6 +295,26 @@ def test_fuzzy_contamination_catches_what_substring_misses(spark, hostile_dir):
     assert 99016 not in set(folded["doc_id"])
     # and the fuzzy protocol still sees the verbatim-quote pair
     assert 99010 in set(fuzzy["train_id"])
+
+
+def test_snapshot_divergence_is_not_vacuous(spark, hostile_dir):
+    """Every source with both snapshot halves must report a FINITE
+    positive divergence (JS of distinct crawls is never exactly 0)
+    bounded by 1 bit, with consistent vocab accounting."""
+    out = E.queries()["snapshot_divergence_js"](spark, hostile_dir).toPandas()
+    assert len(out) >= 10
+    assert (out["js_bits"] > 0).all() and (out["js_bits"] <= 1.0).all()
+    assert (out["vocab_shared"] <= out[["vocab_old", "vocab_new"]].min(axis=1)).all()
+
+
+def test_dhash_neardup_finds_planted_families(spark, hostile_dir):
+    """The fixed-canvas dHash must surface the suffix-variant dup
+    families at small Hamming distance (non-vacuous on every sweep)
+    and stay within the declared threshold."""
+    out = E.queries()["multimodal_dhash_neardup"](spark, hostile_dir).toPandas()
+    assert len(out) >= 5
+    assert (out["hamming"] <= 6).all()
+    assert (out["hamming"] == 0).any()  # shared-prefix exact-grid pairs
 
 
 def test_repetition_plant_flags_spam_doc(spark, hostile_dir):

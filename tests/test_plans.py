@@ -103,6 +103,39 @@ def test_verified_dedup_never_broadcasts_corpus_sides(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_fuzzy_contamination_verify_is_merge_pinned(spark, sf_dir):
+    """decontaminate_fuzzy inherits the lsh_jaccard_verified rule: the
+    exact-Jaccard verification joins touch corpus-sized shingle
+    postings, so they must be sort-merge (spillable), never broadcast
+    (checkpointed-frame statistics mislead the static planner)."""
+    plan = plan_of(spark, sf_dir, "decontaminate_fuzzy")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_snapshot_divergence_is_join_free(spark, sf_dir):
+    """snapshot_divergence_js: one tokenize Generate → (source, token)
+    partial-agg'd conditional counts → per-source window totals → the
+    |sources|-row JS aggregate. No join anywhere (the totals ride a
+    window over the count table, never a join-back to the corpus)."""
+    plan = plan_of(spark, sf_dir, "snapshot_divergence_js", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    assert "Window" in plan
+    assert "partial" in plan.lower()
+
+
+def test_dhash_plan_is_python_free_and_joinless_until_buckets(spark, sf_dir):
+    """multimodal_dhash_neardup: the 64-bit hash is pure codegen'd JVM
+    expressions (no Python evaluator, no mapInPandas), and pair
+    generation is the bucket explode shape — no corpus join-back
+    (Hamming verifies on band words riding the pair row)."""
+    plan = plan_of(spark, sf_dir, "multimodal_dhash_neardup", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the band explode + expand_pairs explodes
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+
+
 def test_ngram_jaccard_plan_has_no_joins(spark, sf_dir):
     """The set-size join-back was removed (sizes ride the posting
     structs via a doc_id window) — the plan must contain no join at

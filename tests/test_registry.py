@@ -91,6 +91,12 @@ ROUND13_ADDITIONS: set[str] = {
     # the scale-safe production twin of dedup_threshold_sweep
     # (VERDICT r12 "What's wrong" #2)
     "dedup_threshold_sweep_sampled",
+    # the paraphrase eval-contamination protocol (VERDICT r12 #4c)
+    "decontaminate_fuzzy",
+    # per-source snapshot drift in bits (VERDICT r12 #4b)
+    "snapshot_divergence_js",
+    # image near-dup via banded dHash (VERDICT r12 #4a)
+    "multimodal_dhash_neardup",
 }
 
 
@@ -607,4 +613,36 @@ def test_round13_pool_is_active():
     assert registry.ROUND13_WINDOW_PLAN == (
         registry.CORE_WINDOW + registry.ROUND13_ROTATION_POOL
     )
+    assert registry.DRIVER_WINDOW == registry.ROUND13_WINDOW_PLAN
+
+
+def test_round14_pool_is_prestaged():
+    """The INACTIVE round-14 pool (pre-staged at round-13 build time):
+    41 unique names, all registered, all oracle-backed, disjoint from
+    the active round-13 window, and composed of the 4 round-13 bumps
+    + the 4 named r7-era round-13 deferrals + the r8-era
+    oracle-backed rows (newest driver row = CORRECTNESS_r08) minus
+    the 4 named round-15 deferrals. Computed from the recorded
+    CORRECTNESS files so the pin cannot rot."""
+    pool = registry.ROUND14_ROTATION_POOL
+    assert len(pool) == 41 and len(set(pool)) == 41
+    assert set(pool) <= set(registry.all_queries())
+    assert set(pool) <= set(registry.all_oracles())
+    assert not (set(pool) & set(registry.ROUND13_WINDOW_PLAN))
+    r8_era = (
+        _checked("r08")
+        - _checked("r09", "r10", "r11", "r12")
+        - set(registry.ROUND13_WINDOW_PLAN)
+    ) & set(registry.all_oracles())
+    assert set(registry.ROUND14_DEFERRED) == {
+        "dedup_simhash_pairs", "dedup_embedding_band_keys", "tpch_q1",
+        "contamination_overlap",
+    }
+    assert set(registry.ROUND14_DEFERRED) <= r8_era
+    assert set(pool) == (
+        set(registry.ROUND13_BUMPED)
+        | set(registry.ROUND13_DEFERRED)
+        | (r8_era - set(registry.ROUND14_DEFERRED))
+    )
+    # the live window stays round 13 until the next round flips it
     assert registry.DRIVER_WINDOW == registry.ROUND13_WINDOW_PLAN
