@@ -258,6 +258,7 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "snapshot_divergence_js",
     "multimodal_dhash_neardup",
+    "multimodal_dhash_unique",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -540,11 +540,13 @@ _DHASH_BANDS_SQL = " UNION ALL ".join(
 )
 
 
-@query(
-    "multimodal_dhash_neardup",
-    oracle=f"""
+def _dhash_oracle(payload_cte: str) -> str:
+    """The banded-dHash oracle over a (doc_id, text) payload CTE —
+    shared by the full-corpus query and its exact-collapse-first
+    production twin so the two cannot drift."""
+    return f"""
     WITH p AS (
-      SELECT doc_id, text, length(text) AS n FROM documents
+      SELECT doc_id, text, length(text) AS n FROM ({payload_cte})
       WHERE text IS NOT NULL AND strlen(text) = length(text)
         AND length(text) >= {_DHASH_MIN_BYTES}
     ),
@@ -574,40 +576,14 @@ _DHASH_BANDS_SQL = " UNION ALL ".join(
     SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
     FROM pairs WHERE hamming <= {_DHASH_MAX_HAMMING}
     ORDER BY a_id, b_id
-    """,
-)
-def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMAGE near-duplicate detection (VERDICT r12 "Next round" #4a):
-    dHash (difference hash) over each payload's byte grid, banded into
-    4 × 16-bit words for LSH bucketing, exact Hamming ≤ 6 verification
-    inside colliding buckets — the multimodal sibling of text fuzzy
-    dedup (``dedup_simhash``'s banded-Hamming machinery applied to
-    media payloads). Real-image dHash downsamples decoded grayscale
-    pixels to an 8×9 grid and takes the 64 left<right gradient bits;
-    re-encoded/resized copies keep most gradient signs, so near-dups
-    land at small Hamming distance while content-addressed dedup
-    (``multimodal_dedup``) sees different bytes. On this container the
-    grid comes from FIXED-OFFSET byte cells on a 288-byte canvas,
-    zero-padded (see the ``_DHASH_CANVAS`` note for why length-scaled
-    resampling was measured and rejected, and ``_DHASH_MIN_BYTES``
-    for the short-payload spurious-collision gate); installing PIL
-    slots decode+resize into the same grid contract without touching
-    the banding or verification (``decode_image``'s upgrade path).
-    Byte-grid arithmetic replays exactly in DuckDB via char
-    arithmetic on the ENFORCED ASCII domain (the
-    ``multimodal_features`` gate).
+    """
 
-    Scale shape: the hash is 128 codegen'd ascii/substring reads per
-    doc in ONE scan (no Python, no shuffle); banding explodes to 4
-    rows/doc; ONE groupBy on (band_id, band_key) with the (>1,
-    ≤ cap) degenerate-bucket gate; pair expansion streams via the
-    chained-explode ``expand_pairs`` (never materializing bucket²
-    arrays); the Hamming verify is 4 xor+bit_count ops on band words
-    already riding the pair row — no join back to the corpus at any
-    point. Identical cost law to ``dedup_simhash``: pair volume rides
-    bucket density under the cap, which is what survives 100 TB of
-    media metadata."""
-    docs = _ascii_payloads(table(spark, sf_dir, "documents")).filter(
+
+def _dhash_pairs(docs: DataFrame) -> DataFrame:
+    """The banded-dHash near-dup pipeline over a (doc_id, text) frame
+    — the engine twin of ``_dhash_oracle``, shared by the full-corpus
+    query and the exact-collapse-first production form."""
+    docs = _ascii_payloads(docs).filter(
         F.length("text") >= _DHASH_MIN_BYTES
     )
     h = docs.select("doc_id", "text", F.length("text").alias("n")).select(
@@ -653,3 +629,92 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "multimodal_dhash_neardup",
+    oracle=_dhash_oracle("SELECT doc_id, text FROM documents"),
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection (VERDICT r12 "Next round" #4a):
+    dHash (difference hash) over each payload's byte grid, banded into
+    4 × 16-bit words for LSH bucketing, exact Hamming ≤ 6 verification
+    inside colliding buckets — the multimodal sibling of text fuzzy
+    dedup (``dedup_simhash``'s banded-Hamming machinery applied to
+    media payloads). Real-image dHash downsamples decoded grayscale
+    pixels to an 8×9 grid and takes the 64 left<right gradient bits;
+    re-encoded/resized copies keep most gradient signs, so near-dups
+    land at small Hamming distance while content-addressed dedup
+    (``multimodal_dedup``) sees different bytes. On this container the
+    grid comes from FIXED-OFFSET byte cells on a 288-byte canvas,
+    zero-padded (see the ``_DHASH_CANVAS`` note for why length-scaled
+    resampling was measured and rejected, and ``_DHASH_MIN_BYTES``
+    for the short-payload spurious-collision gate); installing PIL
+    slots decode+resize into the same grid contract without touching
+    the banding or verification (``decode_image``'s upgrade path).
+    Byte-grid arithmetic replays exactly in DuckDB via char
+    arithmetic on the ENFORCED ASCII domain (the
+    ``multimodal_features`` gate).
+
+    Scale shape: the hash is 128 codegen'd ascii/substring reads per
+    doc in ONE scan (no Python, no shuffle); banding explodes to 4
+    rows/doc; ONE groupBy on (band_id, band_key) with the (>1,
+    ≤ cap) degenerate-bucket gate; pair expansion streams via the
+    chained-explode ``expand_pairs`` (never materializing bucket²
+    arrays); the Hamming verify is 4 xor+bit_count ops on band words
+    already riding the pair row — no join back to the corpus at any
+    point. Identical cost law to ``dedup_simhash``: pair volume rides
+    bucket density under the cap, which is what survives 100 TB of
+    media metadata — PROVIDED exact duplicates were collapsed first:
+    on the 1000× dup-heavy probe corpus (families of ~1000 verbatim
+    payload replicas) identical grids pile whole families into single
+    buckets and the pair census goes quadratic (measured: >21 GB
+    shuffle spill before the probe was stopped). That is the
+    documented exact-collapse-first production ordering, and
+    ``multimodal_dhash_unique`` below is its runnable form."""
+    return _dhash_pairs(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@query(
+    "multimodal_dhash_unique",
+    # the content-addressed collapse (multimodal_dedup's grouping) as
+    # the payload CTE feeding the SAME dHash oracle
+    oracle=_dhash_oracle(
+        "SELECT MIN(doc_id) AS doc_id, text FROM documents"
+        " WHERE text IS NOT NULL GROUP BY text"
+    ),
+)
+def multimodal_dhash_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION ORDERING of image near-dup: content-addressed
+    collapse FIRST (byte-identical payloads keep their minimum doc_id
+    — exactly ``multimodal_dedup``'s grouping), then the banded dHash
+    over UNIQUE payloads only. This is what a media pipeline actually
+    runs, and it is the difference between linear and quadratic at
+    scale: verbatim re-crawls are the dominant duplicate class, their
+    grids are bit-identical, and hashing them individually piles
+    whole replica families into single LSH buckets whose pair
+    expansion goes quadratic in family size (measured on the 1000×
+    dup-heavy probe: the full-corpus form spilled >21 GB and was
+    stopped; this form's unique-payload count is CONSTANT in the
+    replication factor, so it completes at any factor — the same
+    bounding argument as the fixed-budget threshold sweep). Reported
+    pairs are near-dups between DISTINCT contents; membership of each
+    collapsed family is ``multimodal_dedup``'s output, and joining
+    the two reconstructs the full near-dup relation without ever
+    paying the quadratic census.
+
+    Composes ``_dhash_pairs`` / ``_dhash_oracle`` verbatim (the
+    shared-implementation rule), so the production form can never
+    drift from the full-corpus instrument. The collapse itself is one
+    partial-agg'd groupBy on the payload (md5-uniform keys, no skew —
+    the multimodal_dedup shape)."""
+    reps = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    return _dhash_pairs(reps)

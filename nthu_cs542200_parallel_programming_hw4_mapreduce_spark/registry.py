@@ -692,6 +692,7 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     # round-13 additions (priority slots, per the standing recipe)
     "dedup_threshold_sweep_sampled", "decontaminate_fuzzy",
     "snapshot_divergence_js", "multimodal_dhash_neardup",
+    "multimodal_dhash_unique",
     # the round-12 bumps (stalest-first: eight r6-era + the r7-era
     # leftover limit_offset)
     "window_lag_lead", "window_rank", "window_running",
@@ -710,7 +711,6 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     "event_window", "label_centroids", "lang_id", "multimodal_meta",
     "pack_context_windows", "pipeline_filter_quality",
     "range_join_follow", "resample_ffill", "sample_per_lang_topk",
-    "session_window_native",
 )
 
 # The rows the round-13 additions bumped from the pool tuple's END
@@ -734,6 +734,10 @@ ROUND13_BUMPED: tuple[str, ...] = (
     # family re-proves via session_window_native's seat in this
     # window and the r10/r11 streaming rows)
     "streaming_window",
+    # bumped by multimodal_dhash_unique (r7-era; the session-window
+    # family re-proves via event_session's seat in this window and
+    # streaming_session_window's r10 row)
+    "session_window_native",
 )
 
 # The four r7-era rows the second- and third-wave amendments deferred
@@ -768,12 +772,12 @@ ROUND13_DEFERRED: tuple[str, ...] = (
 ROUND14_ROTATION_POOL: tuple[str, ...] = (
     # the round-13 bumps (r7-era, stalest-first)
     "text_scrub_pii", "text_repetition", "text_quality",
-    "streaming_window",
+    "streaming_window", "session_window_native",
     # the named r7-era round-13 deferrals
     "time_weighted_avg_salted", "bounce_rate_daily_salted",
     "event_session_salted", "cosine_knn_exact",
     # the r8-era rows (newest driver row = CORRECTNESS_r08) minus the
-    # four named round-15 deferrals
+    # five named round-15 deferrals
     "asof_cogroup_pandas", "bm25_topk", "chunk_overlap",
     "corpus_report", "decontaminate_bloom", "dedup_containment",
     "dedup_keep_best", "dedup_semdedup", "drift_ks_binned",
@@ -781,18 +785,22 @@ ROUND14_ROTATION_POOL: tuple[str, ...] = (
     "exact_distinct_agg", "join_skew_salted", "kmeans_assign",
     "mixture_sample_temperature", "multimodal_framesample", "ngram_freq",
     "pandas_udaf_mean", "perplexity_unigram", "pq_encode",
-    "quality_deciles", "quality_gopher", "scalar_json",
+    "quality_gopher", "scalar_json",
     "shingle_fingerprints", "stats_agg", "streaming_hopping",
     "substring_dup_rate", "text_normalize", "tfidf_top_terms",
     "token_count_est", "train_split_hash", "udtf_tokenize",
 )
 
-# The four r8-era rows the 41-slot cap defers to round 15 (named, not
+# The five r8-era rows the 41-slot cap defers to round 15 (named, not
 # silently dropped — the standing deferral discipline; family
-# rationale in the pool comment above).
+# rationale in the pool comment above; quality_deciles joined the
+# list when the wave-3 addition's bump re-seated
+# session_window_native here — its family re-proves via
+# quality_deciles_approx's r12 row and text_quality's seat in this
+# pool).
 ROUND14_DEFERRED: tuple[str, ...] = (
     "dedup_simhash_pairs", "dedup_embedding_band_keys", "tpch_q1",
-    "contamination_overlap",
+    "contamination_overlap", "quality_deciles",
 )
 
 # Round-12 window, RETIRED (was active during round 12; flipped at

@@ -214,6 +214,8 @@ REGRESSION_SET = [
     # Hamming; ASCII gate drops the BOM/emoji docs)
     "snapshot_divergence_js",
     "multimodal_dhash_neardup",
+    # the exact-collapse-first production ordering (same dHash core)
+    "multimodal_dhash_unique",
 ]
 
 
@@ -310,11 +312,17 @@ def test_snapshot_divergence_is_not_vacuous(spark, hostile_dir):
 def test_dhash_neardup_finds_planted_families(spark, hostile_dir):
     """The fixed-canvas dHash must surface the suffix-variant dup
     families at small Hamming distance (non-vacuous on every sweep)
-    and stay within the declared threshold."""
+    and stay within the declared threshold; the exact-collapse-first
+    production form must report a SUBSET of the full-corpus relation
+    restricted to distinct-content representatives."""
     out = E.queries()["multimodal_dhash_neardup"](spark, hostile_dir).toPandas()
     assert len(out) >= 5
     assert (out["hamming"] <= 6).all()
     assert (out["hamming"] == 0).any()  # shared-prefix exact-grid pairs
+    uniq = E.queries()["multimodal_dhash_unique"](spark, hostile_dir).toPandas()
+    assert len(uniq) >= 5
+    full_pairs = set(zip(out["a_id"], out["b_id"]))
+    assert set(zip(uniq["a_id"], uniq["b_id"])) <= full_pairs
 
 
 def test_repetition_plant_flags_spam_doc(spark, hostile_dir):

@@ -136,6 +136,22 @@ def test_dhash_plan_is_python_free_and_joinless_until_buckets(spark, sf_dir):
     assert "InPandas" not in plan and "PythonUDF" not in plan
 
 
+def test_dhash_unique_collapses_before_hashing(spark, sf_dir):
+    """multimodal_dhash_unique: the content-addressed collapse (one
+    partial-agg'd payload groupBy) must sit BELOW the dHash band
+    explode — the ordering that keeps the pair census O(1) in the
+    replication factor — with the same Python-free, join-free shape."""
+    plan = plan_of(spark, sf_dir, "multimodal_dhash_unique", mode="simple")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    # the collapse adds its own aggregate pair over the bucket groupBy's
+    assert plan.count("HashAggregate") >= 4
+    # collapse comes before the band explode in the plan tree (the
+    # Generate consumes the aggregated frame)
+    assert plan.index("Generate") < plan.rindex("HashAggregate")
+
+
 def test_ngram_jaccard_plan_has_no_joins(spark, sf_dir):
     """The set-size join-back was removed (sizes ride the posting
     structs via a doc_id window) — the plan must contain no join at
