@@ -259,6 +259,7 @@ HEADLINE = [
     "snapshot_divergence_js",
     "multimodal_dhash_neardup",
     "multimodal_dhash_unique",
+    "decontaminate_fuzzy_unique",
 ]
 
 # Cross-round anchor: the r1/r2-era headline set (first 30 entries of

@@ -1543,15 +1543,17 @@ def snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_CONTAM_THRESHOLD = 0.35
 
 
-@query(
-    "decontaminate_fuzzy",
-    # the MinHash band chain (shared CTEs) + the capped bucket gate,
-    # restricted to TRAIN ⋈ EVAL (doc_id % 97 = 0, the module-wide
-    # eval-suite convention) band collisions, then EXACT-Jaccard
-    # verified at the paraphrase threshold — the dedup_lsh_jaccard_
-    # verified verification CTE over the contamination candidate set
-    oracle=f"""
-    WITH sh AS ({_DD_SHINGLES}),
+def _fuzzy_contam_oracle(shingles_cte: str) -> str:
+    """The fuzzy-contamination oracle over a shingle CTE — the MinHash
+    band chain (shared CTEs) + the capped bucket gate, restricted to
+    TRAIN ⋈ EVAL (doc_id % 97 = 0, the module-wide eval-suite
+    convention) band collisions, then EXACT-Jaccard verified at the
+    paraphrase threshold (the dedup_lsh_jaccard_verified verification
+    CTE over the contamination candidate set). Parameterized so the
+    exact-collapse-first production twin reuses the identical
+    protocol over collapsed representatives."""
+    return f"""
+    WITH sh AS ({shingles_cte}),
     {_DD_SIG_CTE},
     {_DD_BANDS_CTE},
     sized AS (
@@ -1582,44 +1584,16 @@ _FUZZY_CONTAM_THRESHOLD = 0.35
     JOIN cnt cb ON cb.doc_id = eval_id
     WHERE cm * 1.0 / (ca.n + cb.n - cm) >= {_FUZZY_CONTAM_THRESHOLD}
     ORDER BY train_id, eval_id
-    """,
-)
-def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAR-DUP eval contamination (VERDICT r12 "Next round" #4c): the
-    protocol that catches PARAPHRASED benchmark leakage the substring
-    protocols structurally miss. ``decontaminate_substring`` /
-    ``_normalized`` probe for a verbatim (or typography-folded)
-    40-char run of the eval item's head; a training page that carries
-    the item with scattered word substitutions — the common form of
-    laundered benchmark text — has no such run. Doc-level MinHash
-    banding against the eval side of the SAME suite convention
-    (doc_id % 97 = 0, shared with all the decontamination queries)
-    surfaces exactly those: train docs whose shingle sets collide
-    with an eval item's bands, EXACT-Jaccard verified at the 0.35
-    paraphrase threshold so every reported (train_id, eval_id) pair
-    carries quantified similarity evidence — the quarantine record a
-    curator acts on, vs the binary hit of the exact protocols. The
-    hostile fixture plants the 9894/99016 pair (every-10th-word
-    substitution, jaccard 0.545): both substring protocols provably
-    miss it, this one reports it.
+    """
 
-    Scale shape: composes the production fuzzy-dedup machinery
-    verbatim — ONE signature chain over the corpus (the eval suite is
-    part of the same table under the suite convention; in production
-    it is a separate fixed-size frame whose bands append to the
-    corpus band index), one bucket groupBy with the (>1, ≤cap)
-    degenerate gate, candidate expansion INSIDE buckets via codegen
-    array ops restricted to train×eval (never train×train — the pair
-    volume a full dedup would pay), then the merge-pinned
-    posting-join verification priced by candidate count, which rides
-    eval-suite size, not corpus². At sf0.01 no near-dup family
-    straddles the % 97 boundary, so the driver row is legitimately
-    empty there (same recorded disposition as decontaminate_substring
-    since ADVICE r10); sf0.001 (2 pairs), sf0.1 (2 pairs), and the
-    hostile plant keep the hit path non-vacuous."""
+
+def _fuzzy_contam_pairs(docs: DataFrame) -> DataFrame:
+    """The banded-candidates → exact-Jaccard-verified contamination
+    pipeline over a (doc_id, text) frame — the engine twin of
+    ``_fuzzy_contam_oracle``, shared by the full-corpus query and the
+    exact-collapse-first production form."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
     ex = (
         shingle_rows(docs)
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
@@ -1668,6 +1642,97 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "eval_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("train_id", "eval_id")
     )
+
+
+@query("decontaminate_fuzzy", oracle=_fuzzy_contam_oracle(_DD_SHINGLES))
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP eval contamination (VERDICT r12 "Next round" #4c): the
+    protocol that catches PARAPHRASED benchmark leakage the substring
+    protocols structurally miss. ``decontaminate_substring`` /
+    ``_normalized`` probe for a verbatim (or typography-folded)
+    40-char run of the eval item's head; a training page that carries
+    the item with scattered word substitutions — the common form of
+    laundered benchmark text — has no such run. Doc-level MinHash
+    banding against the eval side of the SAME suite convention
+    (doc_id % 97 = 0, shared with all the decontamination queries)
+    surfaces exactly those: train docs whose shingle sets collide
+    with an eval item's bands, EXACT-Jaccard verified at the 0.35
+    paraphrase threshold so every reported (train_id, eval_id) pair
+    carries quantified similarity evidence — the quarantine record a
+    curator acts on, vs the binary hit of the exact protocols. The
+    hostile fixture plants the 9894/99016 pair (every-10th-word
+    substitution, jaccard 0.545): both substring protocols provably
+    miss it, this one reports it.
+
+    Scale shape: composes the production fuzzy-dedup machinery
+    verbatim — ONE signature chain over the corpus (the eval suite is
+    part of the same table under the suite convention; in production
+    it is a separate fixed-size frame whose bands append to the
+    corpus band index), one bucket groupBy with the (>1, ≤cap)
+    degenerate gate, candidate expansion INSIDE buckets via codegen
+    array ops restricted to train×eval (never train×train — the pair
+    volume a full dedup would pay), then the merge-pinned
+    posting-join verification priced by candidate count, which rides
+    eval-suite size, not corpus². At sf0.01 no near-dup family
+    straddles the % 97 boundary, so the driver row is legitimately
+    empty there (same recorded disposition as decontaminate_substring
+    since ADVICE r10); sf0.001 (2 pairs), sf0.1 (2 pairs), and the
+    hostile plant keep the hit path non-vacuous. 44.1 s at the 100×
+    probe (8 g); at the 1000× dup-heavy probe the VERBATIM-replica
+    inflation wall applies (measured: OOM at 8/24/48 g — ~1000-member
+    replica families band-collide whole, exactly the
+    dedup_lsh_jaccard_verified single-node 1000× disposition this
+    composes) — the production ordering is
+    ``decontaminate_fuzzy_unique`` below."""
+    return _fuzzy_contam_pairs(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@query(
+    "decontaminate_fuzzy_unique",
+    # the per-role content collapse feeding the SAME protocol: group
+    # byte-identical texts WITHIN each suite role (min doc_id of an
+    # eval group is itself ≡ 0 mod 97, of a train group ≢ 0 — the
+    # role survives the collapse by construction)
+    oracle=_fuzzy_contam_oracle(
+        _DD_SHINGLES.replace(
+            "FROM documents)",
+            "FROM (SELECT MIN(doc_id) AS doc_id, text FROM documents"
+            " WHERE text IS NOT NULL"
+            " GROUP BY text, doc_id % 97 = 0))",
+        )
+    ),
+)
+def decontaminate_fuzzy_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION ORDERING of fuzzy eval contamination:
+    content-addressed collapse WITHIN each suite role first
+    (byte-identical texts keep their minimum doc_id per
+    eval/train side — a min over ids ≡ 0 mod 97 stays ≡ 0, so the
+    role survives the collapse structurally), then the banded
+    MinHash × exact-Jaccard protocol over UNIQUE texts only. Same
+    bounding argument as ``multimodal_dhash_unique``: verbatim
+    re-crawls are the dominant duplicate class, their signatures are
+    identical, and at the 1000× dup-heavy probe the full-corpus form
+    OOMs even at 48 g (whole ~1000-member replica families
+    band-collide, and candidate expansion goes quadratic in family
+    size) while the unique-text count is CONSTANT in the replication
+    factor. Contamination semantics lose nothing: replicas of a
+    burned text are all burned — joining back through the exact-dup
+    groups (``dedup_exact``'s output) reconstructs the full
+    quarantine list without paying the quadratic census.
+
+    Composes ``_fuzzy_contam_pairs`` / ``_fuzzy_contam_oracle``
+    verbatim (the shared-implementation rule), so the production form
+    cannot drift from the full-corpus protocol."""
+    docs = table(spark, sf_dir, "documents")
+    reps = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("text", (F.col("doc_id") % 97 == 0).alias("_is_eval"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    return _fuzzy_contam_pairs(reps)
 
 
 @query(

@@ -692,7 +692,7 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     # round-13 additions (priority slots, per the standing recipe)
     "dedup_threshold_sweep_sampled", "decontaminate_fuzzy",
     "snapshot_divergence_js", "multimodal_dhash_neardup",
-    "multimodal_dhash_unique",
+    "multimodal_dhash_unique", "decontaminate_fuzzy_unique",
     # the round-12 bumps (stalest-first: eight r6-era + the r7-era
     # leftover limit_offset)
     "window_lag_lead", "window_rank", "window_running",
@@ -710,7 +710,7 @@ ROUND13_ROTATION_POOL: tuple[str, ...] = (
     "doc_fingerprint", "event_session",
     "event_window", "label_centroids", "lang_id", "multimodal_meta",
     "pack_context_windows", "pipeline_filter_quality",
-    "range_join_follow", "resample_ffill", "sample_per_lang_topk",
+    "range_join_follow", "resample_ffill",
 )
 
 # The rows the round-13 additions bumped from the pool tuple's END
@@ -738,6 +738,10 @@ ROUND13_BUMPED: tuple[str, ...] = (
     # family re-proves via event_session's seat in this window and
     # streaming_session_window's r10 row)
     "session_window_native",
+    # bumped by decontaminate_fuzzy_unique (r7-era; the stratified-
+    # sampling family re-proves via weighted_sample_topk's r10 row
+    # and mixture_sample_temperature's seat in the round-14 pool)
+    "sample_per_lang_topk",
 )
 
 # The four r7-era rows the second- and third-wave amendments deferred
@@ -772,12 +776,12 @@ ROUND13_DEFERRED: tuple[str, ...] = (
 ROUND14_ROTATION_POOL: tuple[str, ...] = (
     # the round-13 bumps (r7-era, stalest-first)
     "text_scrub_pii", "text_repetition", "text_quality",
-    "streaming_window", "session_window_native",
+    "streaming_window", "session_window_native", "sample_per_lang_topk",
     # the named r7-era round-13 deferrals
     "time_weighted_avg_salted", "bounce_rate_daily_salted",
     "event_session_salted", "cosine_knn_exact",
     # the r8-era rows (newest driver row = CORRECTNESS_r08) minus the
-    # five named round-15 deferrals
+    # six named round-15 deferrals
     "asof_cogroup_pandas", "bm25_topk", "chunk_overlap",
     "corpus_report", "decontaminate_bloom", "dedup_containment",
     "dedup_keep_best", "dedup_semdedup", "drift_ks_binned",
@@ -787,7 +791,7 @@ ROUND14_ROTATION_POOL: tuple[str, ...] = (
     "pandas_udaf_mean", "perplexity_unigram", "pq_encode",
     "quality_gopher", "scalar_json",
     "shingle_fingerprints", "stats_agg", "streaming_hopping",
-    "substring_dup_rate", "text_normalize", "tfidf_top_terms",
+    "substring_dup_rate", "text_normalize",
     "token_count_est", "train_split_hash", "udtf_tokenize",
 )
 
@@ -801,6 +805,10 @@ ROUND14_ROTATION_POOL: tuple[str, ...] = (
 ROUND14_DEFERRED: tuple[str, ...] = (
     "dedup_simhash_pairs", "dedup_embedding_band_keys", "tpch_q1",
     "contamination_overlap", "quality_deciles",
+    # joined when the decontaminate_fuzzy_unique bump re-seated
+    # sample_per_lang_topk here (tf-idf ranking family re-proves via
+    # bm25_topk's seat in this same pool)
+    "tfidf_top_terms",
 )
 
 # Round-12 window, RETIRED (was active during round 12; flipped at

@@ -216,6 +216,8 @@ REGRESSION_SET = [
     "multimodal_dhash_neardup",
     # the exact-collapse-first production ordering (same dHash core)
     "multimodal_dhash_unique",
+    # and the same ordering for the fuzzy contamination protocol
+    "decontaminate_fuzzy_unique",
 ]
 
 
@@ -297,6 +299,14 @@ def test_fuzzy_contamination_catches_what_substring_misses(spark, hostile_dir):
     assert 99016 not in set(folded["doc_id"])
     # and the fuzzy protocol still sees the verbatim-quote pair
     assert 99010 in set(fuzzy["train_id"])
+    # the exact-collapse-first production form keeps the plant (its
+    # text is unique, so the collapse keeps it verbatim) and reports
+    # a subset of the full-corpus relation
+    uniq = E.queries()["decontaminate_fuzzy_unique"](spark, hostile_dir).toPandas()
+    assert ((uniq["train_id"] == 99016) & (uniq["eval_id"] == 9894)).any()
+    assert set(zip(uniq["train_id"], uniq["eval_id"])) <= set(
+        zip(fuzzy["train_id"], fuzzy["eval_id"])
+    )
 
 
 def test_snapshot_divergence_is_not_vacuous(spark, hostile_dir):

@@ -152,6 +152,16 @@ def test_dhash_unique_collapses_before_hashing(spark, sf_dir):
     assert plan.index("Generate") < plan.rindex("HashAggregate")
 
 
+def test_fuzzy_unique_collapses_and_stays_merge_pinned(spark, sf_dir):
+    """decontaminate_fuzzy_unique: the per-role content collapse (one
+    partial-agg'd (text, role) groupBy) feeds the same merge-pinned
+    verification pipeline — sort-merge joins, no broadcast of
+    corpus-sized posting sides."""
+    plan = plan_of(spark, sf_dir, "decontaminate_fuzzy_unique")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_ngram_jaccard_plan_has_no_joins(spark, sf_dir):
     """The set-size join-back was removed (sizes ride the posting
     structs via a doc_id window) — the plan must contain no join at

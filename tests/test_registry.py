@@ -100,6 +100,9 @@ ROUND13_ADDITIONS: set[str] = {
     # its exact-collapse-first production ordering (O(1) in the
     # replication factor — the measured 1000× quadratic-wall fix)
     "multimodal_dhash_unique",
+    # the same production ordering for fuzzy eval contamination (the
+    # full form OOMs at 48 g on the 1000× dup-heavy probe)
+    "decontaminate_fuzzy_unique",
 }
 
 
@@ -625,7 +628,7 @@ def test_round14_pool_is_prestaged():
     the active round-13 window, and composed of the 4 round-13 bumps
     + the 4 named r7-era round-13 deferrals + the r8-era
     oracle-backed rows (newest driver row = CORRECTNESS_r08) minus
-    the 5 named round-15 deferrals. Computed from the recorded
+    the 6 named round-15 deferrals. Computed from the recorded
     CORRECTNESS files so the pin cannot rot."""
     pool = registry.ROUND14_ROTATION_POOL
     assert len(pool) == 41 and len(set(pool)) == 41
@@ -639,7 +642,7 @@ def test_round14_pool_is_prestaged():
     ) & set(registry.all_oracles())
     assert set(registry.ROUND14_DEFERRED) == {
         "dedup_simhash_pairs", "dedup_embedding_band_keys", "tpch_q1",
-        "contamination_overlap", "quality_deciles",
+        "contamination_overlap", "quality_deciles", "tfidf_top_terms",
     }
     assert set(registry.ROUND14_DEFERRED) <= r8_era
     assert set(pool) == (
