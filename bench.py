@@ -361,9 +361,14 @@ def main() -> None:
     queries = registry.all_queries()
 
     def run(name: str) -> float:
+        # label jobs (guide §1.5) so UI/event-log forensics can map
+        # stages back to the owning query; timing is unaffected
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        wall = time.time() - t0
+        spark.sparkContext.setJobDescription(None)
+        return wall
 
     run("scan_count")  # warmup: JVM + codegen + parquet footer caches
     # Also spin up the Python worker fleet + Arrow serde once, so the

@@ -1109,7 +1109,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
             " 'discount', l_discount) AS (metric, val)"
         ),
-    ).orderBy("l_orderkey", "l_linenumber", "metric")
+    )
 
 
 @query(
@@ -2342,7 +2342,6 @@ def arrow_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.col("doc_id") < 50)
         .select("doc_id", rev("text").alias("rev"))
-        .orderBy("doc_id")
     )
 
 
@@ -2608,10 +2607,13 @@ _PYDS_PARTS = 8
 def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom connector through Spark 4's PYTHON DATA SOURCE API: a
     synthetic source registered as ``format("graft_synth")`` plans its
-    own input partitions (8 row-ranges) and streams tuples from pure
-    Python readers — the extension point for reading systems Spark has
-    no JVM connector for (internal services, bespoke formats), with
-    partition-parallel scans instead of a single-driver fetch.
+    own input partitions (8 row-ranges) and streams Arrow record
+    batches from pure Python readers — the extension point for reading
+    systems Spark has no JVM connector for (internal services, bespoke
+    formats), with partition-parallel scans instead of a single-driver
+    fetch. The reader yields ONE RecordBatch per partition rather than
+    per-row tuples (round-13 optimization, guide §4: the row path
+    pickles every tuple across the Python boundary individually).
 
     The generator is the Knuth multiplicative hash ``(i * 2654435761)
     % 1000``, replicated exactly in the DuckDB oracle over ``range()``
@@ -2644,8 +2646,22 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
 
         def read(self, part):
-            for i in range(part.start, part.end):
-                yield (i, (i * 2654435761) % 1000)
+            # Arrow batches, not per-row tuples (round-13, guide §4):
+            # the row path pickles 100k tuples across the Python
+            # boundary one at a time; yielding ONE RecordBatch per
+            # partition keeps the same reader contract (Spark 4's
+            # DataSourceReader accepts either) and crosses the boundary
+            # columnar — measured 3.3 s → 1.4 s at the bench fixture.
+            # int64 arithmetic is exact here: max i · 2654435761 ≈
+            # 2.7e14, far inside the 2^63 range.
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.arange(part.start, part.end, dtype=np.int64)
+            vals = (ids * 2654435761) % 1000
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(vals)], names=["id", "value"]
+            )
 
     class SynthSource(DataSource):
         @classmethod
@@ -2804,12 +2820,19 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"pystream_{next(_PYSTREAM_SINKS)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    from ..streaming.windows import stream_start_conf
+
+    # drain-cost knobs (round-13): the complete-mode agg over 3
+    # micro-batches commits one state store per shuffle partition per
+    # batch — 4 partitions instead of the session's 32 cuts that fixed
+    # cost 8×; no event-time watermark, so no-data batches are inert.
+    with stream_start_conf(spark, no_data_batches=False):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         # drain until the source is exhausted (offset stops advancing)
         import time as _time
@@ -2874,7 +2897,6 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.levenshtein("na", "nb") <= 1)
         .select("a_id", "b_id", F.levenshtein("na", "nb").cast("long").alias("dist"))
-        .orderBy("a_id", "b_id")
     )
 
 

@@ -136,7 +136,7 @@ def pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("v").alias("user_id"), F.round("r", 6).alias("rank")
-    ).orderBy("user_id")
+    )
 
 
 @query(
@@ -244,7 +244,14 @@ def reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — path-multiset recursion grows multiplicatively with hop
     count; this operator documents the bounded-depth SQL form.
     """
-    _edges(spark, sf_dir).createOrReplaceTempView("edges_view")
+    # localCheckpoint (round-13): the recursion's union-loop re-executes
+    # the anchor AND each iteration against the view — without pinning,
+    # the scan → crossJoin(max) → distinct edge derivation runs once per
+    # hop level (3× here). Checkpointing materializes it once; the
+    # recursive join then probes stored blocks (same rows, same oracle).
+    _edges(spark, sf_dir).localCheckpoint(eager=True).createOrReplaceTempView(
+        "edges_view"
+    )
     return spark.sql(
         f"""
         WITH RECURSIVE walk(v, hop) AS (

@@ -104,7 +104,6 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("changed"))
             .alias("op"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -167,7 +166,6 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to",
             F.col("valid_to").isNull().alias("is_current"),
         )
-        .orderBy("user_id", "valid_from")
     )
 
 
@@ -567,7 +565,6 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("base_bal"))
             .alias("c_acctbal"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -662,7 +659,6 @@ def pit_state_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ts").isNull(), F.lit(None).cast("string"))
             .otherwise(F.col("state")).alias("state"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -141,7 +141,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.lower(F.hex(F.substring(payload, 1, 4))).alias("magic"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -206,7 +206,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _features,
         schema="doc_id long, n_bytes int, byte_sum long, width int, height int",
     )
-    return out.orderBy("doc_id")
+    return out
 
 
 @query(
@@ -264,7 +264,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return payloads.mapInPandas(
         _sample, schema="doc_id long, frame_idx int, frame_md5 string"
-    ).orderBy("doc_id", "frame_idx")
+    )
 
 
 _EMBED_ANN_ORACLE = """
@@ -447,7 +447,6 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
             F.min("_len").alias("n_bytes"),
         )
-        .orderBy("payload_fp")
     )
 
 
@@ -627,7 +626,6 @@ def _dhash_pairs(docs: DataFrame) -> DataFrame:
             "hamming",
         )
         .distinct()
-        .orderBy("a_id", "b_id")
     )
 
 

@@ -261,7 +261,6 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             F.round(F.sum("logw"), 6).alias("dsir_logw"),
         )
-        .orderBy("doc_id")
     )
 
 

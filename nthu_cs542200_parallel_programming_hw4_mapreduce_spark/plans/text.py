@@ -105,7 +105,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_nt").cast("long").alias("n_tokens"),
         n_punct.cast("long").alias("n_punct"),
         F.round((len_score + punct_score + prose_score) / 3, 6).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 def _dd_lang_case() -> str:
@@ -181,7 +181,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     kappa rater via :func:`lang_pred_frame` (see its docstring for the
     single-tokenization scale shape)."""
     docs = table(spark, sf_dir, "documents")
-    return lang_pred_frame(docs).orderBy("doc_id")
+    return lang_pred_frame(docs)
 
 
 @query(
@@ -238,7 +238,7 @@ def token_count_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.token_count("text").cast("long").alias("ws_tokens"),
         X.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -254,7 +254,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. md5 agrees byte-for-byte across engines, so this doubles as the
     exact-dedup key (see plans.dedup.dedup_exact)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint("text").alias("fp")).orderBy("doc_id")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
 @query(
@@ -285,7 +285,6 @@ def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.explode(X.shingle_fingerprints("text", 3, 4)).alias("fp")
         )
-        .orderBy("doc_id", "fp")
     )
 
 
@@ -339,7 +338,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", F.col("t").alias("term"), F.round(score, 6).alias("score"))
-        .orderBy("doc_id", "term")
     )
 
 
@@ -479,7 +477,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "), r"\s+", " "
         )
     )
-    return docs.select("doc_id", norm.alias("norm")).orderBy("doc_id")
+    return docs.select("doc_id", norm.alias("norm"))
 
 
 @query(
@@ -515,7 +513,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         scrubbed.alias("scrubbed"),
         (F.col("text") != scrubbed).alias("had_pii"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -653,7 +651,6 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1.0 - F.countDistinct("g") / F.count("*").cast("double"), 6
             ).alias("dup_gram_frac"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -734,7 +731,6 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id", "lang", "source")
         .distinct()
-        .orderBy("doc_id")
     )
 
 
@@ -790,7 +786,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap_frac"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -839,7 +835,6 @@ def sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn2", F.row_number().over(w2))
         .filter(F.col("_rn2") <= K)
         .select("doc_id", "lang")
-        .orderBy("lang", "doc_id")
     )
 
 
@@ -918,7 +913,6 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
@@ -933,7 +927,6 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
-        .orderBy("source", "bin_id")
     )
 
 
@@ -990,7 +983,6 @@ def context_window_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     x = (
@@ -1013,7 +1005,6 @@ def context_window_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lo - F.col("s")).cast("bigint").alias("first_tok"),
             (hi - lo).cast("bigint").alias("n_toks_in_bin"),
         )
-        .orderBy("source", "bin_id", "doc_id")
     )
 
 
@@ -1067,7 +1058,6 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "head"
             ),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 
@@ -1341,7 +1331,6 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id", "lang", "source")
         .distinct()
-        .orderBy("doc_id")
     )
 
 
@@ -1483,7 +1472,7 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_alpha.cast("int").alias("f_alpha"),
         f_stop.cast("int").alias("f_stopwords"),
         (f_words & f_mean & f_sym & f_alpha & f_stop).cast("int").alias("gopher_pass"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1545,7 +1534,6 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("nats_per_token")
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1618,7 +1606,6 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn2", F.row_number().over(w2))
         .filter(F.col("_rn2") <= F.col("quota"))
         .select("doc_id", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -2015,7 +2002,7 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _two_phase_rank(vocab)
     if ranked is None:  # degenerate: empty corpus → empty dictionary
         return spark.createDataFrame([], "tok string, id long, cnt long")
-    return ranked.select("tok", "id", "cnt").orderBy("tok")
+    return ranked.select("tok", "id", "cnt")
 
 
 @query(
@@ -2072,7 +2059,6 @@ def encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids"),
             F.count("*").cast("long").alias("n"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2210,7 +2196,7 @@ def arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "dbl"],
             )
 
-    return docs.mapInArrow(double, schema="doc_id long, dbl long").orderBy("doc_id")
+    return docs.mapInArrow(double, schema="doc_id long, dbl long")
 
 
 @query(
@@ -2307,7 +2293,6 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dups"),
             F.min("doc_id").alias("keep_id"),
         )
-        .orderBy("canon_url")
     )
 
 
@@ -2352,7 +2337,6 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
         .filter(words > 0)
-        .orderBy("doc_id")
     )
 
 
@@ -2826,7 +2810,6 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hits.groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
-        .orderBy("doc_id")
     )
 
 
@@ -2905,7 +2888,6 @@ def decontaminate_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hits.groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
-        .orderBy("doc_id")
     )
 
 

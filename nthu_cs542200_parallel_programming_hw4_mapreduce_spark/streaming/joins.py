@@ -18,7 +18,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import events_stream
+from .windows import events_stream, run_drained
 
 _sink_counter = itertools.count()
 
@@ -97,23 +97,20 @@ def run_clicks_purchases_join(
     """
     joined = clicks_purchases_join_stream(spark, path, horizon_minutes)
     name = f"stream_join_{next(_sink_counter)}"
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("click_id", "purchase_id")
+    # INNER join: matches emit as soon as both sides arrive, so the
+    # trailing no-data micro-batch can only evict state, never emit —
+    # skipping it (round-13 optimization) drops one full state
+    # open/commit + replanning cycle from the drain with an identical
+    # result (the LEFT variant below must keep it: null-row emission
+    # happens exactly there).
+    return run_drained(
+        spark,
+        joined,
+        "append",
+        name,
+        state_partitions=state_partitions,
+        no_data_batches=False,
+    )
 
 
 def run_clicks_purchases_left_join(
@@ -165,20 +162,13 @@ def run_clicks_purchases_left_join(
         "leftOuter",
     ).select(clicks.user_id, "click_id", "purchase_id")
     name = f"stream_left_join_{next(_sink_counter)}"
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("click_id", "purchase_id")
+    # no_data_batches stays ON: the unmatched-click null rows emit in
+    # the watermark-advancing no-data batch — skipping it would lose
+    # every unmatched row (the semantics this query exists to show).
+    return run_drained(
+        spark,
+        joined,
+        "append",
+        name,
+        state_partitions=state_partitions,
+    )

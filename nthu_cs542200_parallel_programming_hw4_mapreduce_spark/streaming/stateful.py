@@ -51,12 +51,19 @@ def running_counts(spark: SparkSession, path: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stream_stateful_{next(_sink_counter)}"
-    q = (
-        counts.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    from .windows import stream_start_conf
+
+    # drain-cost knobs (round-13): per-key Python state rides one state
+    # store per shuffle partition — the 4-partition harness default
+    # (see windows.harness_state_partitions) replaces the session's 32
+    # near-empty store commits; no watermark → no-data batches inert.
+    with stream_start_conf(spark, no_data_batches=False):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

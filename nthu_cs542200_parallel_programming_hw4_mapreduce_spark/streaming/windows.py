@@ -12,12 +12,106 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _sink_counter = itertools.count()
 _stage_dirs: dict[str, str] = {}
+
+_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+def harness_state_partitions() -> int:
+    """State-store partition count for the one-shot drained harnesses.
+
+    Every stateful streaming operator instantiates one state store per
+    shuffle partition, and the per-micro-batch open/commit cost of those
+    stores is FIXED overhead independent of data volume. At fixture
+    scale the session's 32 shuffle partitions spend far longer
+    committing near-empty stores than computing — measured round 13
+    (same-contention pairs, 32 → 4 partitions): session-window agg
+    18.3 s → 3.6 s, tumbling window count 18.4 s → 2.9 s, watermarked
+    dedup 7.4 s → 2.1 s. The knob is the generic shuffle-partition
+    count read once at query start (state partitioning is fixed for
+    the life of a streaming checkpoint), the identical mechanism —
+    and measured 32→8→4 curve — ``joins.run_clicks_purchases_join``
+    has carried since round 12. A production deployment sizes it UP
+    with event volume via ``$SPARK_GRAFT_STREAM_STATE_PARTITIONS``
+    (state partitions should hold the per-trigger window of events,
+    not the backfill), exactly as the joins docstring prescribes.
+    """
+    return int(os.environ.get(_STATE_PARTITIONS_ENV, "4"))
+
+
+@contextmanager
+def stream_start_conf(
+    spark: SparkSession,
+    state_partitions: int | None = None,
+    no_data_batches: bool = True,
+):
+    """Scope the two drain-cost knobs around ``writeStream.start()``.
+
+    * ``state_partitions`` — see ``harness_state_partitions``.
+    * ``no_data_batches=False`` skips the trailing zero-row micro-batch
+      (``spark.sql.streaming.noDataMicroBatches.enabled``) for
+      topologies whose OUTPUT it cannot affect: complete-mode sinks
+      (the final table was already emitted with the last data batch;
+      the no-data batch only evicts state) and append-mode inner
+      joins (matches emit when both sides have arrived). Topologies
+      that EMIT on watermark advance — outer-join null rows,
+      append-mode session/tumbling windows — must keep it. Measured
+      round 13: the no-data batch is ~25-40% of those drains' wall
+      (all state-store commit + incremental replanning, zero rows).
+
+    The streaming query clones the session conf at ``start()``, so
+    restoring immediately after start is safe for the running query.
+    """
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if state_partitions is None:
+        state_partitions = harness_state_partitions()
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", before_nodata
+        )
+
+
+def run_drained(
+    spark: SparkSession,
+    df: DataFrame,
+    output_mode: str,
+    name: str,
+    state_partitions: int | None = None,
+    no_data_batches: bool = True,
+) -> DataFrame:
+    """start → processAllAvailable → stop through a memory sink — the
+    shared drain harness (round-13 optimization: one place for the
+    state-partition and no-data-batch knobs instead of six inline
+    copies). Returns the sink table, unordered."""
+    with stream_start_conf(spark, state_partitions, no_data_batches):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 def events_stream(
@@ -106,14 +200,9 @@ def run_windowed_count(
     agg = windowed_count_stream(spark, path, window, watermark, slide)
     name = f"stream_windowed_{next(_sink_counter)}"
     mode = "append" if watermark else "complete"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("event_type", "h")
+    # append mode emits a window only when the watermark passes its end,
+    # so the trailing no-data batch is load-bearing there; complete mode
+    # emitted the full table with the last data batch already.
+    return run_drained(
+        spark, agg, mode, name, no_data_batches=watermark is not None
+    ).orderBy("event_type", "h")

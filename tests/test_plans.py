@@ -1041,7 +1041,12 @@ def test_twap_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path):
     d = _boundary_corpus(spark, tmp_path)
     unsalted = E.queries()["time_weighted_avg"](spark, d).collect()
     salted = E.queries()["time_weighted_avg_salted"](spark, d).collect()
-    assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
+    # sorted: both queries dropped their presentation-only terminal
+    # sort in round 13 (the driver hash is order-insensitive), so the
+    # equality contract here is set-of-rows, not emission order
+    assert sorted(tuple(r) for r in unsalted) == sorted(
+        tuple(r) for r in salted
+    )
     assert len(salted) == 5  # every user has ≥2 events → a weighted row
 
 
