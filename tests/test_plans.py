@@ -1096,7 +1096,12 @@ def test_event_session_salted_equals_unsalted_on_boundary_corpus(spark, tmp_path
     d = _boundary_corpus(spark, tmp_path)
     unsalted = E.queries()["event_session"](spark, d).collect()
     salted = E.queries()["event_session_salted"](spark, d).collect()
-    assert [tuple(r) for r in unsalted] == [tuple(r) for r in salted]
+    # sorted: both queries dropped their presentation-only terminal
+    # sort in round 13 (the driver hash is order-insensitive), so the
+    # equality contract here is set-of-rows, not emission order
+    assert sorted(tuple(r) for r in unsalted) == sorted(
+        tuple(r) for r in salted
+    )
     assert len(salted) == 5  # one row per corpus user
 
 
