@@ -913,6 +913,7 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("source")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
@@ -983,6 +984,7 @@ def context_window_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("source")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     x = (

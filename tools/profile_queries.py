@@ -28,8 +28,8 @@ from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.session import get_s
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    names = args[1:] or HEADLINE
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = (args[1:] if args and os.path.isdir(args[0]) else args) or HEADLINE
     spark = get_spark("profile")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
