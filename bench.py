@@ -23,6 +23,16 @@ from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
 from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.session import get_spark
 
 HEADLINE = [
+    # Round 14 (VERDICT r13 "Next round" #6): python_datasource_scan
+    # runs FIRST — its dominant in-bench cost was root-caused (r13) to
+    # plan-time Python-worker SPAWN that grows with accumulated session
+    # state, ~5 s after an 80-query prefix vs 0.6-0.8 s in a young
+    # session. Position, not warmup: the operator still pays its full
+    # register/plan/execute cost inside the timed region; it just pays
+    # it at the session age a real deployment would (first use), not
+    # after 140 unrelated queries. The 30-query cross-round core below
+    # (BENCH_CORE) is an explicit literal and is NOT affected.
+    "python_datasource_scan",
     # the reference's whole surface
     "wordcount_e2e",
     # core relational
@@ -140,9 +150,9 @@ HEADLINE = [
     "delta_time_travel",
     "quantile_normalize",
     # r3 additions (twentieth batch): Spark 4 feature surface — VARIANT,
-    # Python Data Source API, collations
+    # Python Data Source API (python_datasource_scan — moved to the
+    # front of HEADLINE in round 14, see the note there), collations
     "variant_shred",
-    "python_datasource_scan",
     "collated_distinct",
     # r3 additions (twenty-first batch): XML round trip + Python
     # streaming source
@@ -260,15 +270,32 @@ HEADLINE = [
     "multimodal_dhash_neardup",
     "multimodal_dhash_unique",
     "decontaminate_fuzzy_unique",
+    # round-14 addition (VERDICT r13 "Next round" #8): the stateful
+    # flatMapGroupsWithState drain gets a bench slot so its round-13
+    # drain win is driver-visible. Additions only — nothing removed.
+    "streaming_stateful",
 ]
 
-# Cross-round anchor: the r1/r2-era headline set (first 30 entries of
-# HEADLINE, stable since round 2). Only THESE per-query times go on the
-# one printed JSON line — the driver's tail capture holds ~2 KB and the
+# Cross-round anchor: the r1/r2-era headline set (the first 30 entries
+# of HEADLINE from round 2 through 13, frozen as an explicit literal in
+# round 14 when python_datasource_scan moved to the front of HEADLINE —
+# same 30 names, same order, so the driver's cross-round core
+# comparison is untouched). Only THESE per-query times go on the one
+# printed JSON line — the driver's tail capture holds ~2 KB and the
 # full 113-entry map overflowed it in round 3 (`"parsed": null`,
 # VERDICT r3 "What's wrong" #2). The full per-query map is written to
 # bench_full.json instead.
-BENCH_CORE = HEADLINE[:30]
+BENCH_CORE = [
+    "wordcount_e2e", "agg_count", "tpch_q1", "join_equi", "join_multiway",
+    "topk", "window_rank", "event_window", "tpch_q8", "tpch_q10",
+    "tpch_q21", "text_quality", "lang_id", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
+    "cosine_knn_exact", "ann_lsh_topk", "ann_ivf_topk", "tfidf_top_terms",
+    "range_join_follow", "label_centroids", "dedup_lsh_jaccard_verified",
+    "dedup_clusters", "pipeline_filter_quality", "text_repetition",
+    "decontaminate_ngram",
+]
 
 
 # Idle anchor of _calib_mt_ms on this host for the normalization

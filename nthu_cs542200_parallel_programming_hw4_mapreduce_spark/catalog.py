@@ -31,6 +31,33 @@ BROADCAST_TABLES = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-SESSION memo of the lazy source DataFrames (round-14, guide §6 /
+#: VERDICT r13 "Next round" #1 — "register the parquet relations once
+#: per bench session"). A DataFrame here is an UNEXECUTED logical plan:
+#: no rows, no results, nothing persisted — every action still scans
+#: the parquet from disk. What the memo removes is the ~70-90 ms the
+#: driver spends PER `spark.read.parquet` CALL on file listing + footer
+#: schema inference, paid 1-3× by every one of the 180 bench queries in
+#: one session (measured tools/floor_probe.py: fresh agg_count 379 ms →
+#: 280 ms with the read memoized). Keyed by applicationId so a stopped/
+#: recreated session never sees a stale JVM reference, and by exact
+#: (sf_dir, name) so distinct fixtures never alias. Fixture files are
+#: immutable per path (tests stage into fresh tempdirs), which is the
+#: one assumption a memoized file listing adds.
+_READ_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    """applicationId with the py4j round trip paid once per session."""
+    cached = getattr(spark, "_graft_app_id", None)
+    if cached is None:
+        cached = spark.sparkContext.applicationId
+        try:
+            spark._graft_app_id = cached
+        except AttributeError:
+            pass
+    return cached
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table; Catalyst prunes columns and
@@ -45,15 +72,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    key = (_app_id(spark), sf_dir, name)
+    got = _READ_MEMO.get(key)
     if name == "events":
+        # set on every call (memo hit included): the flag also guards
+        # the vectorized reader's execution-time nanos handling, and
+        # other session users may have flipped it between calls
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if got is not None:
+        return got
+    if name == "events":
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _READ_MEMO[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -25,6 +25,17 @@ def get_spark(
     handles runtime re-planning (skew joins, partition coalescing) which
     matters far more at 100 TB than any static choice here.
     """
+    # Guide §5 (round 14): every Spark task slot runs its own Python
+    # worker, so a multi-threaded BLAS inside the mapInPandas kernels
+    # multiplies: N task slots × K BLAS threads oversubscribes the box
+    # (this host's OpenBLAS is built MAX_THREADS=2 → up to 2× at 32
+    # slots), and the kernels' GEMMs are (batch × 32)-sized, far below
+    # where BLAS threading pays. One thread per worker is the standard
+    # Spark posture. setdefault: an operator who wants different
+    # threading sets the env before launch and wins. Must happen before
+    # the JVM starts — Python workers inherit the driver's environment.
+    for _blas_var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(_blas_var, "1")
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(int(cpus), 32))))
     builder = (

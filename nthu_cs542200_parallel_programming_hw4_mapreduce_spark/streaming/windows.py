@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 _sink_counter = itertools.count()
 _stage_dirs: dict[str, str] = {}
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
 
 _STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
 
@@ -128,7 +129,16 @@ def events_stream(
     the production knob the 100× scale probe exercises).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    # schema inference is a full listing + footer read (~80 ms); memoize
+    # per (session, path) like catalog.table's read memo — the schema of
+    # an immutable fixture path cannot change within a session
+    from ..catalog import _app_id
+
+    skey = (_app_id(spark), path)
+    schema = _SCHEMA_MEMO.get(skey)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[skey] = schema
     if os.path.isfile(path):
         # one staging dir per source file, reused across calls (repeated
         # streaming queries in a session must not accumulate /tmp dirs)

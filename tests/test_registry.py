@@ -440,10 +440,15 @@ def test_bench_core_is_pinned():
     core — the driver's ~2 KB tail capture depends on the line staying
     small, and cross-round comparability depends on the set staying
     FIXED. Never reorder or grow this list; new queries join HEADLINE
-    below index 30."""
+    outside the core. (Round 14: BENCH_CORE became an explicit literal —
+    the same 30 names that were HEADLINE[:30] from rounds 2-13 — when
+    python_datasource_scan moved to the session-young front of HEADLINE;
+    the HEADLINE[1:31] slice pins that the core block itself did not
+    move relative to each other.)"""
     import bench
 
-    assert bench.BENCH_CORE == bench.HEADLINE[:30]
+    assert bench.BENCH_CORE == bench.HEADLINE[1 : 31]
+    assert bench.HEADLINE[0] == "python_datasource_scan"
     assert bench.BENCH_CORE[:5] == [
         "wordcount_e2e", "agg_count", "tpch_q1", "join_equi", "join_multiway",
     ]

@@ -67,8 +67,10 @@ def main() -> None:
     print(f"calib_mt_ms {_calib_mt_ms()}")
 
     print("a. range(1) noop           ", fmt(timeit(lambda: noop(spark.range(1)), reps)))
+    from pyspark.sql import functions as F
+
     print("a2 range(1e6) agg noop     ", fmt(timeit(
-        lambda: noop(spark.range(1_000_000).groupBy((spark.range(1).id % 1).alias("k")).count()), reps)))
+        lambda: noop(spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count()), reps)))
 
     for t in TABLES:
         walls = timeit(lambda t=t: spark.read.parquet(f"{sf_dir}/{t}.parquet"), reps)

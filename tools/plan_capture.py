@@ -21,7 +21,9 @@ from nthu_cs542200_parallel_programming_hw4_mapreduce_spark import registry
 from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.session import get_spark
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
 )
 
 
