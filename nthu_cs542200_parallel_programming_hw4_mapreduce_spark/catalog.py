@@ -59,6 +59,49 @@ def _app_id(spark: SparkSession) -> str:
     return cached
 
 
+#: spread() decisions, memoized per (applicationId, id(df)). The value
+#: keeps a STRONG reference to the key DataFrame so its id() can never
+#: be recycled by the allocator while the entry lives.
+_SPREAD_MEMO: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Parallelize a small UNSPLITTABLE scan before CPU-heavy narrow
+    work (round 14, guide §2.5 "input skew: one huge unsplittable
+    file … repartition immediately after the read").
+
+    Parquet splits cannot cross row-group boundaries, and each fixture
+    table is one file with ONE row group — so every scan is a single
+    task and a narrow pipeline after it (explode → md5 → partial agg,
+    the LSH/signature family) runs serially no matter how many cores
+    the session has (measured: minhash_signatures 1.33 s serial →
+    0.65 s spread at sf0.1). Round-robin the rows first, sized by input
+    bytes (~64 KB/task — small files get a handful of real tasks, not
+    ``defaultParallelism`` slivers) and capped at the session's cores.
+
+    Scale posture: a production scan of splittable files already has
+    ≥ target partitions, so this is a structural NO-OP there — the
+    guard compares the actual scan partition count, not a constant.
+    Non-file sources (or remote storage, where the source provides
+    splits) pass through untouched."""
+    spark = df.sparkSession
+    key = (_app_id(spark), id(df))
+    hit = _SPREAD_MEMO.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    out = df
+    files = df.inputFiles()
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if files and len(local) == len(files):
+        nbytes = sum(os.path.getsize(f) for f in local if os.path.exists(f))
+        cores = spark.sparkContext.defaultParallelism
+        target = parts or max(2, min(cores, (nbytes + 65_535) // 65_536))
+        if df.rdd.getNumPartitions() < target:
+            out = df.repartition(target)
+    _SPREAD_MEMO[key] = (df, out)
+    return out
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table; Catalyst prunes columns and
     pushes predicates into this scan automatically.

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions import text as X
 from ..functions import vectors as V
 from ..registry import query
@@ -79,7 +79,7 @@ def _positional_grams(docs: DataFrame, k: int, out: str = "s") -> DataFrame:
     substring_dup_rate)."""
     t = X.tokens("text", X.WS)
     return (
-        docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
+        spread(docs).select("doc_id", t.alias("_ws"), F.size(t).alias("_n"))
         .filter(F.col("_n") >= k)
         .select(
             "doc_id",
@@ -228,9 +228,9 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
         ex = shingles
     else:
         t = X.tokens("text", X.WS)
-        base = docs.select("doc_id", t.alias("_ws"), F.size(t).alias("_n")).filter(
-            F.col("_n") >= 3
-        )
+        base = spread(docs).select(
+            "doc_id", t.alias("_ws"), F.size(t).alias("_n")
+        ).filter(F.col("_n") >= 3)
         idx = base.select(
             "doc_id",
             "_ws",
@@ -436,7 +436,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     shift-and-mask: ±1 = 2·((chunk >> (4·(7−p%8) + b)) & 1) − 1 for
     nibble p = j//4, bit b = j%4. Same bits as `_bit_contrib`'s SQL —
     the family is defined once and rendered for both engines."""
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id", F.explode(X.tokens("text", X.WS)).alias("t")
     ).select("doc_id", F.md5(F.col("t")).alias("h0"))
     chunks = [

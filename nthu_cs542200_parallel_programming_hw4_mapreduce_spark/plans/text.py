@@ -14,7 +14,7 @@ import pandas as pd  # module-level so stringified UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions import text as X
 from ..registry import oracle_for as _oracle_for
 from ..registry import query
@@ -76,8 +76,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       partial-agg'd groupBy shipping 4 ints per doc.
 
     ``explode_outer`` keeps token-less docs (count("t") skips the null
-    row), matching the oracle exactly."""
-    docs = table(spark, sf_dir, "documents")
+    row), matching the oracle exactly.
+
+    spread (r14): the per-token translate/isin work is the cost here,
+    and the fixture scan is one unsplittable task — measured 0.64×
+    with the scan round-robined first (catalog.spread docstring)."""
+    docs = spread(table(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id",
         F.length("text").alias("_nc"),
@@ -1404,8 +1408,12 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     via FIRST. Every flag compares INTEGERS (3·n ≤ Σlen, 5·alpha ≥ 4·n,
     10·sym < n) — no float thresholds, so engine parity is exact; the
     one emitted float (mean word length) is a single rounded division
-    of exact ints."""
-    docs = table(spark, sf_dir, "documents")
+    of exact ints.
+
+    spread (r14): five per-char passes over every text make this the
+    family's most compute-per-row query — 0.56× with the one-task
+    fixture scan round-robined first (catalog.spread docstring)."""
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = X.tokens("text", X.WS)
     n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
     n_ell = F.expr(
@@ -2865,8 +2873,12 @@ def decontaminate_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     side collapses to DISTINCT normalized snippets and BROADCASTS; the
     corpus streams through one scan with codegen'd lower/
     regexp_replace/contains; no corpus shuffle, only (doc, snip) hits
-    reach the per-doc count."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    reach the per-doc count. spread (r14): that regex normalization
+    pass is per-char work over every text, 0.58× with the one-task
+    fixture scan round-robined first (catalog.spread docstring)."""
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     norm = docs.select(
         "doc_id",
         F.trim(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from nthu_cs542200_parallel_programming_hw4_mapreduce_spark.catalog import (
     _READ_MEMO,
+    spread,
     table,
 )
 
@@ -37,6 +38,29 @@ def test_events_nanos_flag_set_on_memo_hit(spark, sf_dir):
     # ts is usable event time at any SF (nanos→timestamp at sf0.1;
     # smaller fixtures carry parquet TIMESTAMP_NTZ natively)
     assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+
+
+def test_spread_parallelizes_unsplittable_scan(spark, sf_dir):
+    """The fixture parquet is one row group → a 1-task scan; spread must
+    round-robin it across >1 partitions without changing the rows."""
+    docs = table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == 1
+    wide = spread(docs)
+    assert wide.rdd.getNumPartitions() > 1
+    # memoized per base frame: second call answers the same object
+    assert spread(docs) is wide
+    # row-identical (round-robin moves rows, never drops/duplicates)
+    a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in wide.select("doc_id").collect())
+    assert a == b
+
+
+def test_spread_noops_on_wide_frames(spark, sf_dir):
+    """A frame that already has enough partitions passes through
+    untouched (the production no-op guard: splittable scans arrive
+    pre-partitioned)."""
+    wide = spread(table(spark, sf_dir, "documents"))
+    assert spread(wide) is wide
 
 
 def test_memo_is_lazy_only(spark, sf_dir):
